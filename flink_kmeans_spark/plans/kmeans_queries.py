@@ -1,0 +1,123 @@
+"""K-Means query registry entries (SURVEY.md §2A — reference parity).
+
+The reference computes exactly one pipeline: Lloyd's K-Means over a
+point set (SURVEY.md §1). These entries expose each stage of that
+dataflow plus the full fit/predict loop and the MLlib path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import kmeans as km
+from ..operators.kmeans_mllib import mllib_kmeans_predict
+from ..sources import load_table
+from .registry import register
+
+K = 10
+N_ITER = 10
+
+
+@register(
+    "kmeans_scan_points",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 5) AS e0,
+           ROUND(CAST(embedding[64] AS DOUBLE), 5) AS e63
+    FROM embeddings
+    """,
+    tags=("kmeans", "scan"),
+)
+def kmeans_scan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 point source: parquet scan of the point set (pruned columns)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(v[0], 5).alias("e0"),
+        F.round(v[63], 5).alias("e63"),
+    )
+
+
+@register(
+    "kmeans_init_centroids",
+    oracle=f"""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+           vec_id,
+           ROUND(CAST(embedding[1] AS DOUBLE), 5) AS e0
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {K})
+    """,
+    tags=("kmeans", "scan"),
+)
+def kmeans_init_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 centroid source: deterministic init = first k rows by vec_id
+    (FIXTURES.md contract), ids relabeled 0..k-1."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = km.init_centroids(e, K)
+    rows = [(cid, int(orig), round(vec[0], 5)) for (cid, vec), orig in zip(
+        cents,
+        [r["vec_id"] for r in e.orderBy("vec_id").limit(K).select("vec_id").collect()],
+    )]
+    return spark.createDataFrame(rows, schema="cid int, vec_id long, e0 double")
+
+
+@register("kmeans_assign", tags=("kmeans",))
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 SelectNearestCenter with the initial centroids: pure-map argmin
+    over the centroid literal (no shuffle). Rows-only driver check; the
+    exact-assignment oracle is the NumPy Lloyd's pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = km.init_centroids(e, K)
+    return km.assign(e, cents).select("vec_id", "cid")
+
+
+@register("kmeans_fit", tags=("kmeans",))
+def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 bulk iteration: full Lloyd's fit (k=10, 10 iterations, fixed
+    init). Returns the final centroids. Oracle: NumPy Lloyd's pytest
+    (centroids to 1e-6) — not SQL-expressible (iterative)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    model = km.fit(e, k=K, n_iter=N_ITER)
+    return model.centroids_df(spark)
+
+
+@register("kmeans_predict", tags=("kmeans",))
+def kmeans_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 final assignment after fit → (point id, cluster id, truth label).
+    Oracle: NumPy assignments + ARI-vs-label pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    model = km.fit(e, k=K, n_iter=N_ITER)
+    return model.predict(e).select("vec_id", "cid", "label")
+
+
+@register("kmeans_mllib", tags=("kmeans", "mllib"))
+def kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 MLlib path (north-star mandated): ml.clustering.KMeans.
+    Oracle: cost/ARI-bounds pytest (MLlib init is seeded-random, not the
+    fixed-init contract, so no exact-match oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return mllib_kmeans_predict(e, k=K, max_iter=N_ITER, seed=42)
+
+
+@register("kmeans_datagen", tags=("kmeans",))
+def kmeans_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 KMeansDataGenerator parity: seeded Gaussian blobs, distributed
+    generation via spark.range + randn (no driver-side data)."""
+    df = km.datagen(spark, n_points=1000, k=5, dim=8, seed=42, partitions=8)
+    return df.select("vec_id", "label", F.size("embedding").alias("dim"))
+
+
+@register("kmeans_collection_source", tags=("kmeans", "scan"))
+def kmeans_collection_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 embedded-collection fallback source (env.fromCollection): runs
+    one assign step over engine-embedded default points, as the
+    reference does when no --points path is given."""
+    from ..sources.tables import from_collection
+
+    points = [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(40)]
+    cents = [(0, [0.0, 0.0]), (1, [6.0, 4.0])]
+    df = from_collection(spark, points, "vec_id long, embedding array<double>")
+    return km.assign(df, cents).select("vec_id", "cid")

@@ -1,0 +1,67 @@
+"""SparkSession construction and required runtime configuration.
+
+Two entry paths exist: our own tests/bench build a session via
+:func:`get_spark`, while the driver passes us *its* session. Both paths
+funnel through :func:`ensure_conf`, which applies the runtime-settable
+confs every operator relies on:
+
+- ``spark.sql.legacy.parquet.nanosAsLong`` — ``events.ts`` is Parquet
+  TIMESTAMP(NANOS); Spark 4 hard-errors on read without this conf
+  (yields int64 nanoseconds, normalized in ``sources.tables``).
+- ``spark.sql.session.timeZone=UTC`` — keeps timestamp values identical
+  to DuckDB's naive reading when results are compared.
+- AQE on — runtime coalescing / skew-join handling; at 100 TB this is
+  what turns a mis-sized shuffle into a survivable one.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set on an already-running session.
+RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not build (driver's)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not runtime-settable in this build — reads that need it
+            # will surface a clear error instead.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build the local session used by tests and bench.
+
+    ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``). Shuffle
+    partitions default to the core count — sized for the local bench;
+    a real cluster deployment would size this to data volume
+    (~128 MB-per-partition rule) and lean on AQE coalescing.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,86 @@
+"""Schema-checked readers for the ten driver-generated test tables.
+
+Reference parity: the reference's sources are Flink
+``readCsvFile(...).fieldDelimiter(" ")`` point/centroid readers and an
+embedded-collection fallback (``KMeans.java`` / ``KMeansData.java``
+[EXPECTED], SURVEY.md §2A A1–A3). Our engine-native at-rest format is
+Parquet (columnar scan + predicate pushdown + column pruning are free);
+a whitespace-CSV reader is kept in :func:`read_points_csv` for parity
+with the reference CLI surface.
+
+The one piece of genuine normalization lives here, NOT in every
+operator: ``events.ts`` is Parquet TIMESTAMP(NANOS), which Spark 4 only
+reads with ``spark.sql.legacy.parquet.nanosAsLong=true`` (as int64
+nanoseconds). :func:`load_table` converts it to a µs TimestampType with
+integer division (``ts div 1000`` — float division would lose precision
+on ~1.7e18 ns epoch values), matching DuckDB's native ns→µs truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import ensure_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Point schema for the reference-parity CSV source (2-D canonical points;
+# n-D comes from the parquet embeddings table).
+POINT_CSV_SCHEMA = T.StructType(
+    [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+)
+CENTROID_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("cid", T.IntegerType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("y", T.DoubleType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; events gets the ns-timestamp normalization."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # int64 ns -> µs TimestampType; integer div keeps full precision.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql path."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_points_csv(spark: SparkSession, path: str, sep: str = " ") -> DataFrame:
+    """Reference-parity source: whitespace-delimited (x, y) text files
+    (``readCsvFile(path).fieldDelimiter(" ")`` [EXPECTED] — SURVEY §2A A1)."""
+    return spark.read.csv(path, schema=POINT_CSV_SCHEMA, sep=sep)
+
+
+def read_centroids_csv(spark: SparkSession, path: str, sep: str = " ") -> DataFrame:
+    """Reference-parity source: (id, x, y) text files (SURVEY §2A A2)."""
+    return spark.read.csv(path, schema=CENTROID_CSV_SCHEMA, sep=sep)
+
+
+def from_collection(spark: SparkSession, rows, schema) -> DataFrame:
+    """Reference-parity embedded-collection source
+    (``env.fromCollection(KMeansData.POINTS)`` [EXPECTED] — SURVEY §2A A3)."""
+    return spark.createDataFrame(rows, schema=schema)

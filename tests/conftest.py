@@ -1,0 +1,27 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from flink_kmeans_spark.session import get_spark
+
+    s = get_spark("pytest", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_oracle_dir():
+    return SF_ORACLE

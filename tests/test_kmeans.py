@@ -1,0 +1,162 @@
+"""K-Means correctness vs a NumPy Lloyd's oracle (SURVEY.md §5.2).
+
+Fixed-iteration Lloyd's with fixed init is fully deterministic, so the
+engine must match an independent single-core NumPy implementation
+exactly (assignments) / to float tolerance (centroids). The oracle is
+recomputed at test time — no stored goldens to drift.
+"""
+
+import numpy as np
+import pytest
+
+from flink_kmeans_spark.operators import kmeans as km
+from flink_kmeans_spark.sources import load_table
+
+K, N_ITER = 10, 10
+
+
+def numpy_lloyds(pts: np.ndarray, init: np.ndarray, n_iter: int):
+    """Oracle: same semantics as the engine — squared Euclidean,
+    lowest-id tie-break (argmin), empty cluster keeps old centroid."""
+    cents = init.copy()
+    for _ in range(n_iter):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)  # argmin takes first (lowest id) on ties
+        for c in range(len(cents)):
+            mask = a == c
+            if mask.any():
+                cents[c] = pts[mask].mean(axis=0)
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return cents, d2.argmin(axis=1)
+
+
+@pytest.fixture(scope="module")
+def points(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    pdf = df.orderBy("vec_id").toPandas()
+    pts = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    return df, pdf, pts
+
+
+def test_assign_matches_numpy(spark, points):
+    df, pdf, pts = points
+    cents = km.init_centroids(df, K)
+    init = np.array([v for _, v in cents])
+    d2 = ((pts[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    expected = d2.argmin(axis=1)
+    got = (
+        km.assign(df, cents).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    )
+    assert (got["cid"].to_numpy() == expected).all()
+
+
+def test_fit_predict_matches_numpy(spark, points):
+    df, pdf, pts = points
+    init_pairs = km.init_centroids(df, K)
+    init = np.array([v for _, v in init_pairs])
+    exp_cents, exp_assign = numpy_lloyds(pts, init, N_ITER)
+
+    model = km.fit(df, k=K, n_iter=N_ITER)
+    got_cents = np.array([v for _, v in model.centroids])
+    np.testing.assert_allclose(got_cents, exp_cents, rtol=0, atol=1e-9)
+
+    got = model.predict(df).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    assert (got["cid"].to_numpy() == exp_assign).all()
+
+
+def test_wcss_monotone_nonincreasing(spark, points):
+    """Property: the Lloyd's objective never increases across iterations."""
+    df, _, _ = points
+    cents = km.init_centroids(df, K)
+    costs = []
+    dim = 64
+    for _ in range(4):
+        assigned = km.assign(df, cents)
+        costs.append(km.wcss(assigned))
+        rows = km.recompute_centroids(assigned, dim)
+        by_id = {r["cid"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in rows}
+        cents = [(cid, by_id.get(cid, old)) for cid, old in cents]
+    assert all(b <= a + 1e-9 for a, b in zip(costs, costs[1:])), costs
+
+
+def ari(labels_a, labels_b) -> float:
+    """Adjusted Rand Index, plain NumPy (no sklearn in the container)."""
+    a = np.asarray(labels_a)
+    b = np.asarray(labels_b)
+    n = len(a)
+    ua, ia = np.unique(a, return_inverse=True)
+    ub, ib = np.unique(b, return_inverse=True)
+    cm = np.zeros((len(ua), len(ub)), dtype=np.int64)
+    np.add.at(cm, (ia, ib), 1)
+    comb = lambda x: x * (x - 1) / 2.0
+    sum_ij = comb(cm).sum()
+    sum_a = comb(cm.sum(axis=1)).sum()
+    sum_b = comb(cm.sum(axis=0)).sum()
+    expected = sum_a * sum_b / comb(n)
+    max_idx = (sum_a + sum_b) / 2.0
+    return float((sum_ij - expected) / (max_idx - expected))
+
+
+def test_cluster_quality_vs_truth(spark, points):
+    """Engine ARI-vs-label must equal the NumPy oracle's ARI exactly
+    (same assignments ⇒ same score).
+
+    NOTE (measured 2026-08-13): the testdata 'blobs' are NOT separable —
+    within-label spread ≈0.99 vs min between-center distance ≈0.16 in
+    64-d, so even ideal (label-mean) init reaches only ~27% accuracy.
+    An absolute ARI floor is therefore meaningless; the binding check is
+    exact agreement with the independent oracle.
+    """
+    df, pdf, pts = points
+    init = np.array([v for _, v in km.init_centroids(df, K)])
+    _, exp_assign = numpy_lloyds(pts, init, N_ITER)
+    truth = pdf.sort_values("vec_id")["label"].to_numpy()
+    model = km.fit(df, k=K, n_iter=N_ITER)
+    got = model.predict(df).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    assert ari(truth, got["cid"].to_numpy()) == pytest.approx(
+        ari(truth, exp_assign), abs=1e-12
+    )
+
+
+def test_mllib_cost_comparable(spark, points):
+    """MLlib path sanity: k clusters, all rows labeled, and a WCSS within
+    2× of the engine-native fit (MLlib's seeded-random init differs, so
+    exact assignment match is not defined)."""
+    from flink_kmeans_spark.operators.kmeans_mllib import mllib_kmeans_predict
+
+    df, pdf, pts = points
+    got = (
+        mllib_kmeans_predict(df, k=K, max_iter=N_ITER, seed=42)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert len(got) == len(pts)
+    assert got["cid"].nunique() <= K
+
+    def cost(assignments):
+        total = 0.0
+        for c in np.unique(assignments):
+            sub = pts[assignments == c]
+            total += ((sub - sub.mean(axis=0)) ** 2).sum()
+        return total
+
+    init = np.array([v for _, v in km.init_centroids(df, K)])
+    _, engine_assign = numpy_lloyds(pts, init, N_ITER)
+    assert cost(got["cid"].to_numpy()) < 2.0 * cost(engine_assign)
+
+
+def test_datagen_deterministic(spark):
+    a = km.datagen(spark, n_points=200, k=4, dim=3, seed=7, partitions=4).toPandas()
+    b = km.datagen(spark, n_points=200, k=4, dim=3, seed=7, partitions=4).toPandas()
+    assert len(a) == 200
+    av = np.array(a.sort_values("vec_id")["embedding"].tolist())
+    bv = np.array(b.sort_values("vec_id")["embedding"].tolist())
+    np.testing.assert_array_equal(av, bv)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() == 500
+    assert [f.name for f in df.schema.fields] == ["vec_id", "cid", "label"]
