@@ -1,1 +1,777 @@
-"""Relational-core query registry entries (SURVEY.md §2B). Phase 2."""
+"""Relational-core query registry entries (SURVEY.md §2B, Phase 2).
+
+Each entry is the idiomatic-Spark logical plan (Catalyst does the
+physical work: pushdown, pruning, partial aggregation, broadcast
+selection) paired with its DuckDB oracle SQL. Conventions in
+``registry.py`` (identical aliases both sides, doubles rounded both
+sides, DuckDB BIGINT/HUGEINT results cast to the Spark-side type).
+
+Scale notes appear per query — the test SFs are tiny, but every plan
+here is shaped for the 100 TB case: filters at the scan, broadcasts
+for dimension tables, single-shuffle aggregations, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.joins import asof_join_backward
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- scans
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 100.0
+    """,
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan with projection + predicate. Both reach the reader:
+    .explain shows PushedFilters [c_mktsegment = BUILDING, c_acctbal > 100]
+    and ReadSchema limited to the three output columns — at 100 TB this
+    is the difference between scanning 3 columns of row groups that
+    match min/max stats and scanning the table."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 100.0))
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "scan_events_ns",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("scan", "events"),
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ns-timestamp scan (FIXTURES.md gotcha): TIMESTAMP(NANOS)
+    parquet read via nanosAsLong + integer-div µs normalization,
+    surfaced as epoch-µs BIGINT so both engines hash identically."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("sink",),
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + scan-back. Partitioning column =
+    o_orderpriority (5 values) → 5 directories; at scale this is what
+    enables partition pruning for downstream readers. The oracle runs
+    on the ORIGINAL table — the roundtrip must be lossless."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="fks_sink_") + "/orders"
+    o = _t(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+# ------------------------------------------------- projection / scalars
+
+@register(
+    "project_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("project",),
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped select+filter; all four predicates push to the
+    parquet scan (min/max row-group skipping on l_shipdate)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # raw double on purpose: row-level IEEE arithmetic is
+            # bit-identical across engines; ROUND at .xx5 boundaries is not
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substr(p_name, 1, 5) AS name5,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           (p_name LIKE '%steel%') AS has_steel,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           trim(lower(p_type)) AS type_l
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family — all JVM-side built-ins, one codegen span."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%steel%").alias("has_steel"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.trim(F.lower("p_type")).alias("type_l"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS INTEGER) AS days_to_96,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS od
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        # dates surfaced as ISO strings: pandas date-vs-datetime64 dtype
+        # drift between engines would false-fail a value-hash compare
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("1996-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_96"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           abs(l_discount - 0.05) AS disc_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           ROUND(ln(l_extendedprice), 6) AS price_ln,
+           pow(l_quantity, 2) AS qty_sq,
+           least(l_quantity, 25.0) AS qty_capped,
+           greatest(l_discount, l_tax) AS max_rate
+    FROM lineitem
+    """,
+    tags=("scalar",),
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # raw doubles where IEEE semantics are engine-identical (products,
+        # abs, sqrt are correctly-rounded); round only libm-backed ln
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_capped"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 5) AS e0,
+           ROUND(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 5) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+    FROM embeddings
+    """,
+    tags=("scalar",),
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family via higher-order functions (transform /
+    filter / aggregate / slice) — the same primitives the K-Means
+    distance kernel uses, JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(v[0], 5).alias("e0"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 5
+        ).alias("head_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+    FROM events WHERE event_type IN ('click', 'view')
+    """,
+    tags=("scalar", "events"),
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props like {"k": 87})."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "scalar_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END AS status_name
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_name"),
+    )
+
+
+# ----------------------------------------------------------------- joins
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension equi-join with an explicit broadcast hint →
+    BroadcastHashJoin, zero shuffle of the probe side. The pattern every
+    fact⋈dim join at 100 TB must take."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@register(
+    "join_shuffle",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join", "bench"),
+)
+def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact join (BASELINE.md headline, 0.647 s at sf0.1).
+    lineitem⋈orders shuffles on orderkey; customer is small relative to
+    the fact side, so AQE picks a broadcast for it. Join order is
+    declared smallest-last and Catalyst/AQE re-plan at runtime."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (COUNT of a
+    right-side column counts only matches — the null-semantics check)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_order' AS kind FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, 'no_order' AS kind FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi + left_anti — the EXISTS/NOT EXISTS pair. Semi/anti
+    joins ship only the key column of the right side and never
+    duplicate left rows (vs inner-join+distinct, which would)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_order").alias("kind")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_order").alias("kind")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT s.event_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS follow_ups
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 1 HOUR
+     AND e.event_id <> s.event_id
+    GROUP BY s.event_id
+    """,
+    tags=("join", "events"),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: activity within 1h after each signup. The
+    user_id equi-key keeps this a hash/sort-merge join (the range
+    predicate is a post-join filter) — NOT a nested-loop; without the
+    equi key this would be quadratic at scale."""
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.col("user_id").alias("s_uid"), F.col("ts").alias("s_ts")
+    )
+    joined = s.join(
+        e,
+        (e.user_id == s.s_uid)
+        & (e.ts > s.s_ts)
+        & (e.ts <= s.s_ts + F.expr("INTERVAL 1 HOUR"))
+        & (e.event_id != s.s_id),
+        "left",
+    )
+    return joined.groupBy(F.col("s_id").alias("event_id")).agg(
+        F.count("event_id").alias("follow_ups")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS last_click_us,
+           ROUND(c.value, 4) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("join", "events"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest click at-or-before each purchase, per user) —
+    no native Spark support; see operators/joins.py for the
+    single-shuffle union+window formulation and why it beats a
+    join+aggregate at scale. Oracle uses DuckDB's native ASOF JOIN."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_ts", "click_value"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("click_ts").alias("last_click_us"),
+        F.round("click_value", 4).alias("last_click_value"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two tiny inputs (the K-Means assign building
+    block in its naive form). Only ever sane when one side is
+    broadcast-tiny — which is exactly how it's used here."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(F.broadcast(s))
+
+
+# ----------------------------------------------------------- aggregation
+
+@register(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "bench"),
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (BASELINE.md headline, 0.552 s at sf0.1): partial
+    HashAggregate map-side → single shuffle of ~6 groups → final. The
+    canonical 'shuffle only the aggregates, never the rows' plan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) → Catalyst's expand + two-phase aggregate; the
+    distinct de-dup happens partition-local first, so the shuffle
+    carries unique (priority, custkey) pairs, not raw rows."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("agg_approx", tags=("agg",))
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate count-distinct (rsd=0.02). Rows-only driver
+    check (sketch values differ across engines by construction); the
+    pytest oracle asserts tolerance vs the exact count. At 100 TB this
+    replaces the expand+reshuffle of exact distinct with a fixed-size
+    sketch per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets with grouping_id — subtotal + grand-total
+    rows in one pass (Expand feeds a single hash aggregate; no
+    multi-scan union of separate GROUP BYs)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(AVG(l_tax), 6) AS avg_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+# ---------------------------------------------------------------- window
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "bench", "events"),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 latest events per user (BASELINE.md headline, 0.320 s at
+    sf0.1): one shuffle on user_id, sort within partitions, early
+    filter on rn (Spark pushes a WindowGroupLimit so only the top rows
+    per key survive the sort — no full materialization)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) AS gap_us,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "events"),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag (inter-event gap) + running sum over one ordered window —
+    both functions share a single shuffle+sort (same window spec)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.round(F.sum("value").over(wf), 4).alias("running_value"),
+    )
+
+
+@register(
+    "window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit row-frame moving average (3-row trailing window)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("mov_avg3")
+    )
+
+
+# ------------------------------------------- sort / set ops / dedup
+
+@register(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort",),
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N → TakeOrderedAndProject: each partition keeps its
+    local top-10, driver merges — never a full global sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(10)
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+    SELECT 'both' AS src, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)
+    UNION ALL
+    SELECT 'building_only' AS src, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM buyers)
+    """,
+    tags=("setop",),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over key sets (Spark: intersect /
+    exceptAll on distinct inputs / unionByName)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = building.intersect(buyers).select(
+        F.lit("both").alias("src"), "c_custkey"
+    )
+    only = building.exceptAll(buyers).select(
+        F.lit("building_only").alias("src"), "c_custkey"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents.text, deterministic keep-lowest-doc_id
+    (dropDuplicates keeps an arbitrary row — the window form pins it).
+    At 100 TB: hash-partition on a text digest, not the text itself —
+    here text IS the shuffle key via its hash already; Spark hashes the
+    string value for partitioning, so long texts cost bandwidth — a
+    production variant would pre-hash to xxhash64(text)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -1,0 +1,77 @@
+"""Relational-surface tests: registry health at smoke scale, plus
+in-repo oracles for the keys the DuckDB gate can't express
+(SURVEY.md §5.2)."""
+
+import pytest
+
+from flink_kmeans_spark.plans.registry import specs
+from flink_kmeans_spark.sources import load_table
+
+
+def test_all_queries_run_and_are_stable(spark, sf_dir):
+    """Every registered query executes at sf0.001 and returns the same
+    schema (by name) on a second invocation — the driver calls
+    queries() repeatedly."""
+    for name, spec in sorted(specs().items()):
+        df1 = spec.fn(spark, sf_dir)
+        df2 = spec.fn(spark, sf_dir)
+        assert [f.name for f in df1.schema.fields] == [
+            f.name for f in df2.schema.fields
+        ], name
+        assert df1.count() >= 0, name
+
+
+def test_agg_approx_tolerance(spark, sf_oracle_dir):
+    """approx_count_distinct(rsd=0.02) must land within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_oracle_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_suppliers"]
+        for r in specs()["agg_approx"].fn(spark, sf_oracle_dir).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(2, 0.05 * n), (flag, approx[flag], n)
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built example pinning the ≤ / backward / per-key contract."""
+    from flink_kmeans_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "key int, t int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)],
+        "key int, t int, v double",
+    )
+    out = asof_join_backward(
+        left, right, on=["key"], left_ts="t", right_ts="t", value_cols=["v"]
+    )
+    got = {(r["key"], r["t"]): r["v"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0  # equal ts matches (<=)
+    assert got[(1, 20)] == 150.0  # latest earlier row wins
+    assert got[(2, 15)] is None  # right row is later -> no match
+    assert got[(3, 5)] is None  # key absent on right
+
+
+def test_dedup_exact_keeps_lowest_doc_id(spark, sf_dir):
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").toPandas()
+    expected = d.sort_values("doc_id").drop_duplicates("text", keep="first")
+    got = specs()["dedup_exact"].fn(spark, sf_dir).toPandas()
+    assert sorted(got["doc_id"]) == sorted(expected["doc_id"])
+
+
+def test_sink_parquet_roundtrip_lossless(spark, sf_dir):
+    got = specs()["sink_parquet"].fn(spark, sf_dir).toPandas()
+    orig = load_table(spark, sf_dir, "orders").toPandas()
+    assert int(got["n"].sum()) == len(orig)
