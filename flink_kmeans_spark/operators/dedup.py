@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families (north-star mandated, beyond the reference's surface):
+
+- exact          → plans/relational.py ``dedup_exact`` (hash groupBy)
+- MinHash + LSH  → :func:`minhash_candidate_pairs` (shingle → minhash
+                   signature → banded bucket-join)
+- SimHash        → :func:`simhash_df` (64-bit signature, banded
+                   hamming candidate pairs)
+- n-gram Jaccard → :func:`ngram_jaccard_pairs` (blocked exact Jaccard)
+- embedding cos  → :func:`embedding_near_dups` (cosine threshold)
+
+Scale shapes: every family reduces the quadratic pair space BEFORE any
+pairwise math — MinHash/SimHash by banding (candidates = bucket
+collisions only), Jaccard by length-bucket blocking, cosine by LSH
+bucketing (see similarity.py). The pairwise compare then runs only
+inside buckets. That is the only shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures, engine-native: h_i(S) = min over shingles of
+    xxhash64(shingle, seed_i). Pure JVM expressions (xxhash64 is a
+    built-in with a seed parameter) — no UDF, no MLlib vector types, so
+    it composes with any downstream DataFrame op.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(id_col, text_col, sig.alias("minhash"))
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows of
+    ``num_hashes/bands`` hashes; docs sharing ANY band hash become a
+    candidate pair; exact MinHash-Jaccard estimate is then computed only
+    for candidates.
+
+    Plan shape: explode (doc × bands) → shuffle on (band, band_hash) →
+    within-bucket self-join → distinct pairs. The full N² never
+    materializes; at 100 TB the band buckets are the unit of work and
+    skewed mega-buckets are handled by AQE skew splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", "bb.band", "bb.bucket")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
+
+
+def simhash_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc, JVM-side: token → xxhash64 → per-bit ±1
+    vote aggregated across tokens → sign-bit array (``array<int>`` of
+    0/1; bit index b is unrolled as a Python int because shiftright's
+    bit-count argument must be a literal, not a lambda variable).
+    Near-dups have small hamming distance between sign vectors."""
+    toks = tokens(F.col(text_col))
+
+    def bits_of(w):  # w: lambda Column (token); b: python int → unrolled
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for b in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, w: F.zip_with(acc, bits_of(w), lambda a, v: a + v),
+    )
+    signs = F.transform(votes, lambda v: F.when(v > 0, 1).otherwise(0))
+    return docs.select(
+        id_col,
+        signs.alias("simhash_bits"),
+        F.array_join(signs, "").alias("simhash"),
+    )
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded SimHash dedup: 4×16-bit bands — any pair within hamming
+    distance 3 shares at least one exact band (pigeonhole), so the
+    bucket-join finds all of them without N² compares."""
+    sh = simhash_df(docs, id_col, text_col)
+    width = 64 // bands
+    banded = sh.select(
+        id_col,
+        "simhash_bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("simhash_bits"), b * width + 1, width)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash_bits", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.simhash_bits"), F.col("b.simhash_bits"), lambda x, y: x != y
+            ),
+            lambda ne: ne,
+        )
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_width: int = 16,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs with length-bucket blocking:
+    docs whose Jaccard ≥ t must have |len_a − len_b| bounded, so only
+    same/adjacent length buckets are compared (the classic similarity
+    length filter) — prunes the pair space before set math."""
+    d = docs.select(
+        F.col(id_col),
+        shingles(F.col(text_col), n).alias("sh"),
+        F.floor(F.length(text_col) / block_width).alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.blk") - F.col("a.blk")).between(-1, 1),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

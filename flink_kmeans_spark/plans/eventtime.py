@@ -1,1 +1,125 @@
-"""Event-time query registry entries (SURVEY.md §2B streaming-shaped). Phase 3."""
+"""Event-time query registry entries (SURVEY.md §2B streaming-shaped,
+Phase 3).
+
+The reference is batch-only (no watermarks/state in flink-kmeans
+[EXPECTED]); the driver's ``events`` table mandates an event-time
+surface. Implemented batch-first with the SAME primitives Structured
+Streaming uses (``F.window`` / ``F.session_window`` behave identically
+under ``readStream``), so the streaming upgrade in
+``streaming/`` is a source swap, not a rewrite.
+
+All window starts/ends surface as epoch-µs BIGINTs (registry
+convention). DuckDB oracles rebuild the windows with ``time_bucket`` /
+lag-gap-cumsum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))) AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("eventtime", "events"),
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-10-min event-time counts: ``F.window`` assigns each row to one
+    bucket in the scan projection (a narrow map — epoch-aligned, same
+    alignment as DuckDB's time_bucket), then a single partial+final hash
+    aggregate. Identical code runs under readStream with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_micros("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+                    - k.off * INTERVAL 5 MINUTE) AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) k
+    GROUP BY 1
+    """,
+    tags=("eventtime", "events"),
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5: each event lands in exactly two
+    windows. Spark's window() expands rows ×(size/slide) BEFORE the
+    aggregate — the shuffle carries per-window partial aggs, not the
+    duplicated rows. Oracle replays the expansion as a 2-offset cross
+    join on 5-min buckets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.unix_micros("w.start").alias("w_start"), "n", "total_value")
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts FROM events
+    ), marked AS (
+      SELECT user_id, event_id, uts,
+             CASE WHEN lag(uts) OVER w IS NULL
+                       OR uts - lag(uts) OVER w >= INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id)
+    ), sess AS (
+      SELECT user_id, uts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(uts)) AS session_start_us,
+           epoch_us(MAX(uts)) + 15 * 60 * 1000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("eventtime", "events"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-min-gap sessions per user via native ``F.session_window``
+    (batch mode): one shuffle on user_id, sessions merged sort-side.
+    Session end = last event + gap (Spark's definition); an event at
+    EXACTLY prev+gap starts a new session — the oracle's lag-gap-cumsum
+    uses >= to match. The same expression is the streaming path's
+    state-merge window."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -1,1 +1,342 @@
-"""LLM-data-pipeline query registry entries (SURVEY.md §2B). Phase 4."""
+"""LLM-data-pipeline query registry entries (SURVEY.md §2B, Phase 4).
+
+Text analysis, dedup families, similarity search, multimodal plumbing,
+and the Python-UDF surface — the operations a 100 TB training-data
+pipeline runs over the ``documents`` / ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import udfs as U
+from ..sources import load_table
+from .registry import register
+
+_SW_SQL = "['the','a','of','and','is','to','in','for','on','with']"
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- text ops
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           n_chars,
+           len(list_filter(string_split(text, ' '), x -> list_contains({_SW_SQL}, x)))
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char statistics — all codegen'd scan-side."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.distinct_token_count(t).alias("n_distinct"),
+        "n_chars",
+        TX.stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     x -> list_contains({_SW_SQL}, x)))
+                     / len(string_split(text, ' ')) >= 0.1
+                THEN 'en' ELSE 'unknown' END AS pred_lang
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword vote; see functions/text.py for
+    why a char-n-gram model is untrainable on this synthetic corpus)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", TX.langid_en(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN len(toks) BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                        / len(toks) > 0.05
+                    AND len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+                        / len(toks) < 0.7
+                   THEN 1.0 ELSE 0.0 END
+            + len(list_distinct(toks)) / len(toks)) / 3.0 AS quality
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length band + stopword band + lexical
+    diversity) — the cheap pretrain-filter stack."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^\sa-zA-Z0-9]')) AS INTEGER) AS n_bpeish_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_ws_tokens"),
+        F.size(TX.regex_tokens(t)).alias("n_bpeish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint (md5 is engine-portable, unlike
+    xxhash64 whose seeds differ across engines)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+@register("text_tfidf", tags=("text", "mllib"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → HashingTF → IDF (MLlib feature pipeline). Rows-only
+    driver check (hash-bucketed vectors are engine-specific); pytest
+    pins norms > 0 and idf monotonicity vs document frequency."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    d = _docs(spark, sf_dir)
+    toks = Tokenizer(inputCol="text", outputCol="toks").transform(d)
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=1 << 12).transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = idf.transform(tf)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array("tfidf")
+    norm = F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return out.select("doc_id", norm.alias("tfidf_norm"))
+
+
+# ---------------------------------------------------------------- dedup
+
+@register("dedup_minhash", tags=("dedup",))
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with Jaccard estimates —
+    engine-native xxhash64 signatures, banded bucket join (see
+    operators/dedup.py for the scale argument). Rows-only; pytest
+    checks estimates against exact shingle Jaccard."""
+    return DD.minhash_candidate_pairs(
+        _docs(spark, sf_dir), num_hashes=32, bands=8
+    ).filter(F.col("jaccard_est") >= 0.5)
+
+
+@register("dedup_simhash", tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded 64-bit SimHash pairs within hamming distance 3 (pigeonhole
+    guarantees recall). Rows-only (xxhash64 seeds are Spark-specific)."""
+    return DD.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS sh,
+             CAST(floor(length(text) / 16) AS BIGINT) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id AND b.blk BETWEEN a.blk - 1 AND a.blk + 1
+    WHERE len(list_intersect(a.sh, b.sh))
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs ≥ 0.8 with length-bucket
+    blocking (the exact-math counterpart the MinHash estimate is
+    validated against)."""
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                                         p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+             / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                                        p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+            / (a.nrm * b.nrm) >= 0.4
+    """,
+    tags=("dedup", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ threshold (semantic dedup).
+    Threshold 0.4 here: the synthetic corpus has NO true near-dups (max
+    pairwise cosine 0.513, measured) — 0.4 exercises the operator with
+    a non-empty result; production semantic dedup would use ~0.95."""
+    return SIM.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
+# ----------------------------------------------------------- similarity
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM n ORDER BY vec_id LIMIT 10)
+    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (q.nrm * c.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                                      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                        / (q.nrm * c.nrm) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN n c ON c.vec_id <> q.vec_id
+    ) WHERE rk <= 5
+    """,
+    tags=("vector",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first-10 query set — the exact
+    baseline; corpus never shuffles (broadcast queries + WindowGroupLimit)."""
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(10)
+    return SIM.cosine_topk_bruteforce(e, q, k=5)
+
+
+@register("sim_lsh_topk", tags=("vector", "mllib"))
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via BucketedRandomProjectionLSH over unit
+    vectors (the 100 TB path: bucket-collision candidates only).
+    Rows-only; pytest measures recall vs brute force."""
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(10)
+    return SIM.lsh_topk(e, q, k=5)
+
+
+# ----------------------------------------------------------- multimodal
+
+@register(
+    "multimodal_schema",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(len(e.embedding) AS INTEGER) AS dim,
+           ROUND(CAST(e.embedding[1] AS DOUBLE), 5) AS e0
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("multimodal",),
+)
+def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One table carrying text + vector + scalars jointly — DataFrame
+    columns are natively multimodal; this is the doc⋈vector join that
+    feeds every downstream mixed-modality op."""
+    d = _docs(spark, sf_dir)
+    e = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("embedding").alias("dim"),
+        F.round(v[0], 5).alias("e0"),
+    )
+
+
+@register("multimodal_decode", tags=("multimodal",))
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode pipeline: documents → media table (binary
+    payload + typed metadata) → Arrow-batched stub decode (see
+    operators/multimodal.py — kernel is stubbed, plumbing is real)."""
+    media = MM.to_media_table(_docs(spark, sf_dir))
+    return MM.decode_media(media)
+
+
+# ------------------------------------------------------------- UDF surface
+
+@register("udf_surface", tags=("udf",))
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow extension-point sampler: per-label applyInPandas
+    centroids joined with a grouped-agg pandas-UDF mean vector and the
+    scalar-UDF mean norm. Rows-only; pytest pins every value against
+    built-in equivalents."""
+    e = _emb(spark, sf_dir)
+    ap = U.label_centroids_applyinpandas(e)
+    ga = e.groupBy("label").agg(U.mean_vector_udaf()("embedding").alias("mean_vec"))
+    sc = e.select("label", U.vector_norm_udf()("embedding").alias("nrm")).groupBy(
+        "label"
+    ).agg(F.avg("nrm").alias("avg_norm"))
+    return (
+        ap.join(ga, "label")
+        .join(sc, "label")
+        .select(
+            "label",
+            "n",
+            "centroid_norm",
+            F.size("mean_vec").alias("mean_vec_dim"),
+            "avg_norm",
+        )
+    )

@@ -1,0 +1,144 @@
+"""LLM-pipeline operator tests — in-repo oracles for the keys the
+DuckDB gate can't express (sketches, LSH, UDF surface, media stubs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_kmeans_spark.operators import dedup as DD
+from flink_kmeans_spark.operators import multimodal as MM
+from flink_kmeans_spark.operators import similarity as SIM
+from flink_kmeans_spark.plans.registry import specs
+from flink_kmeans_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def exact_jaccard_pairs(spark, docs, threshold):
+    """Exact 3-gram Jaccard over ALL pairs, computed in pandas."""
+    pdf = docs.select("doc_id", "text").toPandas()
+    sh = {
+        r.doc_id: set(
+            " ".join(toks[i : i + 3])
+            for toks in [r.text.split(" ")]
+            for i in range(max(len(toks) - 2, 0))
+        )
+        for r in pdf.itertuples()
+    }
+    ids = sorted(sh)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = inter / len(sh[a] | sh[b])
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    exact = exact_jaccard_pairs(spark, docs, 0.0)
+    got = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in DD.minhash_candidate_pairs(docs, num_hashes=32, bands=8).collect()
+    }
+    # every true high-similarity pair must be FOUND (recall at J>=0.8)
+    high = {p for p, j in exact.items() if j >= 0.8}
+    assert high <= set(got), f"missed near-dup pairs: {high - set(got)}"
+    # estimates within 0.25 of exact for found pairs (32 hashes -> se ~0.09)
+    for p, est in got.items():
+        assert abs(est - exact.get(p, 0.0)) < 0.25, (p, est, exact.get(p))
+
+
+def test_simhash_finds_exact_duplicates(spark, docs):
+    """Identical texts have identical simhash → hamming 0; all exact-dup
+    pairs must appear in the banded candidate output.
+
+    The corpus has NO byte-exact dup texts (measured: 500 distinct texts
+    at sf0.001/sf0.01 — FIXTURES.md's 'duplicates' are near-dups only),
+    so exact dups are synthesized by re-appending 10 docs with new ids."""
+    base = docs.select("doc_id", "text").limit(10)
+    clones = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    with_dups = docs.select("doc_id", "text").unionByName(clones)
+    dup_pairs = {
+        (r.doc_id, r.doc_id + 100000) for r in base.collect()
+    }
+    got = DD.simhash_candidate_pairs(with_dups, max_hamming=3).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in got}
+    assert dup_pairs <= got_pairs, dup_pairs - got_pairs
+    zero = {(r.id_a, r.id_b) for r in got if r.hamming == 0}
+    assert dup_pairs <= zero
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    q = emb.orderBy("vec_id").limit(10)
+    exact = SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = SIM.lsh_topk(emb, q, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.n_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = [
+        len(exact_sets[q_] & approx_sets.get(q_, set())) / 5 for q_ in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_udf_surface_matches_builtins(spark, sf_dir, emb):
+    got = {r.label: r for r in specs()["udf_surface"].fn(spark, sf_dir).collect()}
+    v = F.col("embedding").cast("array<double>")
+    builtin = {
+        r.label: r
+        for r in emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(*[F.avg(v[i]) for i in range(64)]).alias("centroid"),
+        )
+        .collect()
+    }
+    for label, b in builtin.items():
+        g = got[label]
+        assert g.n == b.n
+        cn = float(np.sqrt((np.array(b.centroid) ** 2).sum()))
+        assert g.centroid_norm == pytest.approx(cn, rel=1e-9)
+        assert g.mean_vec_dim == 64
+
+
+def test_multimodal_decode_stub(spark, sf_dir, docs):
+    out = specs()["multimodal_decode"].fn(spark, sf_dir).toPandas()
+    src = docs.select("doc_id", "n_chars").toPandas()
+    merged = out.merge(src, on="doc_id")
+    assert len(merged) == len(src)
+    # utf-8 payload of ascii text: byte length == char length
+    assert (merged["n_bytes"] == merged["n_chars"]).all()
+    assert (merged["fake_width"] > 0).all()
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(MM.to_media_table(docs), real_decode=True)
+
+
+def test_frame_sample_cardinality(spark, docs):
+    media = MM.to_media_table(docs.limit(20))
+    frames = MM.frame_sample(media, frames_per_doc=3).toPandas()
+    assert len(frames) == 60
+    assert set(frames["frame_idx"]) == {0, 1, 2}
+
+
+def test_tfidf_norms_positive_and_deterministic(spark, sf_dir):
+    out = specs()["text_tfidf"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert (out["tfidf_norm"] > 0).all()
+    # deterministic across invocations (IDF fit + hashing are seed-free)
+    again = specs()["text_tfidf"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    np.testing.assert_allclose(
+        out["tfidf_norm"].to_numpy(), again["tfidf_norm"].to_numpy(), rtol=0
+    )
