@@ -51,7 +51,11 @@ def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | No
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+        # local-bench sizing (BASELINE.md methodology used 8): small fixed
+        # count + AQE coalescing. A cluster deployment sizes this to data
+        # volume (~128 MB per partition) instead.
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        shuffle_partitions = int(env) if env else 8
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

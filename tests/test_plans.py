@@ -1,0 +1,113 @@
+"""Physical-plan audits (SURVEY.md §4): the plans must not merely be
+correct — they must be the plans we'd want at 100 TB. These tests pin
+the load-bearing properties so a refactor can't silently regress them.
+"""
+
+import re
+
+import pytest
+
+from flink_kmeans_spark.plans.registry import specs
+from flink_kmeans_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_parquet_pushdown_and_pruning(spark, sf_dir):
+    df = specs()["scan_parquet"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters:")[1][:200]
+    # column pruning: ReadSchema carries only the needed columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_acctbal" in read_schema and "c_name" in read_schema
+    assert "c_nationkey" not in read_schema
+
+
+def test_project_filter_pushdown(spark, sf_dir):
+    plan = plan_of(specs()["project_filter"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    plan = plan_of(specs()["join_broadcast"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_shuffle_no_cartesian(spark, sf_dir):
+    plan = plan_of(specs()["join_shuffle"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+
+
+def test_kmeans_assign_is_shuffle_free(spark, sf_dir):
+    """The assign step must be a pure map: its only exchange is the
+    single-row centroid broadcast — no hash/range repartitioning of the
+    points, at any scale."""
+    from flink_kmeans_spark.operators import kmeans as km
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = km.init_centroids(e, 10)
+    plan = plan_of(km.assign(e, cents))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # single-row build side
+
+
+def test_kmeans_iteration_single_aggregation_shuffle(spark, sf_dir):
+    """assign + recompute = exactly one hash-partition exchange (the
+    k-group aggregate), nothing else."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.operators import kmeans as km
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = km.init_centroids(e, 10)
+    assigned = km.assign(e, cents)
+    vec = F.col("embedding").cast("array<double>")
+    agg = assigned.groupBy("cid").agg(
+        *[F.sum(vec[i]).alias(f"s{i}") for i in range(64)], F.count(F.lit(1)).alias("n")
+    )
+    plan = plan_of(agg)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    plan = plan_of(specs()["sort_limit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_rank_has_group_limit_pushdown(spark, sf_dir):
+    """rn<=3 must push a WindowGroupLimit below the sort (Spark 3.5+)
+    so per-key only the top rows survive."""
+    plan = plan_of(specs()["window_rank"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_agg_hash_partial_aggregation(spark, sf_dir):
+    plan = plan_of(specs()["agg_hash"].fn(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cosine_topk_corpus_not_shuffled_before_scoring(spark, sf_dir):
+    """Scoring happens map-side against broadcast queries; the only
+    hash exchange is the per-query top-k window."""
+    plan = plan_of(specs()["sim_cosine_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_whole_stage_codegen_everywhere_cheap(spark, sf_dir):
+    """Scalar pipelines must run inside WholeStageCodegen spans."""
+    for key in ["project_filter", "scalar_math", "scalar_string"]:
+        plan = plan_of(specs()[key].fn(spark, sf_dir))
+        # executedPlan().toString() renders WholeStageCodegen spans as a
+        # leading "*(n) " on each fused operator
+        assert re.search(r"\*\(\d+\) ", plan), key
