@@ -78,6 +78,87 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_RUN = [0]
+
+
+def _drain(df, prefix: str):
+    from ..streaming.jobs import run_available_now
+
+    _STREAM_RUN[0] += 1
+    return run_available_now(df, f"{prefix}_{_STREAM_RUN[0]}")
+
+
+@register(
+    "streaming_tumbling",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 10 MINUTE, CAST(ts AS TIMESTAMP))) AS w_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING path, oracled: file-source stream over the
+    same events parquet, watermarked 10-min tumbling counts, drained
+    with the availableNow trigger into a memory sink — the streamed
+    result must equal the batch SQL exactly (streaming/jobs.py)."""
+    from ..streaming.jobs import streaming_tumbling_counts
+
+    return _drain(streaming_tumbling_counts(spark, sf_dir), "q_tumbling")
+
+
+@register(
+    "streaming_session",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts FROM events
+    ), marked AS (
+      SELECT user_id, event_id, uts,
+             CASE WHEN lag(uts) OVER w IS NULL
+                       OR uts - lag(uts) OVER w >= INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY uts, event_id)
+    ), sess AS (
+      SELECT user_id, uts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(uts)) AS session_start_us,
+           epoch_us(MAX(uts)) + 15 * 60 * 1000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (watermark-bounded state), drained and
+    compared against the batch lag-gap-cumsum SQL."""
+    from ..streaming.jobs import streaming_session_counts
+
+    return _drain(streaming_session_counts(spark, sf_dir), "q_session")
+
+
+@register("streaming_dedup", tags=("streaming", "events"))
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the event stream (stateful
+    dedup with bounded state). Rows-only: dedup of an already-unique
+    key is checked as a no-op in tests/test_streaming.py."""
+    from ..streaming.jobs import run_available_now, streaming_dedup_within_watermark
+
+    _STREAM_RUN[0] += 1
+    return run_available_now(
+        streaming_dedup_within_watermark(spark, sf_dir),
+        f"q_sdedup_{_STREAM_RUN[0]}",
+        output_mode="append",
+    )
+
+
 @register(
     "window_session",
     oracle="""

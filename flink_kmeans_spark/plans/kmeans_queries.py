@@ -64,11 +64,30 @@ def kmeans_init_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema="cid int, vec_id long, e0 double")
 
 
-@register("kmeans_assign", tags=("kmeans",))
+@register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH pts AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {K}))
+    SELECT vec_id, cid FROM (
+      SELECT p.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(p.embedding, c.cvec),
+                 z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+                 'sum'),
+               c.cid) AS rn
+      FROM pts p CROSS JOIN c) WHERE rn = 1
+    """,
+    tags=("kmeans",),
+)
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 SelectNearestCenter with the initial centroids: pure-map argmin
-    over the centroid literal (no shuffle). Rows-only driver check; the
-    exact-assignment oracle is the NumPy Lloyd's pytest."""
+    over the centroid literal (no shuffle). SQL oracle: double-precision
+    squared-Euclidean argmin with lowest-cid tiebreak (bit-identical
+    IEEE fold order on both engines); the NumPy Lloyd's pytest pins the
+    full iterative semantics."""
     e = load_table(spark, sf_dir, "embeddings")
     cents = km.init_centroids(e, K)
     return km.assign(e, cents).select("vec_id", "cid")

@@ -95,6 +95,29 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_csv",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 500.0
+    """,
+    tags=("sink",),
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 reference-parity CSV sink (writeAsCsv) + read-back through the
+    schema'd CSV source — roundtrip must be lossless. Parquet is the
+    engine-native format; CSV exists for reference CLI compatibility."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="fks_csv_") + "/customer"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 500.0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    c.write.mode("overwrite").option("header", "false").csv(out)
+    return spark.read.csv(
+        out, schema="c_custkey long, c_name string, c_acctbal double"
+    )
+
+
 # ------------------------------------------------- projection / scalars
 
 @register(
@@ -491,6 +514,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(s))
 
 
+@register(
+    "join_outer_full",
+    oracle="""
+    SELECT COALESCE(b.c_custkey, o.o_custkey) AS custkey,
+           (b.c_custkey IS NOT NULL) AS in_building,
+           (o.o_custkey IS NOT NULL) AS has_urgent
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT') o
+      ON b.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: null-preserving on BOTH sides (left outer is
+    covered by join_outer)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    u = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    j = b.join(u, b.c_custkey == u.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("in_building"),
+        F.col("o_custkey").isNotNull().alias("has_urgent"),
+    )
+
+
 # ----------------------------------------------------------- aggregation
 
 @register(
@@ -621,6 +676,19 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
         F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+@register("agg_percentile", tags=("agg",))
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) per group. Rows-only
+    (sketch results are engine-specific); pytest bounds it against the
+    exact percentile. The 100 TB answer to 'give me p95 latency' —
+    fixed-size sketch instead of a global sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95).alias("p95_approx"),
     )
 
 

@@ -40,6 +40,24 @@ def test_agg_approx_tolerance(spark, sf_oracle_dir):
         assert abs(approx[flag] - n) <= max(2, 0.05 * n), (flag, approx[flag], n)
 
 
+def test_agg_percentile_tolerance(spark, sf_oracle_dir):
+    """percentile_approx must bracket the exact percentile within 2%."""
+    import numpy as np
+
+    l = load_table(spark, sf_oracle_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    ).toPandas()
+    got = {
+        r["l_returnflag"]: r
+        for r in specs()["agg_percentile"].fn(spark, sf_oracle_dir).collect()
+    }
+    for flag, grp in l.groupby("l_returnflag"):
+        exact50 = np.percentile(grp["l_extendedprice"], 50)
+        exact95 = np.percentile(grp["l_extendedprice"], 95)
+        assert abs(got[flag]["p50_approx"] - exact50) / exact50 < 0.02
+        assert abs(got[flag]["p95_approx"] - exact95) / exact95 < 0.02
+
+
 def test_asof_join_semantics(spark):
     """Hand-built example pinning the ≤ / backward / per-key contract."""
     from flink_kmeans_spark.operators.joins import asof_join_backward

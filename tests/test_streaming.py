@@ -1,0 +1,56 @@
+"""Structured Streaming smoke + batch-equivalence tests.
+
+The batch result over the same files is the oracle: a file-source
+stream drained with availableNow must produce exactly the batch answer.
+"""
+
+import pandas as pd
+import pytest
+
+from flink_kmeans_spark import streaming as S
+from flink_kmeans_spark.plans.registry import specs
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    got = _norm(
+        S.run_available_now(
+            S.streaming_tumbling_counts(spark, sf_dir), "t_tumbling"
+        ).toPandas()
+    )
+    batch = _norm(
+        specs()["window_tumbling"]
+        .fn(spark, sf_dir)
+        .drop("total_value")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_streaming_session_equals_batch(spark, sf_dir):
+    got = _norm(
+        S.run_available_now(
+            S.streaming_session_counts(spark, sf_dir), "t_session"
+        ).toPandas()
+    )
+    batch = _norm(specs()["window_session"].fn(spark, sf_dir).toPandas())
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    out = S.run_available_now(
+        S.streaming_dedup_within_watermark(spark, sf_dir),
+        "t_dedup",
+        output_mode="append",
+    ).toPandas()
+    # event_id is unique in the source -> dedup is a no-op on counts,
+    # and the op must not drop legitimate rows
+    from flink_kmeans_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "events").count()
+    assert len(out) == n
+    assert out["event_id"].is_unique
