@@ -1,0 +1,106 @@
+"""Property tests (SURVEY.md §5.2): algebraic invariants that must hold
+on any input — checked on the real tables plus hypothesis-generated
+edge-case data."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_kmeans_spark.plans.registry import specs
+from flink_kmeans_spark.sources import load_table
+
+_hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=1, max_size=12), min_size=1, max_size=30))
+@_hyp
+def test_dedup_idempotent(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    dedup = lambda d: (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    once = dedup(df)
+    twice = dedup(once)
+    assert once.count() == twice.count() == df.select("text").distinct().count()
+
+
+@given(
+    a=st.lists(st.integers(0, 50), max_size=25),
+    b=st.lists(st.integers(0, 50), max_size=25),
+)
+@_hyp
+def test_union_all_count_additive(spark, a, b):
+    da = spark.createDataFrame([(x,) for x in a], "v int")
+    db = spark.createDataFrame([(x,) for x in b], "v int")
+    assert da.unionByName(db).count() == len(a) + len(b)
+    # and intersect/except partition the distinct left side
+    inter = da.select("v").distinct().intersect(db.select("v").distinct()).count()
+    exc = da.select("v").distinct().exceptAll(db.select("v").distinct()).count()
+    assert inter + exc == da.select("v").distinct().count()
+
+
+def test_window_topk_subset_of_full(spark, sf_dir):
+    full = {
+        (r["user_id"], r["event_id"])
+        for r in load_table(spark, sf_dir, "events").select("user_id", "event_id").collect()
+    }
+    topk = {
+        (r["user_id"], r["event_id"])
+        for r in specs()["window_rank"].fn(spark, sf_dir).collect()
+    }
+    assert topk <= full
+    # and per-user at most 3
+    from collections import Counter
+
+    per_user = Counter(u for u, _ in topk)
+    assert max(per_user.values()) <= 3
+
+
+def test_sessions_partition_events(spark, sf_dir):
+    """Session windows are a partition of the event set: counts sum to
+    the total and sessions never overlap per user."""
+    sess = specs()["window_session"].fn(spark, sf_dir).toPandas()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert int(sess["n_events"].sum()) == n_events
+    for _, grp in sess.groupby("user_id"):
+        g = grp.sort_values("session_start_us")
+        starts = g["session_start_us"].to_numpy()[1:]
+        ends = g["session_end_us"].to_numpy()[:-1]
+        assert (starts >= ends).all()
+
+
+def test_tumbling_counts_sum_to_total(spark, sf_dir):
+    out = specs()["window_tumbling"].fn(spark, sf_dir).toPandas()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert int(out["n"].sum()) == n_events
+
+
+def test_sliding_counts_double_tumbling(spark, sf_dir):
+    """Every event lands in exactly size/slide = 2 sliding windows."""
+    out = specs()["window_sliding"].fn(spark, sf_dir).toPandas()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert int(out["n"].sum()) == 2 * n_events
+
+
+def test_kmeans_cost_nonincreasing_long_run(spark, sf_dir):
+    from flink_kmeans_spark.operators import kmeans as km
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = km.init_centroids(e, 10)
+    prev = float("inf")
+    for _ in range(6):
+        assigned = km.assign(e, cents)
+        cost = km.wcss(assigned)
+        assert cost <= prev + 1e-9
+        prev = cost
+        rows = km.recompute_centroids(assigned, 64)
+        by_id = {r["cid"]: [r[f"s{i}"] / r["n"] for i in range(64)] for r in rows}
+        cents = [(cid, by_id.get(cid, old)) for cid, old in cents]
