@@ -93,7 +93,19 @@ def minhash_candidate_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    # estimate per collision row (cheap zip), THEN dedupe multi-band hits
+    # with a first() aggregate on the scalar estimate — a distinct over
+    # (pair, 2×32-hash arrays) would shuffle and compare the arrays
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -106,18 +118,10 @@ def minhash_candidate_pairs(
             F.col("a.minhash").alias("mh_a"),
             F.col("b.minhash").alias("mh_b"),
         )
-        .distinct()
+        .select("id_a", "id_b", est.alias("jaccard_est"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("jaccard_est").alias("jaccard_est"))
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(num_hashes)
-    )
-    return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
 
 
 def simhash_df(

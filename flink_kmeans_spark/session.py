@@ -26,6 +26,11 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # test-scale shuffle sizing for sessions we didn't build (the
+    # driver's default 200 costs ~10× task overhead at sf≤0.1; AQE
+    # coalesces results either way, and a real cluster deployment sets
+    # this per data volume)
+    "spark.sql.shuffle.partitions": "16",
 }
 
 
@@ -33,6 +38,11 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to a session we did not build (driver's)."""
     for k, v in RUNTIME_CONFS.items():
         try:
+            if k == "spark.sql.shuffle.partitions":
+                # only rescue the untouched 200-partition default; never
+                # override a deliberately-sized session (ours or theirs)
+                if spark.conf.get(k, "200") != "200":
+                    continue
             spark.conf.set(k, v)
         except Exception:
             # Conf not runtime-settable in this build — reads that need it
@@ -59,7 +69,6 @@ def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | No
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -68,4 +77,6 @@ def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | No
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # explicit bench sizing wins over the RUNTIME_CONFS default
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return builder.getOrCreate()

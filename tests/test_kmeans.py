@@ -64,6 +64,21 @@ def test_fit_predict_matches_numpy(spark, points):
     assert (got["cid"].to_numpy() == exp_assign).all()
 
 
+def test_assign_arrow_equals_expression_assign(spark, points):
+    """The Arrow bulk-scoring path must agree exactly with the
+    oracle-verified expression path."""
+    df, pdf, pts = points
+    cents = km.init_centroids(df, K)
+    exp = km.assign(df, cents).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    got = (
+        km.assign_arrow(df, cents)
+        .select("vec_id", "cid")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert (exp["cid"].to_numpy() == got["cid"].to_numpy()).all()
+
+
 def test_wcss_monotone_nonincreasing(spark, points):
     """Property: the Lloyd's objective never increases across iterations."""
     df, _, _ = points
