@@ -104,6 +104,65 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: OUR OWN K-Means is the
+    coarse quantizer — corpus vectors are bucketed by nearest centroid
+    (operators/kmeans.py), each query probes only its ``nprobe`` nearest
+    cells, and exact cosine re-ranks inside the probed cells.
+
+    Scale shape: per-query candidate work is nprobe/n_clusters of the
+    corpus instead of all of it; the cell assignment is the
+    Arrow-batched bulk path (assign_arrow); centroid probing for the
+    (broadcast-small) query set is driver-side numpy. Recall vs brute
+    force is pinned in tests."""
+    import numpy as np
+
+    from .kmeans import assign_arrow, fit
+
+    model = fit(corpus, k=n_clusters, n_iter=5, id_col=id_col, vec_col=vec_col)
+    cells = assign_arrow(corpus, model.centroids, id_col, vec_col).select(
+        id_col, F.col("cid").alias("cell")
+    )
+    corpus_cells = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    ).join(cells.withColumnRenamed(id_col, "n_id"), "n_id")
+
+    C = np.array([v for _, v in model.centroids])
+    q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    probes = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        d2 = ((C - qv[None, :]) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:nprobe]:
+            probes.append((int(r[0]), [float(x) for x in qv], int(cell)))
+    spark = corpus.sparkSession
+    q_probe = spark.createDataFrame(
+        probes, f"q_id long, q_vec array<double>, cell int"
+    )
+
+    sim = cosine_sim(F.col("q_vec"), F.col("n_vec"))
+    scored = (
+        corpus_cells.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,

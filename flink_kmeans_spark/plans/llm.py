@@ -268,6 +268,16 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_bruteforce(e, q, k=5)
 
 
+@register("sim_ivf_topk", tags=("vector",))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: our own K-Means as the coarse quantizer,
+    nprobe=4 of 16 cells probed per query (operators/similarity.py).
+    Rows-only; pytest pins recall vs brute force."""
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(10)
+    return SIM.ivf_topk(e, q, k=5, n_clusters=16, nprobe=4)
+
+
 @register("sim_lsh_topk", tags=("vector", "mllib"))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via BucketedRandomProjectionLSH over unit

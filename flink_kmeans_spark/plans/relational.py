@@ -546,6 +546,148 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority), adapted to this schema: the classic
+    filter→join→aggregate→top-N composition. Both date filters push to
+    the scans; customer is broadcast; top-10 via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): 6-table star join with the
+    local-supplier correlation (c_nationkey = s_nationkey). Dimension
+    chain region→nation→supplier broadcasts; only the fact join
+    shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern, made explicit: the probe side salts its
+    key 8 ways, the build side replicates ×8, the join runs on
+    (key, salt) so one hot key spreads over 8 reducers. Semantically
+    identical to the plain join (the oracle IS the plain join) — this
+    is the manual fallback when AQE's skew split can't kick in (e.g.
+    pre-AQE clusters or skewed aggregations)."""
+    salt_n = 8
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_linenumber"), F.lit(salt_n)).cast("int")
+    )
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)]))
+    )
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # ----------------------------------------------------------- aggregation
 
 @register(

@@ -79,6 +79,21 @@ def test_simhash_finds_exact_duplicates(spark, docs):
     assert dup_pairs <= zero
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, emb):
+    q = emb.orderBy("vec_id").limit(10)
+    exact = SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = SIM.ivf_topk(emb, q, k=5, n_clusters=16, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.q_id, set()).add(r.n_id)
+    for r in approx:
+        approx_sets.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = [
+        len(exact_sets[q_] & approx_sets.get(q_, set())) / 5 for q_ in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_lsh_topk_recall_vs_bruteforce(spark, emb):
     q = emb.orderBy("vec_id").limit(10)
     exact = SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
