@@ -32,6 +32,8 @@ HEADLINE = [
     "window_tumbling",
     "join_asof",
     "join_theta_range",
+    "tpch_q3",
+    "tpch_q5",
     "scan_events_ns",
     "sort_limit",
     "dedup_exact",

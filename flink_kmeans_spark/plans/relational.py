@@ -26,6 +26,17 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_dir(name: str) -> str:
+    """Sink scratch space INSIDE the repo (gitignored) — the build
+    environment forbids writes outside /root/repo."""
+    import os
+    import tempfile
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+    os.makedirs(base, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=base)
+
+
 # ---------------------------------------------------------------- scans
 
 @register(
@@ -84,9 +95,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderpriority (5 values) → 5 directories; at scale this is what
     enables partition pruning for downstream readers. The oracle runs
     on the ORIGINAL table — the roundtrip must be lossless."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="fks_sink_") + "/orders"
+    out = _scratch_dir("sink_parquet") + "/orders"
     o = _t(spark, sf_dir, "orders")
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     back = spark.read.parquet(out)
@@ -106,9 +115,7 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 reference-parity CSV sink (writeAsCsv) + read-back through the
     schema'd CSV source — roundtrip must be lossless. Parquet is the
     engine-native format; CSV exists for reference CLI compatibility."""
-    import tempfile
-
-    out = tempfile.mkdtemp(prefix="fks_csv_") + "/customer"
+    out = _scratch_dir("sink_csv") + "/customer"
     c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 500.0).select(
         "c_custkey", "c_name", "c_acctbal"
     )

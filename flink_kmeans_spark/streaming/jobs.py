@@ -81,11 +81,23 @@ def run_available_now(
     df: DataFrame, name: str, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:
     """Drain the stream with the availableNow trigger into an in-memory
-    sink and return the result table (test/driver harness helper)."""
+    sink and return the result table (test/driver harness helper).
+    Checkpoints live under the repo's .scratch (the build environment
+    forbids writes outside /root/repo)."""
+    import os
+    import tempfile
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=base)
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
