@@ -11,9 +11,17 @@ is a thin adapter over its query registry (``plans/registry.py``).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# defensive: if the driver loaded this module by file path, the package
+# next to it may not be importable yet
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 
 def entry(spark: SparkSession) -> DataFrame:

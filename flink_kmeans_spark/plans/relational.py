@@ -805,6 +805,40 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 2^k group-by combinations in one Expand +
+    hash aggregate pass (rollup's prefix-only sibling)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "avg_price",
+            "n",
+        )
+    )
+
+
+@register(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,
@@ -866,6 +900,41 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "rn")
+    )
+
+
+@register(
+    "window_rank_variants",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+           CAST(RANK() OVER w AS INTEGER) AS rk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY ROW_NUMBER() OVER w <= 50
+    """,
+    tags=("window",),
+)
+def window_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family (row_number / rank / dense_rank /
+    ntile) over one shared window spec — one shuffle+sort serves all
+    four."""
+    e = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        e.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 50)
     )
 
 
