@@ -138,6 +138,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
+@register(
+    "text_vocab",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    tags=("text",),
+)
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequencies (explode → count → top-50) —
+    the tokenizer-training / frequency-filter primitive. The explode
+    never materializes corpus-wide: partial counts combine map-side and
+    only the (token, count) pairs shuffle."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+
+
 @register("text_tfidf", tags=("text", "mllib"))
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize → HashingTF → IDF (MLlib feature pipeline). Rows-only

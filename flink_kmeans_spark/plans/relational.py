@@ -862,6 +862,49 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/array_agg: grouped value materialization, surfaced
+    as a SORTED joined string (portable hash; raw collect order is
+    nondeterministic in both engines). Only sane for bounded groups —
+    at scale prefer aggregates over materialized lists."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with EXPLICIT pivot values — without them Spark
+    must run an extra distinct scan to discover columns; with them the
+    plan is a single conditional aggregate (exactly the oracle SQL)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
 @register("agg_percentile", tags=("agg",))
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (t-digest-style sketch) per group. Rows-only
