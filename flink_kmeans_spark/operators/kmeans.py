@@ -236,12 +236,18 @@ def fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: Centroids | None = None,
+    tol: float | None = None,
 ) -> KMeansModel:
     """Bulk iteration (SURVEY §2A A8): driver-side loop over assign +
     recompute. Points are cached ONCE; each iteration's plan is
     cache-scan → map → partial agg, so lineage never grows (the
     centroids enter as fresh literals each step — no localCheckpoint
-    needed, unlike a join-based formulation)."""
+    needed, unlike a join-based formulation).
+
+    ``tol``: optional convergence extension beyond the reference's
+    fixed-iteration contract — stop early once the max squared centroid
+    shift drops below tol. None (default) preserves exact
+    fixed-iteration reference semantics; all oracles use None."""
     first = points.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("empty points input")
@@ -260,7 +266,7 @@ def fit(
                 for i in range(dim):
                     acc[i + 1] += r[f"s{i}"]
             # empty clusters keep their previous centroid (see module doc)
-            cents = [
+            new_cents = [
                 (
                     ids[pos],
                     [s / sums[pos][0] for s in sums[pos][1:]]
@@ -269,6 +275,16 @@ def fit(
                 )
                 for pos, (_, old) in enumerate(cents)
             ]
+            if tol is not None:
+                shift = max(
+                    sum((a - b) * (a - b) for a, b in zip(nv, ov))
+                    for (_, nv), (_, ov) in zip(new_cents, cents)
+                )
+                cents = new_cents
+                if shift < tol:
+                    break
+            else:
+                cents = new_cents
     finally:
         pts.unpersist()
     return KMeansModel(centroids=cents, dim=dim, vec_col=vec_col)

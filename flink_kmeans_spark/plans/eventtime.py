@@ -110,6 +110,25 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+                    - k.off * INTERVAL 5 MINUTE) AS w_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) k
+    GROUP BY 1
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows drained via availableNow; must equal
+    the batch 2-offset expansion SQL."""
+    from ..streaming.jobs import streaming_sliding_counts
+
+    return _drain(streaming_sliding_counts(spark, sf_dir), "q_sliding")
+
+
+@register(
     "streaming_session",
     oracle="""
     WITH t AS (

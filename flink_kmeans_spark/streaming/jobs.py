@@ -49,6 +49,17 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``window_sliding``: 10-min windows every 5 min."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("w_start"), "n")
+    )
+
+
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``window_session``: 15-min-gap session windows
     per user with watermark-bounded session state."""

@@ -79,6 +79,17 @@ def test_assign_arrow_equals_expression_assign(spark, points):
     assert (exp["cid"].to_numpy() == got["cid"].to_numpy()).all()
 
 
+def test_fit_tol_early_stop_matches_converged(spark, points):
+    """With a tolerance, fit stops early but lands on the same
+    centroids a long fixed run converges to (blobs converge fast)."""
+    df, pdf, pts = points
+    loose = km.fit(df, k=K, n_iter=50, tol=1e-12)
+    tight = km.fit(df, k=K, n_iter=50)
+    a = np.array([v for _, v in loose.centroids])
+    b = np.array([v for _, v in tight.centroids])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_wcss_monotone_nonincreasing(spark, points):
     """Property: the Lloyd's objective never increases across iterations."""
     df, _, _ = points
