@@ -218,31 +218,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    block_width: int = 16,
 ) -> DataFrame:
-    """Exact shingle-Jaccard near-dup pairs with length-bucket blocking:
-    docs whose Jaccard ≥ t must have |len_a − len_b| bounded, so only
-    same/adjacent length buckets are compared (the classic similarity
-    length filter) — prunes the pair space before set math."""
+    """Exact shingle-Jaccard near-dup pairs via LOSSLESS prefix
+    filtering (the ppjoin family): under any global total order on
+    shingles, two sets with J ≥ t must share at least one element of
+    each other's first ⌊(1−t)·|S|⌋+1 sorted shingles — so candidates
+    are generated by an equi-join on exploded prefix shingles, and the
+    exact intersect/union math runs only on candidates.
+
+    This replaced a length-bucket blocking scheme that (a) degenerated
+    to all-pairs on this corpus (every doc ≈128 chars → one bucket;
+    measured >6 min at sf0.1's 5 000 docs) and (b) was quietly lossy
+    (J = 0.8 allows a 20% length gap > ±1 bucket). Prefix filtering is
+    both complete for J ≥ t and bucket-bounded at scale; candidate
+    buckets key on a shingle string, so AQE's skew split applies."""
     d = docs.select(
-        F.col(id_col),
-        shingles(F.col(text_col), n).alias("sh"),
-        F.floor(F.length(text_col) / block_width).alias("blk"),
+        F.col(id_col), F.array_sort(shingles(F.col(text_col), n)).alias("sh")
     )
-    a, b = d.alias("a"), d.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
-        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    prefix_len = F.floor(F.size("sh") * (1.0 - threshold)).cast("int") + 1
+    pref = d.select(
+        id_col, "sh", F.explode(F.slice("sh", 1, prefix_len)).alias("p")
     )
-    return (
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("b.blk") - F.col("a.blk")).between(-1, 1),
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -211,24 +211,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_distinct(list_transform(
                generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
                i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
-             )) AS sh,
-             CAST(floor(length(text) / 16) AS BIGINT) AS blk
+             )) AS sh
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.sh, b.sh))
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-    FROM d a JOIN d b
-      ON a.doc_id < b.doc_id AND b.blk BETWEEN a.blk - 1 AND a.blk + 1
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh))
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
     """,
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard pairs ≥ 0.8 with length-bucket
-    blocking (the exact-math counterpart the MinHash estimate is
-    validated against)."""
+    """Exact 3-gram-shingle Jaccard pairs ≥ 0.8 via lossless prefix
+    filtering (operators/dedup.py). The oracle is the NAIVE all-pairs
+    SQL — prefix filtering must return exactly the same pairs."""
     return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
