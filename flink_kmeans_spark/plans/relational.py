@@ -194,6 +194,69 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_name, ' ', '_') AS name_us,
+           translate(p_brand, 'AEIOU', 'aeiou') AS brand_tr,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_type) AS type_rev,
+           CAST(instr(p_name, 'a') AS INTEGER) AS first_a,
+           repeat(p_brand, 2) AS brand2,
+           left(p_type, 3) AS type3,
+           right(p_type, 3) AS type_r3
+    FROM part
+    """,
+    tags=("scalar",),
+)
+def scalar_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: replace/translate/pad/reverse/instr/repeat/
+    left/right — still one codegen span."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.translate("p_brand", "AEIOU", "aeiou").alias("brand_tr"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_type").alias("type_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.repeat("p_brand", 2).alias("brand2"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_r3"),
+    )
+
+
+@register(
+    "scalar_null",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(nullif(o_orderstatus, 'O'), 'open') AS status_filled,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM nullif(o_orderpriority, '1-URGENT')) AS ns_eq,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END AS flag
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: nullif / coalesce / null-safe equality (<=> ≡
+    IS NOT DISTINCT FROM) / IS NULL — the three-valued-logic corner the
+    source tables (null-free by construction) never exercise."""
+    o = _t(spark, sf_dir, "orders")
+    s_null = F.nullif("o_orderstatus", F.lit("O"))
+    p_null = F.nullif("o_orderpriority", F.lit("1-URGENT"))
+    return o.select(
+        "o_orderkey",
+        s_null.alias("status_or_null"),
+        F.coalesce(s_null, F.lit("open")).alias("status_filled"),
+        s_null.eqNullSafe(p_null).alias("ns_eq"),
+        s_null.isNull().alias("is_open"),
+        F.when(s_null.isNull(), 0).otherwise(1).alias("flag"),
+    )
+
+
+@register(
     "scalar_date",
     oracle="""
     SELECT o_orderkey,
