@@ -163,6 +163,40 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(streaming_session_counts(spark, sf_dir), "q_session")
 
 
+@register(
+    "streaming_stateful_counter",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator: after draining
+    the whole file stream, each user's final state row must equal the
+    batch GROUP BY — the state-accumulation oracle. (availableNow may
+    deliver several micro-batches; update-mode emits one row per user
+    per batch, so the LAST row per user is the final state.)"""
+    from pyspark.sql.window import Window
+
+    from ..streaming.jobs import run_available_now, streaming_user_counter_stateful
+
+    _STREAM_RUN[0] += 1
+    drained = run_available_now(
+        streaming_user_counter_stateful(spark, sf_dir),
+        f"q_stateful_{_STREAM_RUN[0]}",
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
 @register("streaming_dedup", tags=("streaming", "events"))
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the event stream (stateful

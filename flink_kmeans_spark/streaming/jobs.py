@@ -88,6 +88,41 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     ).select("event_id", "user_id", "event_type")
 
 
+def streaming_user_counter_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState`` — the
+    arbitrary-state extension point (Flink's KeyedProcessFunction
+    analogue; SURVEY §2B udf/streaming surface): per-user GroupState
+    accumulating (event_count, total_value) across micro-batches,
+    emitting one row per user per batch with the running totals.
+
+    State is a plain tuple in the state store (HDFS-backed RocksDB/
+    memory at scale); the watermark bounds how long idle users' state
+    survives via the state timeout."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, name: str, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

@@ -41,6 +41,25 @@ def test_streaming_session_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got, batch, check_dtype=False)
 
 
+def test_stateful_counter_equals_batch_groupby(spark, sf_dir):
+    """applyInPandasWithState final per-user state == batch GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.sources import load_table
+
+    got = _norm(specs()["streaming_stateful_counter"].fn(spark, sf_dir).toPandas())
+    batch = _norm(
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, batch, check_dtype=False)
+
+
 def test_streaming_dedup_within_watermark(spark, sf_dir):
     out = S.run_available_now(
         S.streaming_dedup_within_watermark(spark, sf_dir),
