@@ -46,27 +46,6 @@ def to_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _stub_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STUB decode kernel — deterministic fake features from raw bytes.
-
-    A real deployment replaces this body with e.g. PIL.Image.open over
-    ``io.BytesIO(payload)``; the signature (one pandas batch in, one
-    batch of the DECODED_SCHEMA out) is the production contract.
-    """
-    out = pd.DataFrame()
-    out["doc_id"] = pdf["doc_id"]
-    out["media_type"] = pdf["media_type"]
-    payloads = pdf["payload"]
-    out["n_bytes"] = payloads.map(len).astype("int64")
-    # fake geometry: first bytes, deterministic
-    out["fake_width"] = payloads.map(lambda b: 1 + b[0] if len(b) else 0).astype("int32")
-    out["fake_height"] = payloads.map(lambda b: 1 + b[-1] if len(b) else 0).astype("int32")
-    out["feature_norm"] = payloads.map(
-        lambda b: float(sum(b[:64])) / 255.0 if len(b) else 0.0
-    )
-    return out
-
-
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode stage over the binary column.
 
@@ -74,6 +53,13 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     and may change cardinality (e.g. video frame sampling emits N rows
     per input). Partitioning is preserved — no shuffle; at 100 TB the
     decode cost is embarrassingly parallel scan work.
+
+    IMPORTANT (worker serialization): every function shipped to Python
+    workers in this repo is a CLOSURE so cloudpickle serializes it by
+    value — a module-level kernel would pickle by reference and require
+    ``import flink_kmeans_spark`` inside the worker, which only works
+    when the driver's cwd happens to be the repo root (bug found by the
+    plain-session full-gate replica).
     """
     if real_decode:
         raise NotImplementedError(
@@ -82,9 +68,34 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
         )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # worker-side import; no repo imports here
+
+        def stub_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            """STUB decode kernel — deterministic fake features from raw
+            bytes. A real deployment replaces this body with e.g.
+            PIL.Image.open over io.BytesIO(payload); the signature (one
+            pandas batch in, one DECODED_SCHEMA batch out) is the
+            production contract."""
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["media_type"] = pdf["media_type"]
+            payloads = pdf["payload"]
+            out["n_bytes"] = payloads.map(len).astype("int64")
+            # fake geometry: first bytes, deterministic
+            out["fake_width"] = payloads.map(
+                lambda b: 1 + b[0] if len(b) else 0
+            ).astype("int32")
+            out["fake_height"] = payloads.map(
+                lambda b: 1 + b[-1] if len(b) else 0
+            ).astype("int32")
+            out["feature_norm"] = payloads.map(
+                lambda b: float(sum(b[:64])) / 255.0 if len(b) else 0.0
+            )
+            return out
+
         for pdf in batches:
             if len(pdf):
-                yield _stub_decode_batch(pdf)
+                yield stub_decode_batch(pdf)
 
     return media.mapInPandas(gen, DECODED_SCHEMA)
 
