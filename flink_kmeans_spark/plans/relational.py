@@ -968,6 +968,70 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT l_returnflag,
+           max(l_extendedprice) AS max_price,
+           (SELECT li.l_orderkey FROM lineitem li
+            WHERE li.l_returnflag = l.l_returnflag
+            ORDER BY li.l_extendedprice DESC, li.l_orderkey DESC LIMIT 1) AS top_order,
+           (SELECT li.l_orderkey FROM lineitem li
+            WHERE li.l_returnflag = l.l_returnflag
+            ORDER BY li.l_extendedprice ASC, li.l_orderkey ASC LIMIT 1) AS bottom_order
+    FROM lineitem l GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (argmax aggregates — the K-Means assign
+    tie-break primitive in aggregate form). Ties pinned by a composite
+    (price, orderkey) ordering struct so both engines pick the same
+    row; DuckDB's arg_max lacks composite keys, so the oracle uses
+    correlated ORDER BY...LIMIT 1 subqueries."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.max("l_extendedprice").alias("max_price"),
+        F.max_by(
+            "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+        ).alias("top_order"),
+        F.min_by(
+            "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+        ).alias("bottom_order"),
+    )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 16 AS with_bit4,
+           xor(l_orderkey, 85) AS xored,
+           l_orderkey << 2 AS shl2,
+           l_orderkey >> 3 AS shr3,
+           CAST(bit_count(l_orderkey) AS INTEGER) AS popcount
+    FROM lineitem
+    """,
+    tags=("scalar",),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (the SimHash banding primitives as a
+    first-class surface)."""
+    l = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(16)).alias("with_bit4"),
+        k.bitwiseXOR(F.lit(85)).alias("xored"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
 @register("agg_percentile", tags=("agg",))
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (t-digest-style sketch) per group. Rows-only
