@@ -1,0 +1,97 @@
+"""Connected components over similarity pairs — the dedup-cluster
+canonicalization step: after MinHash/SimHash emit near-dup PAIRS, the
+pipeline must group transitive chains (a~b, b~c ⇒ {a,b,c}) and keep one
+canonical representative per cluster.
+
+Iterative min-label propagation, the same driver-loop shape as the
+K-Means fit (SURVEY §4.3.1): each round is one join + one map-side-
+combined min-aggregate; convergence when no label changes. Rounds
+needed = graph diameter (near-dup clusters are tiny chains, so 2–4).
+At 100 TB the classic optimization is the large-star/small-star
+variant (alternate join directions to cut shuffle volume on skewed
+hubs) — the per-round plan here is the small-star half; AQE's skew
+split covers hub nodes at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id reachable through
+    ``pairs`` (undirected). Returns (id, component).
+
+    nodes: one column ``id_col``; pairs: columns id_a, id_b.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    edges.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    )
+    labels.persist()
+    try:
+        for i in range(max_iter):
+            # every node's candidate label: min over its neighbors' labels
+            nbr_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            # truncate lineage every round: each iteration's frame is
+            # materialized by the count() above, and localCheckpoint
+            # keeps the driver loop from stacking join plans
+            labels = new_labels.localCheckpoint(eager=True)
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def dedup_cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonicalize near-dup clusters: component id IS the minimum
+    doc_id, i.e. the kept representative; every other member maps to
+    it. Returns (doc_id, rep_id, is_rep) for all docs."""
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col
+    )
+    return comp.select(
+        F.col(id_col),
+        F.col("component").alias("rep_id"),
+        (F.col(id_col) == F.col("component")).alias("is_rep"),
+    )

@@ -257,6 +257,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
 
 
+@register("dedup_cluster_rep", tags=("dedup",))
+def dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: MinHash candidates (est ≥ 0.5) →
+    connected components (transitive near-dup clusters) → canonical
+    representative per cluster (operators/graph.py). Rows-only; pytest
+    oracle is a python union-find over the same pairs."""
+    from ..operators.graph import dedup_cluster_representatives
+
+    docs = _docs(spark, sf_dir)
+    pairs = DD.minhash_candidate_pairs(docs, num_hashes=32, bands=8).filter(
+        F.col("jaccard_est") >= 0.5
+    )
+    return dedup_cluster_representatives(docs, pairs)
+
+
 # ----------------------------------------------------------- similarity
 
 @register(

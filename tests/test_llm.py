@@ -79,6 +79,38 @@ def test_simhash_finds_exact_duplicates(spark, docs):
     assert dup_pairs <= zero
 
 
+def test_cluster_rep_matches_union_find(spark, sf_dir, docs):
+    """Connected components must equal a python union-find on the same
+    candidate pairs (component id = min member id)."""
+    from flink_kmeans_spark.operators.graph import dedup_cluster_representatives
+
+    pairs_df = DD.minhash_candidate_pairs(docs, num_hashes=32, bands=8).filter(
+        F.col("jaccard_est") >= 0.5
+    )
+    pairs = [(r.id_a, r.id_b) for r in pairs_df.collect()]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in ids}
+
+    got = {
+        r.doc_id: r.rep_id
+        for r in dedup_cluster_representatives(docs, pairs_df).collect()
+    }
+    assert got == expected
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, emb):
     q = emb.orderBy("vec_id").limit(10)
     exact = SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
