@@ -164,6 +164,39 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '[0-9]', '#', 'g') AS redacted,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS INT) AS n_digits_masked
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the standard pre-training hygiene pass: mask
+    email addresses then every digit, entirely in JVM-side regexp_replace
+    (global-replace in both engines) — no Python in the hot path, so at
+    100 TB this runs at scan speed inside one codegen stage. The regex
+    is RE2/Java-portable (character classes + bounded repeat only)."""
+    d = _docs(spark, sf_dir)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "[EMAIL]"), "[0-9]", "#"
+        ).alias("redacted"),
+        (
+            F.length("text") - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+        ).cast("int").alias("n_digits_masked"),
+    )
+
+
 @register("text_tfidf", tags=("text", "mllib"))
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize → HashingTF → IDF (MLlib feature pipeline). Rows-only

@@ -758,6 +758,234 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical scan-dominated
+    query — every predicate reaches the parquet reader, the aggregate is
+    a single partial+final sum with no grouping key, so at 100 TB the
+    plan is pure scan bandwidth (row-group skipping on l_shipdate
+    min/max does most of the work)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): fact-side filters first
+    (returnflag + order-date quarter push to the scans), one shuffle
+    join lineitem⋈orders, customer joined on the already-aggregand
+    rows, nation broadcast. Top-20 via TakeOrderedAndProject — no
+    global sort materializes."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(t.total_qty, 2) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250.0) t
+      ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): aggregate-then-join — the
+    HAVING pre-aggregation shrinks lineitem to the handful of big
+    orders BEFORE any join, so the subsequent joins are tiny. The
+    groupBy and the orders join share the orderkey, so AQE can reuse
+    the shuffle partitioning across both."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to this schema's
+    dates: EXISTS(correlated, with a non-equi term) compiles to a LEFT
+    SEMI join — lineitem carries only (orderkey, shipdate) into the
+    shuffle, the range predicate evaluates as the semi-join residual,
+    and each order is counted once no matter how many late lines it
+    has."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "scalar_explode",
+    oracle="""
+    SELECT vec_id, CAST(pos - 1 AS INT) AS pos, CAST(val AS DOUBLE) AS val
+    FROM (SELECT vec_id,
+                 UNNEST(embedding[1:8]) AS val,
+                 generate_subscripts(embedding[1:8], 1) AS pos
+          FROM embeddings
+          WHERE vec_id < 50)
+    """,
+    tags=("scalar", "lateral"),
+)
+def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode / lateral-view surface: posexplode flattens an array
+    column to (pos, val) rows — the UNNEST/LATERAL building block for
+    per-element processing. Generate runs inside the same codegen stage
+    as the scan; no shuffle. Values widen float→double (exact) so both
+    engines hash identical bits."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 50)
+        .select("vec_id", F.posexplode(F.slice("embedding", 1, 8)))
+        .select("vec_id", "pos", F.col("col").cast("double").alias("val"))
+    )
+
+
+@register(
+    "scan_json",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id < 2000
+    """,
+    tags=("scan", "sink"),
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink roundtrip: write a projection of events
+    as newline-delimited JSON, read it back with an EXPLICIT schema
+    (schema inference is a full extra pass over the data at 100 TB —
+    never rely on it). Jackson round-trips doubles losslessly, so the
+    oracle is the plain parquet-side projection."""
+    out = _scratch_dir("scan_json") + "/events"
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    ev.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)
+
+
 # ----------------------------------------------------------- aggregation
 
 @register(

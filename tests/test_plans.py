@@ -111,3 +111,33 @@ def test_whole_stage_codegen_everywhere_cheap(spark, sf_dir):
         # executedPlan().toString() renders WholeStageCodegen spans as a
         # leading "*(n) " on each fused operator
         assert re.search(r"\*\(\d+\) ", plan), key
+
+
+def test_tpch_q4_semi_join_and_pushdown(spark, sf_dir):
+    """EXISTS must compile to a semi join (each order counted once) and
+    the order-date quarter must reach the orders scan."""
+    plan = plan_of(specs()["tpch_q4"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "o_orderdate" in pushed
+
+
+def test_tpch_q10_nation_broadcast_topn(spark, sf_dir):
+    """Nation must broadcast (never shuffle a 25-row dim) and the
+    top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(specs()["tpch_q10"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(specs()["tpch_q6"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_scalar_explode_no_shuffle(spark, sf_dir):
+    """Generate (explode) is a map-side operator — no exchange at all."""
+    plan = plan_of(specs()["scalar_explode"].fn(spark, sf_dir))
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert "Exchange" not in plan
