@@ -33,12 +33,18 @@ HEADLINE = [
     "join_asof",
     "join_theta_range",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
     "scan_events_ns",
     "sort_limit",
     "dedup_exact",
     "text_stats",
     "text_fingerprint",
+    "text_pii_redact",
+    "dedup_edit_distance",
     "dedup_minhash",
     "sim_cosine_topk",
     "multimodal_decode",

@@ -290,6 +290,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
 
 
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+    tags=("dedup",),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by edit distance with BLOCKING: levenshtein is
+    O(len²) per pair and all-pairs is O(n²) rows, so candidate pairs
+    come from an equi-join on cheap blocking keys (brand, size) and
+    the quadratic work runs only inside tiny blocks. At 100 TB the
+    blocking join is an ordinary shuffle join on the block key —
+    cardinality is bounded by the largest block, not the table. Both
+    engines implement unit-cost Levenshtein, so the distance itself is
+    SQL-oracled."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+    )
+
+
 @register("dedup_cluster_rep", tags=("dedup",))
 def dedup_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup pipeline: MinHash candidates (est ≥ 0.5) →

@@ -1260,6 +1260,49 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_hll_sketch", tags=("agg", "sketch"))
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    engine-native sketch type): per-(returnflag, linestatus) partial
+    sketches union up to per-returnflag estimates — the mergeability is
+    the 100 TB story (partial sketches combine across partitions,
+    days, or pre-aggregated rollup tiers without re-scanning raw
+    data). Rows-only: DuckDB has no DataSketches; the pytest oracle
+    bounds both estimates within 5% of exact COUNT(DISTINCT).
+    lgConfigK=12 → ~1.6 KB per sketch, <2.5% relative error."""
+    l = _t(spark, sf_dir, "lineitem")
+    fine = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey", 12).alias("sk")
+    )
+    return (
+        fine.groupBy("l_returnflag")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate("sk").alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("sample_stratified", tags=("sampling",))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``) — the training-data-mixture
+    primitive: downsample each stratum at its own rate in one pass, no
+    shuffle (per-partition Bernoulli filter with a seeded hash, so it
+    scales linearly and never materializes the strata). Returns
+    per-stratum kept-counts; the pytest oracle checks each rate against
+    its target fraction and the subset property."""
+    l = _t(spark, sf_dir, "lineitem")
+    fractions = {"A": 0.10, "N": 0.20, "R": 0.05}
+    return (
+        l.sampleBy("l_returnflag", fractions, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
 @register("agg_percentile", tags=("agg",))
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (t-digest-style sketch) per group. Rows-only

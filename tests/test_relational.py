@@ -93,3 +93,50 @@ def test_sink_parquet_roundtrip_lossless(spark, sf_dir):
     got = specs()["sink_parquet"].fn(spark, sf_dir).toPandas()
     orig = load_table(spark, sf_dir, "orders").toPandas()
     assert int(got["n"].sum()) == len(orig)
+
+
+def test_agg_hll_sketch_tolerance(spark, sf_oracle_dir):
+    """DataSketches HLL estimates (direct AND merged-up) within 5% of
+    exact COUNT(DISTINCT) per returnflag."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_oracle_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in specs()["agg_hll_sketch"].fn(spark, sf_oracle_dir).collect()
+    }
+    assert set(got) == set(exact)
+    for flag, n in exact.items():
+        assert abs(got[flag] - n) <= max(2, 0.05 * n), (flag, got[flag], n)
+
+
+def test_sample_stratified_rates_and_subset(spark, sf_oracle_dir):
+    """Each stratum's kept-count tracks its target fraction (binomial
+    4-sigma bound) and the op is deterministic for a fixed seed."""
+    from pyspark.sql import functions as F
+
+    l = load_table(spark, sf_oracle_dir, "lineitem")
+    totals = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fractions = {"A": 0.10, "N": 0.20, "R": 0.05}
+    run1 = {
+        r["l_returnflag"]: r["n_sampled"]
+        for r in specs()["sample_stratified"].fn(spark, sf_oracle_dir).collect()
+    }
+    run2 = {
+        r["l_returnflag"]: r["n_sampled"]
+        for r in specs()["sample_stratified"].fn(spark, sf_oracle_dir).collect()
+    }
+    assert run1 == run2  # seeded => deterministic within a session
+    for flag, frac in fractions.items():
+        n, kept = totals[flag], run1[flag]
+        mean, sigma = n * frac, (n * frac * (1 - frac)) ** 0.5
+        assert abs(kept - mean) <= 4 * sigma + 2, (flag, kept, mean, sigma)
