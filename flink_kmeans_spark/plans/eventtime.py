@@ -212,6 +212,24 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_late_data", tags=("streaming",))
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROP, observable end-to-end: two-file landing
+    dir, one file per micro-batch, append mode — the late row must NOT
+    be counted and the still-open final window must NOT emit. Rows-only
+    (the point is that it deliberately differs from the batch answer);
+    tests/test_streaming.py pins the exact expected rows. sf_dir is
+    unused — the input is a constructed landing directory."""
+    from ..streaming.jobs import run_available_now, streaming_late_data_stream
+
+    _STREAM_RUN[0] += 1
+    return run_available_now(
+        streaming_late_data_stream(spark),
+        f"q_late_{_STREAM_RUN[0]}",
+        output_mode="append",
+    )
+
+
 @register(
     "window_session",
     oracle="""

@@ -1345,6 +1345,66 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    QUALIFY ROW_NUMBER() OVER w <= 100
+    """,
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) — the
+    per-group quantile-position primitives (quality-score percentile
+    filtering in a data pipeline). Shares one shuffle+sort with the
+    row_number limit; WindowGroupLimit prunes below the sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= 100)
+        .drop("_rn")
+    )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_s,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS covar_p,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covariance / regression
+    slope) — single-pass streaming moments, partial+final like any hash
+    aggregate, so they scale identically to SUM at 100 TB."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_s"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_p"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+    )
+
+
+@register(
     "window_rank_variants",
     oracle="""
     SELECT o_orderpriority, o_orderkey,

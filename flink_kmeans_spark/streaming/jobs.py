@@ -123,6 +123,70 @@ def streaming_user_counter_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def streaming_late_data_stream(spark: SparkSession) -> DataFrame:
+    """Watermark LATE-DATA semantics, made observable: a two-file
+    landing directory processed one file per micro-batch
+    (``maxFilesPerTrigger=1``) so the watermark advances BETWEEN
+    batches.
+
+    File 1 (on-time): events at 00:01, 00:02 (window [00:00,00:10)),
+    00:25, 00:55 → the 10-min watermark advances to 00:45. File 2 is a
+    filler (00:56): Spark applies the input-side late filter with the
+    watermark as of batch PLANNING, i.e. one batch after it advances —
+    the filler batch is what makes the new watermark effective
+    (verified empirically via numRowsDroppedByWatermark). File 3: one
+    LATE event at 00:03 — now below the effective watermark, REJECTED —
+    plus a 02:00 closer that flushes every earlier window.
+
+    Append-mode output therefore counts the 00:00 window as 2, NOT 3:
+    the late row is dropped, exactly the bounded-state guarantee that
+    makes event-time aggregation feasible on an unbounded 100 TB/day
+    stream. The 02:00 window never emits (watermark never passes it) —
+    also part of the contract."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ensure_conf(spark)
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "late_landing",
+    )
+    os.makedirs(base, exist_ok=True)
+
+    def _write(name: str, minutes: list, mtime: float) -> None:
+        us = [m * 60_000_000 for m in minutes]  # minutes past 2000-01-01 00:00 UTC
+        epoch = 946_684_800_000_000  # 2000-01-01 UTC in µs
+        tbl = pa.table(
+            {
+                "ts": pa.array([epoch + u for u in us], pa.timestamp("us", tz="UTC")),
+                "event_id": pa.array(list(range(len(us))), pa.int64()),
+            }
+        )
+        path = os.path.join(base, name)
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    _write("batch1.parquet", [1, 2, 25, 55], 1_000_000_000.0)
+    _write("batch2.parquet", [56], 1_000_000_100.0)  # filler: wm takes effect
+    _write("batch3.parquet", [3, 120], 1_000_000_200.0)  # 00:03 is LATE
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(base)
+    )
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("w_start"), "n")
+    )
+
+
 def run_available_now(
     df: DataFrame, name: str, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

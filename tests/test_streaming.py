@@ -73,3 +73,18 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     n = load_table(spark, sf_dir, "events").count()
     assert len(out) == n
     assert out["event_id"].is_unique
+
+
+def test_streaming_late_data_dropped(spark):
+    """The 00:00 window counts 2 (late 00:03 row rejected); 00:20 and
+    00:50 windows emit; the watermark never passes the 02:00 window so
+    it never emits."""
+    from flink_kmeans_spark.plans.registry import specs
+
+    rows = {
+        r["w_start"]: r["n"]
+        for r in specs()["streaming_late_data"].fn(spark, "unused").collect()
+    }
+    epoch = 946_684_800_000_000  # 2000-01-01 UTC µs
+    m = 60_000_000
+    assert rows == {epoch + 0 * m: 2, epoch + 20 * m: 1, epoch + 50 * m: 2}
