@@ -44,6 +44,7 @@ HEADLINE = [
     "text_stats",
     "text_fingerprint",
     "text_pii_redact",
+    "text_ngram_freq",
     "dedup_edit_distance",
     "dedup_minhash",
     "sim_cosine_topk",

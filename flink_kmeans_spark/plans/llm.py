@@ -165,6 +165,50 @@ def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ngram_freq",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             UNNEST(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    )
+    SELECT a.tok || ' ' || b.tok AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM idx a JOIN idx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+    tags=("text",),
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram-LM / contamination-check
+    primitive). Spark side is MAP-SIDE: zip_with over two shifted
+    slices builds each document's bigram list inside codegen — no
+    self-join, no extra shuffle beyond the count aggregation (the
+    DuckDB oracle uses the equivalent positional self-join; at 100 TB
+    the zip_with form is the one that scales — the join form would
+    shuffle the exploded token table twice)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.split("text", " ").alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
+    )
+
+
+@register(
     "text_pii_redact",
     oracle=r"""
     SELECT doc_id,

@@ -493,6 +493,97 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT 'null_free' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    UNION ALL
+    SELECT 'with_null' AS kind, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey NOT IN
+          (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+           FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    tags=("join", "null"),
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic semantics — NOT the same operator as
+    left_anti: one NULL in the subquery makes NOT IN unknowable for
+    every probe row (count 0), while the null-free case equals the
+    anti join. Expressed through the SQL API (our second front door —
+    identical Catalyst plans to the DataFrame path); the physical plan
+    is a null-aware BroadcastHashJoin when the build side fits, else
+    BroadcastNestedLoop — which is why production pipelines prefer
+    NOT EXISTS at 100 TB (plain anti join, shuffleable)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("naa_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("naa_customer")
+    return spark.sql(
+        """
+        SELECT 'null_free' AS kind, COUNT(*) AS n
+        FROM naa_orders
+        WHERE o_custkey NOT IN
+              (SELECT c_custkey FROM naa_customer WHERE c_mktsegment = 'BUILDING')
+        UNION ALL
+        SELECT 'with_null' AS kind, COUNT(*) AS n
+        FROM naa_orders
+        WHERE o_custkey NOT IN
+              (SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+               FROM naa_customer WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@register(
+    "sink_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, ROUND(c_acctbal + 100.0, 2) AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, 'new customer' AS c_name,
+             0.0 AS acctbal
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT c_custkey, c_name, acctbal FROM updates
+    UNION ALL
+    SELECT b.c_custkey, b.c_name, ROUND(b.c_acctbal, 2) AS acctbal
+    FROM customer b
+    WHERE b.c_custkey NOT IN (SELECT c_custkey FROM updates)
+    """,
+    tags=("sink", "join"),
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert without a table format: last-writer-wins snapshot =
+    updates ∪ (base ⟕anti updates) — the parquet-lake pattern for
+    dimension maintenance when Delta/Iceberg MERGE isn't available. One
+    anti join on the key; at 100 TB you'd partition base and updates
+    identically so the anti join co-locates, and rewrite only affected
+    partitions (dynamic partition overwrite)."""
+    base = _t(spark, sf_dir, "customer")
+    updates = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("new customer").alias("c_name"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    untouched = base.join(
+        updates.select("c_custkey"), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    return updates.unionByName(untouched)
+
+
+@register(
     "join_theta_range",
     oracle="""
     SELECT s.event_id,

@@ -141,3 +141,16 @@ def test_scalar_explode_no_shuffle(spark, sf_dir):
     plan = plan_of(specs()["scalar_explode"].fn(spark, sf_dir))
     assert "Generate explode" in plan or "Generate posexplode" in plan
     assert "Exchange" not in plan
+
+
+def test_text_ngram_freq_is_join_free(spark, sf_dir):
+    """Bigrams come from zip_with inside codegen — the plan must contain
+    no join and only the aggregation exchange + top-50."""
+    plan = plan_of(specs()["text_ngram_freq"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_null_aware_anti_compiles_to_anti_joins(spark, sf_dir):
+    plan = plan_of(specs()["join_null_aware_anti"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
