@@ -41,7 +41,11 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     )
-    labels.persist()
+    # labels are monotonically NON-INCREASING under min-propagation, so
+    # "no label changed" ⟺ "sum(component) unchanged" — a single
+    # map-side-combined aggregate per round instead of a join-with-old
+    # + count (halves the per-iteration shuffle work).
+    prev_sum = None
     try:
         for i in range(max_iter):
             # every node's candidate label: min over its neighbors' labels
@@ -60,20 +64,13 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-            new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels.unpersist()
-            # truncate lineage every round: each iteration's frame is
-            # materialized by the count() above, and localCheckpoint
-            # keeps the driver loop from stacking join plans
+            # truncate lineage every round: localCheckpoint materializes
+            # the frame and keeps the driver loop from stacking join plans
             labels = new_labels.localCheckpoint(eager=True)
-            if changed == 0:
+            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
     finally:
         edges.unpersist()
     return labels.select(F.col("node").alias(id_col), "component")
