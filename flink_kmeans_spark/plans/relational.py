@@ -621,6 +621,54 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_binned",
+    oracle="""
+    SELECT s.event_id, CAST(COUNT(e.event_id) AS BIGINT) AS concurrent
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN events e
+      ON e.ts >= s.ts AND e.ts < s.ts + INTERVAL 10 MINUTE
+    GROUP BY s.event_id
+    """,
+    tags=("join", "events"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equi key) made shuffleable by BINNING — the
+    interval-join technique Spark lacks natively: a naive plan here is
+    BroadcastNestedLoopJoin, O(n·m) at 100 TB. Each probe row explodes
+    to its 2 candidate 10-min buckets (window span ≤ bucket width ⇒ at
+    most 2), the build side keeps its single bucket, the join becomes
+    an ordinary equi-join on bucket id with the true range predicate as
+    residual — each matching pair meets in exactly ONE bucket, so no
+    dedup is needed. tests/test_plans.py asserts no nested-loop
+    remains."""
+    bucket_us = 600 * 1_000_000
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", (F.unix_micros("ts") / bucket_us).cast("long").alias("b")
+    )
+    s = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("ts").alias("s_ts"),
+            (F.unix_micros("ts") / bucket_us).cast("long").alias("sb"),
+        )
+        .withColumn("b", F.explode(F.array(F.col("sb"), F.col("sb") + 1)))
+    )
+    return (
+        s.join(
+            e,
+            (s.b == e.b)
+            & (e.ts >= s.s_ts)
+            & (e.ts < s.s_ts + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy(F.col("s_id").alias("event_id"))
+        .agg(F.count("event_id").alias("concurrent"))
+    )
+
+
+@register(
     "join_asof",
     oracle="""
     SELECT p.event_id,

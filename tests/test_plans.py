@@ -154,3 +154,12 @@ def test_text_ngram_freq_is_join_free(spark, sf_dir):
 def test_join_null_aware_anti_compiles_to_anti_joins(spark, sf_dir):
     plan = plan_of(specs()["join_null_aware_anti"].fn(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_join_range_binned_no_nested_loop(spark, sf_dir):
+    """The binning must turn the pure range join into an equi-join —
+    any nested-loop operator in this plan is a scale regression."""
+    plan = plan_of(specs()["join_range_binned"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
