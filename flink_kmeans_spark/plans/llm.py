@@ -482,6 +482,19 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_media(media)
 
 
+@register("multimodal_framesample", tags=("multimodal",))
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over the media table: one input row →
+    N frame rows via mapInPandas (cardinality-changing Arrow UDTF —
+    the pattern for frame extraction at 100 TB, where the decode
+    kernel would run inside the same partition-local batch loop).
+    Kernel is the deterministic stub; plumbing, schema, and batch
+    shape are real. Rows-only; pytest pins cardinality and
+    determinism."""
+    media = MM.to_media_table(_docs(spark, sf_dir))
+    return MM.frame_sample(media, frames_per_doc=3)
+
+
 # ------------------------------------------------------------- UDF surface
 
 @register("udf_surface", tags=("udf",))

@@ -104,3 +104,44 @@ def test_kmeans_cost_nonincreasing_long_run(spark, sf_dir):
         rows = km.recompute_centroids(assigned, 64)
         by_id = {r["cid"]: [r[f"s{i}"] / r["n"] for i in range(64)] for r in rows}
         cents = [(cid, by_id.get(cid, old)) for cid, old in cents]
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)), max_size=25
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges):
+    """Random small graphs: distributed min-label propagation must equal
+    a python union-find exactly (component id = min member)."""
+    from flink_kmeans_spark.operators.graph import connected_components
+
+    ids = list(range(20))
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)], "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in ids}
+
+    # max_iter ≥ worst-case diameter (19-node chain); early convergence
+    # break makes the extra ceiling free on typical graphs
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, pairs, id_col="id", max_iter=20).collect()
+    }
+    assert got == expected
