@@ -1399,6 +1399,35 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           BOOL_AND(l_quantity > 0) AS all_pos_qty,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregate family (count_if / bool_and /
+    bool_or / conditional sum) — all partial+final hash aggregates,
+    map-side-combinable like SUM."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_returned"),
+    )
+
+
 @register("agg_hll_sketch", tags=("agg", "sketch"))
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, the
