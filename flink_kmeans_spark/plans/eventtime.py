@@ -212,6 +212,26 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_static_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("streaming", "join", "events"),
+)
+def streaming_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join, oracled: the drained streaming
+    result must equal the batch join SQL exactly (streaming/jobs.py)."""
+    from ..streaming.jobs import streaming_static_join
+
+    return _drain(streaming_static_join(spark, sf_dir), "q_sjoin")
+
+
 @register("streaming_late_data", tags=("streaming",))
 def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP, observable end-to-end: two-file landing

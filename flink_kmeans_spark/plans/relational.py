@@ -1573,6 +1573,39 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last",
+    oracle="""
+    SELECT user_id, event_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_type,
+           NTH_VALUE(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window values (first/last/nth) — the session
+    entry/exit-event primitive. last_value needs the explicit
+    unbounded-following frame in BOTH engines (the default frame stops
+    at CURRENT ROW — a classic silent-wrong-answer trap); one
+    shuffle+sort serves all three."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
     "window_rank_variants",
     oracle="""
     SELECT o_orderpriority, o_orderkey,

@@ -123,6 +123,30 @@ def streaming_user_counter_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the unbounded event stream enriched against
+    a bounded dimension table — the canonical streaming-ETL shape
+    (facts arrive, dims sit in the lake). The static side broadcasts
+    per micro-batch; no streaming state is needed for the join itself
+    (unlike stream-stream joins, which buffer within the watermark).
+    The demo key maps user_id into the 25-row nation dim."""
+    from ..sources import load_table
+
+    ev = stream_events(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        ev.withColumn("nk", (F.col("user_id") % 25).cast("int"))
+        .join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def streaming_late_data_stream(spark: SparkSession) -> DataFrame:
     """Watermark LATE-DATA semantics, made observable: a two-file
     landing directory processed one file per micro-batch
