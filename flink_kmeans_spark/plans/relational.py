@@ -1711,6 +1711,47 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_nulls",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL
+                ELSE ROUND(c_acctbal, 2) END AS bal,
+           CAST(ROW_NUMBER() OVER
+                  (ORDER BY (CASE WHEN c_acctbal < 0 THEN NULL
+                             ELSE c_acctbal END) ASC NULLS LAST,
+                   c_custkey) AS INT) AS pos
+    FROM customer
+    QUALIFY pos <= 200
+    """,
+    tags=("sort", "null"),
+)
+def sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT null ordering — load-bearing because the engine
+    defaults DISAGREE (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST).
+    Any cross-engine pipeline sorting a nullable key must pin the
+    placement; this key pins ASC NULLS LAST on both sides and ranks
+    through it."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.round("c_acctbal", 2)
+    )
+    w = Window.orderBy(
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .asc_nulls_last(),
+        "c_custkey",
+    )
+    return (
+        c.select(
+            "c_custkey",
+            bal.alias("bal"),
+            F.row_number().over(w).cast("int").alias("pos"),
+        )
+        .filter(F.col("pos") <= 200)
+    )
+
+
+@register(
     "set_ops",
     oracle="""
     WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
