@@ -1400,6 +1400,55 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_format",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS brand_cell,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+           repeat('*', p_size % 5) AS stars,
+           reverse(p_name) AS name_rev
+    FROM part
+    WHERE p_partkey < 500
+    """,
+    tags=("scalar",),
+)
+def scalar_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family (lpad/rpad/translate/repeat/reverse) —
+    fixed-width keys, display cells, character remapping; all JVM-side
+    codegen expressions."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("brand_cell"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg",),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG). collect_list
+    order is partition-dependent, so determinism REQUIRES the explicit
+    array_sort before joining — same reason the oracle pins ORDER BY."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@register(
     "agg_conditional",
     oracle="""
     SELECT l_linestatus,
