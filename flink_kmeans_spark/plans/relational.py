@@ -1035,6 +1035,143 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q14",
+    oracle="""
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+                    / SUM(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one month of lineitem (pushed to
+    the scan) joined to part — part is the small side, so BROADCAST it
+    and the query runs shuffle-free: scan → broadcast-hash-join →
+    single partial+final conditional sum. At 100 TB the month filter
+    plus row-group skipping makes this scan-bound, not join-bound."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0)
+                )
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND p.p_size < 15
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue), adapted to the
+    synthetic schema (p_brand/p_size stand in for brand/container).
+    The correlated scalar subquery `l_quantity < 0.5*avg(l_quantity)
+    per partkey` is DECORRELATED by hand into an aggregate-then-join:
+    per-partkey averages computed once (one shuffle on l_partkey),
+    then joined back. Filtering the avg side to the selected parts
+    FIRST keeps the re-join small enough to broadcast at any scale —
+    the naive decorrelation aggregates all of lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    sel = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = (
+        l.join(
+            F.broadcast(p.select("p_partkey").withColumnRenamed("p_partkey", "ap")),
+            F.col("l_partkey") == F.col("ap"),
+        )
+        .groupBy("ap")
+        .agg((0.5 * F.avg("l_quantity")).alias("qty_limit"))
+    )
+    return (
+        sel.join(
+            F.broadcast(avg_q), F.col("l_partkey") == F.col("ap")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates),
+    adapted to the synthetic schema. The three OR-branches mix
+    join-key-independent predicates from BOTH sides; Catalyst extracts
+    the common single-side conjuncts (p_brand IN (...), p_size <= 30,
+    l_quantity <= 40) and pushes them below the join so each scan
+    prunes before the broadcast-hash-join, while the residual OR runs
+    as the join's post-condition — the textbook disjunction-pushdown
+    test."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
     "tpch_q4",
     oracle="""
     SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
