@@ -83,11 +83,21 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (dedup_minhash / ngram-jaccard input)."""
+    """Word n-gram shingle set (dedup_minhash / ngram-jaccard input).
+
+    Short-doc guard: a doc with fewer than n tokens has NO shingles.
+    The unguarded ``sequence(1, size-(n-1))`` form yields a DESCENDING
+    [1, 0] sequence when the upper bound hits 0, and ``slice(toks, 0, n)``
+    then throws INVALID_PARAMETER_VALUE.START — while the DuckDB oracle's
+    ``generate_series(1, 0)`` is silently empty (crash-vs-empty engine
+    divergence). The ``when`` guard makes both engines agree on empty."""
     toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
         )
     )

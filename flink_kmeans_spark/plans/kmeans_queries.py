@@ -96,11 +96,18 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kmeans_fit", tags=("kmeans",))
 def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 bulk iteration: full Lloyd's fit (k=10, 10 iterations, fixed
-    init). Returns the final centroids. Oracle: NumPy Lloyd's pytest
-    (centroids to 1e-6) — not SQL-expressible (iterative)."""
+    init). Returns the final centroids as EXPLODED scalar rows
+    (cid, dim_idx, value) — k×d rows of plain scalars, not a raw
+    array<double> column: the driver's pandas canonicalizer sorts/hashes
+    every column and cannot factorize list cells (round-1 ERR,
+    CORRECTNESS_r01.json). Values rounded to 6 dp per the registry float
+    discipline. Oracle: NumPy Lloyd's pytest (centroids to 1e-6) — the
+    iteration itself is not SQL-expressible."""
     e = load_table(spark, sf_dir, "embeddings")
     model = km.fit(e, k=K, n_iter=N_ITER)
-    return model.centroids_df(spark)
+    return model.centroids_df(spark).select(
+        "cid", F.posexplode("cvec").alias("dim_idx", "value")
+    ).select("cid", "dim_idx", F.round("value", 6).alias("value"))
 
 
 @register("kmeans_predict", tags=("kmeans",))

@@ -189,3 +189,28 @@ def test_tfidf_norms_positive_and_deterministic(spark, sf_dir):
     np.testing.assert_allclose(
         out["tfidf_norm"].to_numpy(), again["tfidf_norm"].to_numpy(), rtol=0
     )
+
+
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    # regression: docs with < n tokens used to hit sequence(1,0) -> [1,0]
+    # descending + slice(toks, 0, n) -> INVALID_PARAMETER_VALUE.START
+    from flink_kmeans_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "exactly three tokens"),
+         (4, "now four tokens here"), (5, "")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[5] == []
+    assert got[3] == ["exactly three tokens"]
+    assert len(got[4]) == 2
+    # and the dedup pipelines built on shingles survive short docs
+    pairs = DD.minhash_candidate_pairs(
+        df.withColumnRenamed("text", "text"), num_hashes=8, bands=4
+    )
+    pairs.collect()
+    DD.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
