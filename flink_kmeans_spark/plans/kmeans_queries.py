@@ -19,6 +19,70 @@ K = 10
 N_ITER = 10
 
 
+def _lloyd_ctes(k: int, n_iter: int) -> str:
+    """DuckDB CTE chain computing ``n_iter`` unrolled Lloyd's iterations
+    (the reference's bulk iteration, SURVEY §2A A8) — so the driver can
+    hash-verify the ITERATIVE flagship pipeline, not just one step.
+
+    Every CTE is ``AS MATERIALIZED``: each ``c{i}`` is referenced twice
+    (assignment + empty-cluster fallback), and DuckDB's default CTE
+    inlining would expand the chain 2^n_iter times (measured: >120 s vs
+    0.7 s materialized at sf0.01). Empty clusters keep their previous
+    centroid via the LEFT JOIN + COALESCE, matching operators/kmeans.py.
+    Float discipline: all arithmetic in DOUBLE; the per-dimension AVG
+    fold order differs from the engine's partition-partial sums only at
+    ~1e-15, invisible at the 6 dp hash rounding (verified bit-stable
+    across local[8]/local[32]/repartition(7) at sf0.01 and sf0.001)."""
+    parts = [
+        f"""pts AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, v, cid FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(p.v, c.cvec),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cid) AS rn
+        FROM pts p CROSS JOIN c{p} c) WHERE rn = 1),
+    m{i} AS MATERIALIZED (
+      SELECT cid, list(mv ORDER BY dimi) AS cvec FROM (
+        SELECT cid, dimi, AVG(val) AS mv FROM (
+          SELECT cid, UNNEST(v) AS val, generate_subscripts(v, 1) AS dimi
+          FROM a{i})
+        GROUP BY cid, dimi) GROUP BY cid),
+    c{i} AS MATERIALIZED (
+      SELECT prev.cid, COALESCE(m.cvec, prev.cvec) AS cvec
+      FROM c{p} prev LEFT JOIN m{i} m ON prev.cid = m.cid)"""
+        )
+    return ",\n    ".join(parts)
+
+
+_FIT_ORACLE = f"""WITH {_lloyd_ctes(K, N_ITER)}
+    SELECT cid, CAST(dimi - 1 AS INTEGER) AS dim_idx, ROUND(val, 6) AS value
+    FROM (SELECT cid, UNNEST(cvec) AS val, generate_subscripts(cvec, 1) AS dimi
+          FROM c{N_ITER})
+"""
+
+_PREDICT_ORACLE = f"""WITH {_lloyd_ctes(K, N_ITER)}
+    SELECT a.vec_id, a.cid, e.label FROM (
+      SELECT vec_id, cid FROM (
+        SELECT p.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(p.v, c.cvec),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cid) AS rn
+        FROM pts p CROSS JOIN c{N_ITER} c) WHERE rn = 1) a
+    JOIN embeddings e ON a.vec_id = e.vec_id
+"""
+
+
 @register(
     "kmeans_scan_points",
     oracle="""
@@ -93,7 +157,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.assign(e, cents).select("vec_id", "cid")
 
 
-@register("kmeans_fit", tags=("kmeans",))
+@register("kmeans_fit", oracle=_FIT_ORACLE, tags=("kmeans",))
 def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 bulk iteration: full Lloyd's fit (k=10, 10 iterations, fixed
     init). Returns the final centroids as EXPLODED scalar rows
@@ -101,8 +165,9 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<double> column: the driver's pandas canonicalizer sorts/hashes
     every column and cannot factorize list cells (round-1 ERR,
     CORRECTNESS_r01.json). Values rounded to 6 dp per the registry float
-    discipline. Oracle: NumPy Lloyd's pytest (centroids to 1e-6) — the
-    iteration itself is not SQL-expressible."""
+    discipline. Oracles: the NumPy Lloyd's pytest (centroids to 1e-6)
+    AND a full 10-iteration unrolled-CTE DuckDB replica (_lloyd_ctes) —
+    the flagship iterative pipeline is hash-verified end to end."""
     e = load_table(spark, sf_dir, "embeddings")
     model = km.fit(e, k=K, n_iter=N_ITER)
     return model.centroids_df(spark).select(
@@ -110,10 +175,12 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cid", "dim_idx", F.round("value", 6).alias("value"))
 
 
-@register("kmeans_predict", tags=("kmeans",))
+@register("kmeans_predict", oracle=_PREDICT_ORACLE, tags=("kmeans",))
 def kmeans_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 final assignment after fit → (point id, cluster id, truth label).
-    Oracle: NumPy assignments + ARI-vs-label pytest."""
+    Oracles: NumPy assignments + ARI-vs-label pytest, plus the unrolled
+    Lloyd's DuckDB replica (assignment under the iteration-10 centroids,
+    deterministic under the fixed first-k init)."""
     e = load_table(spark, sf_dir, "embeddings")
     model = km.fit(e, k=K, n_iter=N_ITER)
     return model.predict(e).select("vec_id", "cid", "label")
@@ -136,11 +203,28 @@ def kmeans_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", "label", F.size("embedding").alias("dim"))
 
 
-@register("kmeans_collection_source", tags=("kmeans", "scan"))
+@register(
+    "kmeans_collection_source",
+    oracle="""
+    WITH p AS (SELECT CAST(i AS BIGINT) AS vec_id,
+                      [CAST(i % 7 AS DOUBLE), CAST((3 * i) % 5 AS DOUBLE)] AS v
+               FROM generate_series(0, 39) t(i)),
+    c AS (SELECT * FROM (VALUES (0, [0.0, 0.0]), (1, [6.0, 4.0])) AS c(cid, cvec))
+    SELECT vec_id, cid FROM (
+      SELECT p.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(p.v, c.cvec),
+                 z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cid) AS rn
+      FROM p CROSS JOIN c) WHERE rn = 1
+    """,
+    tags=("kmeans", "scan"),
+)
 def kmeans_collection_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 embedded-collection fallback source (env.fromCollection): runs
     one assign step over engine-embedded default points, as the
-    reference does when no --points path is given."""
+    reference does when no --points path is given. The embedded
+    collection is pure arithmetic, so the oracle regenerates it with
+    generate_series + VALUES and replays the same argmin."""
     from ..sources.tables import from_collection
 
     points = [(i, [float(i % 7), float((3 * i) % 5)]) for i in range(40)]

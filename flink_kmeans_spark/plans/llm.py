@@ -497,12 +497,37 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- UDF surface
 
-@register("udf_surface", tags=("udf",))
+@register(
+    "udf_surface",
+    oracle="""
+    WITH expl AS (
+      SELECT label, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    m AS (SELECT label, i, AVG(CAST(v AS DOUBLE)) AS mv FROM expl GROUP BY label, i),
+    cn AS (SELECT label, sqrt(SUM(mv * mv)) AS centroid_norm,
+                  CAST(COUNT(*) AS INTEGER) AS mean_vec_dim
+           FROM m GROUP BY label),
+    base AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))) AS avg_norm
+      FROM embeddings GROUP BY label
+    )
+    SELECT b.label, b.n, ROUND(cn.centroid_norm, 6) AS centroid_norm,
+           cn.mean_vec_dim, ROUND(b.avg_norm, 6) AS avg_norm
+    FROM base b JOIN cn USING (label)
+    """,
+    tags=("udf",),
+)
 def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow extension-point sampler: per-label applyInPandas
     centroids joined with a grouped-agg pandas-UDF mean vector and the
-    scalar-UDF mean norm. Rows-only; pytest pins every value against
-    built-in equivalents."""
+    scalar-UDF mean norm. Every output is numerically a built-in
+    aggregate (mean / norm / count), so the DuckDB oracle recomputes
+    them relationally (unnest + avg + sqrt-of-sum) and the driver
+    hash-verifies the whole Python-UDF surface; pytest additionally
+    pins each UDF against its Spark built-in equivalent."""
     e = _emb(spark, sf_dir)
     ap = U.label_centroids_applyinpandas(e)
     ga = e.groupBy("label").agg(U.mean_vector_udaf()("embedding").alias("mean_vec"))
@@ -515,8 +540,8 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n",
-            "centroid_norm",
+            F.round("centroid_norm", 6).alias("centroid_norm"),
             F.size("mean_vec").alias("mean_vec_dim"),
-            "avg_norm",
+            F.round("avg_norm", 6).alias("avg_norm"),
         )
     )

@@ -1657,12 +1657,37 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile", tags=("agg",))
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (t-digest-style sketch) per group. Rows-only
-    (sketch results are engine-specific); pytest bounds it against the
-    exact percentile. The 100 TB answer to 'give me p95 latency' —
-    fixed-size sketch instead of a global sort."""
+    """Exact interpolated percentiles per group (``percentile`` ≡ ANSI
+    percentile_cont ≡ DuckDB quantile_cont — hash-verifiable, unlike the
+    sketch). The sketch path for 100 TB ('p95 latency without a global
+    sort') is the separate ``agg_percentile_approx`` key, whose
+    engine-specific t-digest output is bounded against these exact
+    values by pytest."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register("agg_percentile_approx", tags=("agg", "sketch"))
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (t-digest-style sketch) per group — the 100 TB
+    path: fixed-size mergeable sketch instead of a per-group sort.
+    Rows-only (sketch results are engine-specific); pytest bounds it
+    against the exact ``agg_percentile`` within 2%."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),

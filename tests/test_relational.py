@@ -41,21 +41,27 @@ def test_agg_approx_tolerance(spark, sf_oracle_dir):
 
 
 def test_agg_percentile_tolerance(spark, sf_oracle_dir):
-    """percentile_approx must bracket the exact percentile within 2%."""
+    """Exact percentile matches numpy; percentile_approx within 2%."""
     import numpy as np
 
     l = load_table(spark, sf_oracle_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     ).toPandas()
-    got = {
+    exact = {
         r["l_returnflag"]: r
         for r in specs()["agg_percentile"].fn(spark, sf_oracle_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in specs()["agg_percentile_approx"].fn(spark, sf_oracle_dir).collect()
     }
     for flag, grp in l.groupby("l_returnflag"):
         exact50 = np.percentile(grp["l_extendedprice"], 50)
         exact95 = np.percentile(grp["l_extendedprice"], 95)
-        assert abs(got[flag]["p50_approx"] - exact50) / exact50 < 0.02
-        assert abs(got[flag]["p95_approx"] - exact95) / exact95 < 0.02
+        assert abs(exact[flag]["p50"] - exact50) < 1e-3
+        assert abs(exact[flag]["p95"] - exact95) < 1e-3
+        assert abs(approx[flag]["p50_approx"] - exact50) / exact50 < 0.02
+        assert abs(approx[flag]["p95_approx"] - exact95) / exact95 < 0.02
 
 
 def test_asof_join_semantics(spark):
