@@ -36,8 +36,16 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
     "tpch_q18",
+    "tpch_q22",
+    "agg_percentile",
     "scan_events_ns",
     "sort_limit",
     "dedup_exact",
@@ -54,7 +62,11 @@ HEADLINE = [
     "kmeans_mllib",
 ]
 
-RUNS = 2
+# best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2
+# still pays residual JVM JIT on join-heavy plans (measured join_shuffle:
+# 4.1 s → 1.05 s → 0.80 s) — a long-lived cluster sits at the run-3
+# steady state, which is what BASELINE.md's warm numbers measure.
+RUNS = 3
 
 
 def main() -> None:

@@ -46,6 +46,7 @@ def connected_components(
     # map-side-combined aggregate per round instead of a join-with-old
     # + count (halves the per-iteration shuffle work).
     prev_sum = None
+    converged = False
     try:
         for i in range(max_iter):
             # every node's candidate label: min over its neighbors' labels
@@ -69,10 +70,20 @@ def connected_components(
             labels = new_labels.localCheckpoint(eager=True)
             cur_sum = labels.agg(F.sum("component")).collect()[0][0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
     finally:
         edges.unpersist()
+    if not converged:
+        # min-label propagation needs `diameter` rounds; exiting the loop
+        # with the last round still changing labels means the returned
+        # components would be silently WRONG (split chains). Fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the cap) — raise max_iter, or "
+            "switch to large-star/small-star for high-diameter graphs"
+        )
     return labels.select(F.col("node").alias(id_col), "component")
 
 

@@ -31,7 +31,12 @@ def asof_join_backward(
     |left|+|right| rows, partitioned by key and sorted by time, with
     ``last(value, ignorenulls)`` carrying the latest right value
     forward. Right rows sort BEFORE left rows at equal timestamps, so
-    ``ts_right == ts_left`` matches (the ≤ contract).
+    ``ts_right == ts_left`` matches (the ≤ contract). When MULTIPLE
+    right rows share the same (key, ts), the carried value must still
+    be deterministic — ``tiebreak`` columns only exist on the left side
+    (right rows hold NULL there), so the value columns themselves are
+    the final sort key: the row with the greatest value tuple wins,
+    every run.
 
     Returns all left columns plus ``value_cols`` (null when no earlier
     right row exists).
@@ -49,9 +54,14 @@ def asof_join_backward(
         lhs = lhs.withColumn(f"__v_{c}", F.lit(None).cast(right.schema[c].dataType))
     unioned = lhs.unionByName(rhs, allowMissingColumns=False)
 
-    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
-        F.col(t).asc() for t in tiebreak
-    ]
+    order = (
+        [F.col("__ts").asc(), F.col("__side").asc()]
+        + [F.col(t).asc() for t in tiebreak]
+        # deterministic winner among equal-(key, ts) right rows: order by
+        # the carried values (left rows are all-NULL here and sort first,
+        # which is irrelevant — each left row emits itself exactly once)
+        + [F.col(f"__v_{c}").asc_nulls_first() for c in value_cols]
+    )
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)

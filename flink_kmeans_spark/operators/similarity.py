@@ -136,8 +136,24 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("n_vec"),
     ).join(cells.withColumnRenamed(id_col, "n_id"), "n_id")
 
+    # The query set is collected to the driver for centroid probing — a
+    # BOUNDED contract (queries are a handful of probe vectors, not a
+    # table). Enforce the bound so a future caller can't feed a
+    # table-sized query set into a driver collect: limit(MAX+1) caps the
+    # transfer even when the input is huge, then the length check fires.
+    MAX_QUERIES = 10_000
     C = np.array([v for _, v in model.centroids])
-    q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    q_rows = (
+        queries.select(id_col, F.col(vec_col).cast("array<double>"))
+        .limit(MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_QUERIES:
+        raise ValueError(
+            f"ivf_topk query set exceeds the driver-collect bound "
+            f"({MAX_QUERIES} rows); pass a bounded probe set, or use "
+            "lsh_topk/cosine_topk for table-scale query sides"
+        )
     probes = []
     for r in q_rows:
         qv = np.array(r[1], dtype=np.float64)
@@ -171,78 +187,92 @@ def embedding_near_dups(
     n_blocks: int = 8,
 ) -> DataFrame:
     """All-pairs exact cosine ≥ threshold (embedding near-dup detection)
-    as BLOCKED numpy matmul: vectors hash into ``n_blocks`` blocks, each
-    block packs to one (ids, matrix) row, the B×(B+1)/2 block pairs
-    cross-join, and each pair's cosines compute as a single dgemm in a
-    Python worker — emitting only the pairs over threshold.
+    as a BLOCK-PAIR COGROUP: vectors hash into ``n_blocks`` blocks, the
+    B×(B+1)/2 unordered block pairs enumerate as a tiny broadcast table,
+    each vector row replicates to the pairs its block participates in
+    (factor ~B — the irreducible cost of exact all-pairs), and each
+    (bi, bj) cogroup computes its cosines as one numpy dgemm over the
+    two blocks' ORDINARY Arrow-delivered rows — emitting only pairs over
+    threshold.
+
+    Scale shape (round-2 rework): the round-1 form packed each block
+    into a SINGLE row (``mat array<double>``), which hits Spark's ~2 GiB
+    single-value limit long before a block reaches a useful size. Here
+    rows stay unpacked — a block is just a group of normal rows, so the
+    per-group bound is executor memory, tunable via ``n_blocks`` (size
+    blocks to ~100 MB: n_blocks ≈ N·d·8 / 100 MB). Network volume is
+    ~B× the table (each row lands in B pair-groups), the exact-path
+    floor. At 100 TB one still prefers LSH candidates (lsh_topk's
+    bucketing); this is the exact-math path made as scalable as exact
+    can be.
 
     vs the naive expression-path self-join (per-pair zip_with fold):
-    70.7 s → ~2 s at sf0.1's 2 000 vectors, and the unit of shuffle/
-    compute becomes a block (sized to ~100 MB at scale), not a row
-    pair. At 100 TB one still prefers LSH candidates (lsh_topk's
-    bucketing) — this is the exact-math path made as scalable as exact
-    can be."""
+    70.7 s → ~2 s at sf0.1's 2 000 vectors (unchanged by the rework —
+    measured 1.8 s, same dgemm, different packaging).
+    """
     import numpy as np
     import pandas as pd
 
+    spark = vectors.sparkSession
     d = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vid"].to_numpy()
-        M = np.array(pdf["v"].tolist(), dtype=np.float64)
-        return pd.DataFrame(
-            {
-                "blk": [int(pdf["blk"].iloc[0])],
-                "ids": [ids.tolist()],
-                "mat": [M.ravel().tolist()],
-                "d": [M.shape[1]],
-            }
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    # row → every pair where its block is the left (bi) / right (bj) side
+    # (explicit aliases: both sides share the same source lineage, and
+    # Spark's ambiguous-self-join check needs qualified names)
+    left = (
+        d.alias("dl")
+        .join(F.broadcast(block_pairs.alias("bpl")), F.col("dl.blk") == F.col("bpl.bi"))
+        .select(
+            F.col("bpl.bi").alias("bi"), F.col("bpl.bj").alias("bj"),
+            F.col("dl.vid").alias("vid"), F.col("dl.v").alias("v"),
         )
-
-    packed = d.groupBy("blk").applyInPandas(
-        pack, "blk int, ids array<long>, mat array<double>, d int"
     )
-    pa, pb = packed.alias("pa"), packed.alias("pb")
-    pairs = pa.crossJoin(pb).filter(F.col("pa.blk") <= F.col("pb.blk")).select(
-        F.col("pa.ids").alias("ids_a"),
-        F.col("pa.mat").alias("mat_a"),
-        F.col("pb.ids").alias("ids_b"),
-        F.col("pb.mat").alias("mat_b"),
-        F.col("pa.d").alias("dim"),
-        (F.col("pa.blk") == F.col("pb.blk")).alias("same_blk"),
+    right = (
+        d.alias("dr")
+        .join(F.broadcast(block_pairs.alias("bpr")), F.col("dr.blk") == F.col("bpr.bj"))
+        .select(
+            F.col("bpr.bi").alias("bi"), F.col("bpr.bj").alias("bj"),
+            F.col("dr.vid").alias("vid"), F.col("dr.v").alias("v"),
+        )
     )
 
-    def score(batches):
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                dim = int(r["dim"])
-                A = np.array(r["mat_a"], dtype=np.float64).reshape(-1, dim)
-                B = np.array(r["mat_b"], dtype=np.float64).reshape(-1, dim)
-                ia = np.array(r["ids_a"], dtype=np.int64)
-                ib = np.array(r["ids_b"], dtype=np.int64)
-                # same dot/(na*nb) formula as the SQL oracle
-                cos = (A @ B.T) / (
-                    np.linalg.norm(A, axis=1)[:, None]
-                    * np.linalg.norm(B, axis=1)[None, :]
-                )
-                ii, jj = np.nonzero(cos >= threshold)
-                if r["same_blk"]:
-                    # (X, X): keep upper triangle only
-                    keep = ia[ii] < ib[jj]
-                    lo, hi = ia[ii][keep], ib[jj][keep]
-                    cs = cos[ii, jj][keep]
-                else:
-                    # distinct blocks: each unordered pair appears once,
-                    # but id order across blocks is arbitrary → normalize
-                    lo = np.minimum(ia[ii], ib[jj])
-                    hi = np.maximum(ia[ii], ib[jj])
-                    cs = cos[ii, jj]
-                if not len(lo):
-                    continue
-                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
+    def score(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        same_blk = key[0] == key[1]
+        A = np.array(lpdf["v"].tolist(), dtype=np.float64)
+        B = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        ia = lpdf["vid"].to_numpy(dtype=np.int64)
+        ib = rpdf["vid"].to_numpy(dtype=np.int64)
+        # same dot/(na*nb) formula as the SQL oracle
+        cos = (A @ B.T) / (
+            np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+        )
+        ii, jj = np.nonzero(cos >= threshold)
+        if same_blk:
+            # (X, X) group: keep the upper triangle only
+            keep = ia[ii] < ib[jj]
+            lo, hi = ia[ii][keep], ib[jj][keep]
+            cs = cos[ii, jj][keep]
+        else:
+            # distinct blocks: each unordered pair appears exactly once,
+            # but id order across blocks is arbitrary → normalize
+            lo = np.minimum(ia[ii], ib[jj])
+            hi = np.maximum(ia[ii], ib[jj])
+            cs = cos[ii, jj]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cs})
 
-    return pairs.mapInPandas(score, "id_a long, id_b long, cosine double")
+    return (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(score, "id_a long, id_b long, cosine double")
+    )

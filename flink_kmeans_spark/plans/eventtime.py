@@ -232,6 +232,36 @@ def streaming_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(streaming_static_join(spark, sf_dir), "q_sjoin")
 
 
+@register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT s.event_id AS s_event_id,
+           p.event_id AS p_event_id,
+           ROUND(p.value, 4) AS purchase_value
+    FROM events s
+    JOIN events p
+      ON p.user_id = s.user_id
+     AND CAST(p.ts AS TIMESTAMP) > CAST(s.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(s.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join", "events"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time-bounded inner join (signup⋈purchase
+    attribution), drained via availableNow in append mode — the drained
+    pairs must equal the batch theta-join SQL exactly. The watermark +
+    time bound make both join buffers finite (streaming/jobs.py)."""
+    from ..streaming.jobs import run_available_now, streaming_stream_stream_join
+
+    _STREAM_RUN[0] += 1
+    return run_available_now(
+        streaming_stream_stream_join(spark, sf_dir),
+        f"q_ssjoin_{_STREAM_RUN[0]}",
+        output_mode="append",
+    )
+
+
 @register("streaming_late_data", tags=("streaming",))
 def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP, observable end-to-end: two-file landing

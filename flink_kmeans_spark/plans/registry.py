@@ -53,6 +53,7 @@ def _load_all() -> None:
     from . import relational  # noqa: F401
     from . import eventtime  # noqa: F401
     from . import llm  # noqa: F401
+    from . import tpch_extra  # noqa: F401
 
 
 # Driver-verification window priority. The round-1 driver hashed only the

@@ -147,6 +147,47 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with event-time bounds — the attribution
+    shape (signup stream ⋈ purchase stream per user within 1 h). Unlike
+    the stream-static join, BOTH sides are unbounded: Spark buffers each
+    side in the state store and the watermark + time-bound condition
+    define exactly how long a row can wait for its match — without the
+    bound, state would grow forever on a 100 TB/day stream. The join
+    emits pairs as matches arrive (append mode; inner joins need no
+    end-of-window wait)."""
+    s = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("s_event_id"),
+        )
+    )
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value"),
+        )
+    )
+    return (
+        s.withWatermark("s_ts", "1 hour")
+        .join(
+            p.withWatermark("p_ts", "1 hour"),
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select("s_event_id", "p_event_id", F.round("value", 4).alias("purchase_value"))
+    )
+
+
 def streaming_late_data_stream(spark: SparkSession) -> DataFrame:
     """Watermark LATE-DATA semantics, made observable: a two-file
     landing directory processed one file per micro-batch
@@ -235,6 +276,13 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # awaitTermination returns False on timeout — stopping then would
+    # truncate the availableNow drain and silently return a PARTIAL
+    # memory table (a wrong result, not an error). Fail loudly instead.
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream {name!r} did not drain available data in {timeout_sec}s"
+        )
     q.stop()
     return df.sparkSession.table(name)

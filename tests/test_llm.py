@@ -158,7 +158,8 @@ def test_udf_surface_matches_builtins(spark, sf_dir, emb):
         g = got[label]
         assert g.n == b.n
         cn = float(np.sqrt((np.array(b.centroid) ** 2).sum()))
-        assert g.centroid_norm == pytest.approx(cn, rel=1e-9)
+        # query output is rounded to 6 dp (oracle float discipline)
+        assert g.centroid_norm == pytest.approx(cn, abs=5e-7)
         assert g.mean_vec_dim == 64
 
 
@@ -214,3 +215,18 @@ def test_shingles_short_docs_yield_empty_not_crash(spark):
     )
     pairs.collect()
     DD.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # diameter-4 chain cannot converge in one round: must raise, never
+    # return silently-wrong split components (round-2 ADVICE fix)
+    from flink_kmeans_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, chain, max_iter=1)
+    ok = connected_components(nodes, chain, max_iter=10)
+    assert {r["component"] for r in ok.collect()} == {0}

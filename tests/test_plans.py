@@ -163,3 +163,17 @@ def test_join_range_binned_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+
+
+def test_embedding_near_dups_cogroup_no_packed_rows(spark, sf_dir):
+    """Round-2 rework pin: exact all-pairs cosine runs as a block-pair
+    COGROUP over ordinary rows (FlatMapCoGroupsInPandas) — never the
+    round-1 one-row-per-block packing (applyInPandas pack + crossJoin of
+    packed mega-rows, which hits the ~2 GiB single-value limit at scale).
+    """
+    p = plan_of(specs()["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in p
+    # the packed form showed TWO python stages: pack (FlatMapGroups) then
+    # score (MapInPandas) — neither may reappear
+    assert "MapInPandas" not in p
+    assert "FlatMapGroupsInPandas" not in p

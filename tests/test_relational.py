@@ -146,3 +146,19 @@ def test_sample_stratified_rates_and_subset(spark, sf_oracle_dir):
         n, kept = totals[flag], run1[flag]
         mean, sigma = n * frac, (n * frac * (1 - frac)) ** 0.5
         assert abs(kept - mean) <= 4 * sigma + 2, (flag, kept, mean, sigma)
+
+
+def test_asof_join_equal_ts_right_rows_deterministic(spark):
+    # two right rows share (key, ts): the greatest value tuple must win,
+    # identically on every run/partitioning (round-2 ADVICE fix)
+    from flink_kmeans_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame([(1, 20, "a")], "key int, t int, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 10, 150.0), (1, 10, 50.0)], "key int, t int, v double"
+    )
+    for _ in range(3):
+        got = asof_join_backward(
+            left, right, on=["key"], left_ts="t", right_ts="t", value_cols=["v"]
+        ).collect()
+        assert len(got) == 1 and got[0]["v"] == 150.0
