@@ -46,6 +46,7 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q22",
     "agg_percentile",
+    "agg_percentile_approx",
     "scan_events_ns",
     "sort_limit",
     "dedup_exact",

@@ -262,6 +262,146 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_rollup",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("eventtime", "events"),
+)
+def window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup tier: the HOURLY aggregate built FROM the
+    10-minute tier's partials (sum-of-sums / sum-of-counts), never from
+    raw events — the pre-aggregation reuse pattern that makes dashboard
+    hierarchies affordable at 100 TB (the fine tier is ~1/10⁴ the raw
+    rows; every coarser tier is a re-aggregation of the one below).
+    Partial sums stay UNROUNDED until the final tier (sum of rounded
+    partials drifts). Oracle computes the hourly tier directly — the
+    merge must be exact."""
+    e = load_table(spark, sf_dir, "events")
+    ten = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        ten.select(
+            F.unix_micros(F.date_trunc("hour", F.col("w.start"))).alias("h_start"),
+            "event_type",
+            "pn",
+            "pv",
+        )
+        .groupBy("h_start", "event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pv"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS sts FROM events
+               WHERE event_type = 'signup'),
+    conv AS (
+      SELECT DISTINCT s.user_id
+      FROM s JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND CAST(p.ts AS TIMESTAMP) > s.sts
+       AND CAST(p.ts AS TIMESTAMP) <= s.sts + INTERVAL 1 HOUR
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM s) AS BIGINT) AS n_signup_users,
+           CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+           ROUND(CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+                 / (SELECT COUNT(DISTINCT user_id) FROM s), 6) AS conversion
+    """,
+    tags=("eventtime", "join", "events"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (signup → purchase within 1 h): the converted
+    set is a LEFT-SEMI theta join (users counted once no matter how
+    many qualifying purchases — no pair blowup on hot users), then two
+    tiny scalar aggregates. At 100 TB both sides prune to
+    (user_id, ts, type) before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .agg(F.count_distinct(F.col("s_user")).alias("n_converted"))
+    )
+    signups = s.agg(F.count_distinct(F.col("s_user")).alias("n_signup_users"))
+    return (
+        signups.crossJoin(F.broadcast(converted))
+        .select(
+            "n_signup_users",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_signup_users"), 6
+            ).alias("conversion"),
+        )
+    )
+
+
+@register(
+    "streaming_kmeans_assign",
+    oracle="""
+    WITH pts AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+                 embedding AS cvec
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 10))
+    SELECT vec_id, cid FROM (
+      SELECT p.vec_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+               list_aggregate(list_transform(list_zip(p.embedding, c.cvec),
+                 z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])),
+                 'sum'),
+               c.cid) AS rn
+      FROM pts p CROSS JOIN c) WHERE rn = 1
+    """,
+    tags=("streaming", "kmeans"),
+)
+def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ML SCORING: the reference's A4 assign map applied to an
+    unbounded point stream with broadcast centroids — the model-serving
+    shape for continuous ingestion (score each point as it lands). The
+    assign is a stateless narrow map, so streaming output == batch
+    assign EXACTLY (same oracle as kmeans_assign); the centroid block
+    rides in as the same one-row broadcast the batch path uses."""
+    from ..operators import kmeans as km
+    from ..streaming.jobs import run_available_now
+
+    static = load_table(spark, sf_dir, "embeddings")
+    cents = km.init_centroids(static, 10)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = km.assign(stream, cents).select("vec_id", "cid")
+    _STREAM_RUN[0] += 1
+    return run_available_now(
+        assigned, f"q_skmeans_{_STREAM_RUN[0]}", output_mode="append"
+    )
+
+
 @register("streaming_late_data", tags=("streaming",))
 def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data DROP, observable end-to-end: two-file landing
