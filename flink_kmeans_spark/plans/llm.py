@@ -260,6 +260,101 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", norm.alias("tfidf_norm"))
 
 
+@register(
+    "text_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk,
+           CAST(len(toks[i * 40 + 1 : i * 40 + 50]) AS INTEGER) AS chunk_tokens
+    FROM t, LATERAL UNNEST(generate_series(0,
+             CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS u(i)
+    """,
+    tags=("text",),
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (50-token chunks,
+    stride 40) — the RAG / pretraining slicing primitive. One doc → N
+    chunk rows entirely inside codegen: chunk starts come from
+    ``sequence``, slices from ``slice``, so the explode ships no Python
+    and the chunk count per doc is ⌈max(n−50,0)/40⌉+1 (full coverage,
+    no degenerate tail chunk). At 100 TB this runs at scan speed — the
+    only cost above the scan is the output row count (~n/40 per doc)."""
+    d = _docs(spark, sf_dir)
+    n = F.size(F.col("toks"))
+    n_chunks = F.ceil(F.greatest(n - 50, F.lit(0)) / 40.0).cast("int")
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks),
+                    lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
+                )
+            ).alias("chunk_idx", "chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join("chunk_toks", " ").alias("chunk"),
+            F.size("chunk_toks").alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "text_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(shard AS INTEGER) AS shard, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin
+    FROM t
+    """,
+    tags=("text",),
+)
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING for pretraining batches: docs are packed into
+    ≤512-token bins by cumulative token offset (a doc's bin = its start
+    offset div 512), sharded so the packing window parallelizes —
+    exact greedy first-fit is inherently sequential, so the scalable
+    form is per-shard offset packing: deterministic, one window shuffle
+    on (shard), and bins straddle only at shard-local boundaries. The
+    100 TB plan is (shard → sort by doc_id → cumsum) with no global
+    ordering anywhere."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512).alias("bin"),
+    )
+
+
 # ---------------------------------------------------------------- dedup
 
 @register("dedup_minhash", tags=("dedup",))
