@@ -2015,3 +2015,53 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+           CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+           CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT)
+    FROM lineitem
+    """,
+    tags=("agg", "profile"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (min / max / null count / NDV per
+    column) computed in ONE pass: a single aggregate evaluates every
+    column's stats together, then ``stack`` unpivots the one result row
+    into per-column rows. The single-pass shape is the 100 TB point —
+    profiling N columns costs one scan, not N jobs (the oracle's UNION
+    ALL form is the N-scan shape DuckDB optimizes internally; Spark
+    would NOT, hence the explicit fused aggregate)."""
+    l = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.round(F.min(c), 4).alias(f"{c}_min"),
+            F.round(F.max(c), 4).alias(f"{c}_max"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nnull"),
+            F.countDistinct(c).alias(f"{c}_ndv"),
+        ]
+    one = l.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_min, {c}_max, {c}_nnull, {c}_ndv" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, min_v, max_v, n_null, ndv)"
+    )

@@ -145,3 +145,49 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(nodes, pairs, id_col="id", max_iter=20).collect()
     }
     assert got == expected
+
+
+def test_text_chunk_covers_every_token(spark, sf_dir):
+    """Chunking invariants: stride-40/size-50 chunks cover every token
+    position, chunk 0 starts at token 1, and concatenating the first 40
+    tokens of each chunk plus the last chunk's tail reconstructs the
+    doc exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.plans.registry import specs
+    from flink_kmeans_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    chunks = specs()["text_chunk"].fn(spark, sf_dir).toPandas()
+    by_doc = dict(tuple(chunks.groupby("doc_id")))
+    for _, row in docs.head(50).iterrows():
+        toks = row["text"].split(" ")
+        ch = by_doc[row["doc_id"]].sort_values("chunk_idx")
+        # coverage: total span reaches the last token
+        last = ch.iloc[-1]
+        assert last["chunk_idx"] * 40 + last["chunk_tokens"] == len(toks)
+        # reconstruction from strides
+        rebuilt = []
+        for _, c in ch.iterrows():
+            ctoks = c["chunk"].split(" ") if c["chunk"] else []
+            rebuilt.extend(ctoks[:40] if c["chunk_idx"] < len(ch) - 1 else ctoks)
+        assert rebuilt == toks, row["doc_id"]
+
+
+def test_text_pack_bins_monotone_and_complete(spark, sf_dir):
+    """Packing invariants: every doc appears exactly once, bins within a
+    shard are contiguous non-decreasing in doc_id order, and each bin's
+    START offset is below the next bin's."""
+    from flink_kmeans_spark.plans.registry import specs
+    from flink_kmeans_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    packed = specs()["text_pack"].fn(spark, sf_dir).toPandas()
+    assert len(packed) == n_docs and packed["doc_id"].is_unique
+    for shard, grp in packed.groupby("shard"):
+        g = grp.sort_values("doc_id")
+        bins = g["bin"].to_numpy()
+        assert (bins[1:] >= bins[:-1]).all()  # non-decreasing
+        # offset math: bin = floor(start_offset / 512)
+        starts = g["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
+        assert ((starts // 512) == bins).all()
