@@ -197,11 +197,19 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_dedup", tags=("streaming", "events"))
+@register(
+    "streaming_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "events"),
+)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the event stream (stateful
-    dedup with bounded state). Rows-only: dedup of an already-unique
-    key is checked as a no-op in tests/test_streaming.py."""
+    dedup with bounded state). event_id is unique in the corpus, so
+    stateful dedup must be an exact no-op — which makes the batch
+    identity SELECT a hash-verifiable oracle (plus the no-op pytest in
+    tests/test_streaming.py)."""
     from ..streaming.jobs import run_available_now, streaming_dedup_within_watermark
 
     _STREAM_RUN[0] += 1

@@ -568,24 +568,55 @@ def multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", tags=("multimodal",))
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(1 + ascii(text[1]) AS INTEGER) AS fake_width,
+           CAST(1 + ascii(text[length(text)]) AS INTEGER) AS fake_height,
+           list_aggregate(list_transform(generate_series(1, least(length(text), 64)),
+                                         i -> ascii(text[i])), 'sum') / 255.0
+             AS feature_norm
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode pipeline: documents → media table (binary
     payload + typed metadata) → Arrow-batched stub decode (see
-    operators/multimodal.py — kernel is stubbed, plumbing is real)."""
+    operators/multimodal.py — kernel is stubbed, plumbing is real).
+    The stub's fake features are deterministic byte arithmetic and the
+    corpus is ASCII (byte == char), so the DuckDB oracle replays them
+    with ascii()/length() — the driver hash-verifies the whole binary
+    → mapInPandas → typed-output path."""
     media = MM.to_media_table(_docs(spark, sf_dir))
     return MM.decode_media(media)
 
 
-@register("multimodal_framesample", tags=("multimodal",))
+@register(
+    "multimodal_framesample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(greatest(least((i + 1) * step, len) - i * step, 0) AS BIGINT)
+             AS frame_bytes
+    FROM (SELECT doc_id, length(text) AS len,
+                 greatest(length(text) // 3, 1) AS step
+          FROM documents),
+         LATERAL UNNEST(generate_series(0, 2)) AS u(i)
+    """,
+    tags=("multimodal",),
+)
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over the media table: one input row →
     N frame rows via mapInPandas (cardinality-changing Arrow UDTF —
     the pattern for frame extraction at 100 TB, where the decode
     kernel would run inside the same partition-local batch loop).
-    Kernel is the deterministic stub; plumbing, schema, and batch
-    shape are real. Rows-only; pytest pins cardinality and
-    determinism."""
+    Kernel is the deterministic stub (stride = n_bytes div 3); the
+    oracle replays the slice arithmetic, so the 1→N cardinality, frame
+    indices and byte counts are all hash-verified."""
     media = MM.to_media_table(_docs(spark, sf_dir))
     return MM.frame_sample(media, frames_per_doc=3)
 

@@ -266,12 +266,18 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join"),
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 (top supplier): the revenue "view" aggregates once and
-    is reused for both the max and the final filter — in Spark the
-    scalar MAX decorrelates to a broadcast one-row frame crossed onto
-    the view (no second scan of lineitem, no self-join shuffle).
+    """TPC-H Q15 (top supplier): the revenue "view" aggregates lineitem
+    ONCE; the scalar MAX is a window over the aggregated per-supplier
+    rows, so the plan has a SINGLE lineitem scan (pinned in
+    tests/test_plans.py). The windowed set is |suppliers| two-column
+    rows — post-aggregation, a single-partition pass over it is
+    microscopic next to a second fact scan, which is what the naive
+    subquery form costs (measured: Spark does NOT reuse the exchange
+    across the two references — 2 scans without this rewrite).
     Revenue is rounded to 2 dp BEFORE the equality compare on both
     engines (float-equality discipline)."""
+    from pyspark.sql.window import Window
+
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     revenue = (
@@ -286,9 +292,9 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    w = Window.partitionBy(F.lit(1))
     return (
-        revenue.crossJoin(F.broadcast(mx))
+        revenue.withColumn("mx", F.max("total_revenue").over(w))
         .filter(F.col("total_revenue") == F.col("mx"))
         .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")

@@ -177,3 +177,34 @@ def test_embedding_near_dups_cogroup_no_packed_rows(spark, sf_dir):
     # score (MapInPandas) — neither may reappear
     assert "MapInPandas" not in p
     assert "FlatMapGroupsInPandas" not in p
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    """The scalar-MAX-via-window rewrite must keep lineitem to ONE scan
+    (the naive two-reference form scans it twice — Spark does not reuse
+    the exchange)."""
+    p = plan_of(specs()["tpch_q15"].fn(spark, sf_dir))
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+
+
+def test_tpch_q7_q16_broadcast_no_cartesian(spark, sf_dir):
+    for key in ("tpch_q7", "tpch_q16"):
+        p = plan_of(specs()[key].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, key
+        assert "BroadcastHashJoin" in p, key
+    # q16's NOT IN exclusion must be an anti join, not a filter-after-join
+    p16 = plan_of(specs()["tpch_q16"].fn(spark, sf_dir))
+    assert "LeftAnti" in p16
+
+
+def test_text_chunk_and_pack_shapes(spark, sf_dir):
+    """Chunking is explode-only (no shuffle, no Python); packing is one
+    window shuffle on the shard key (never a global sort)."""
+    pc = plan_of(specs()["text_chunk"].fn(spark, sf_dir))
+    assert "Exchange" not in pc
+    assert "Generate" in pc  # posexplode
+    assert "InPandas" not in pc and "BatchEvalPython" not in pc
+    pp = plan_of(specs()["text_pack"].fn(spark, sf_dir))
+    assert pp.count("Exchange") == 1
+    assert "Sort" in pp and "rangepartitioning" not in pp
