@@ -2047,7 +2047,11 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     into per-column rows. The single-pass shape is the 100 TB point —
     profiling N columns costs one scan, not N jobs (the oracle's UNION
     ALL form is the N-scan shape DuckDB optimizes internally; Spark
-    would NOT, hence the explicit fused aggregate)."""
+    would NOT, hence the explicit fused aggregate). One caveat the plan
+    shows: N exact count-distincts in one aggregate EXPAND the input
+    ×N before the shuffle — at 100 TB swap them for
+    approx_count_distinct, which keeps the profile single-pass with no
+    expansion (exact NDV kept here for oracle hashability)."""
     l = _t(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = []
