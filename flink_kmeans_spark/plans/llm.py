@@ -624,6 +624,44 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- UDF surface
 
 @register(
+    "udtf_surface",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           toks[i] AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         LATERAL UNNEST(generate_series(1, least(len(toks), 5))) AS u(i)
+    """,
+    tags=("udf",),
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function API): one doc row → N word
+    rows via a LATERAL correlated table function — the user-extensible
+    1→N surface with true UDTF semantics (vs mapInPandas, which is
+    partition-stream-shaped). The kernel is deliberately trivial
+    (first-5-words split) so the DuckDB oracle replays it relationally
+    and the driver hash-verifies the whole UDTF path: registration,
+    lateral correlation, row expansion, typed output. Policy note:
+    row-based UDTFs are the SLOW path — everything expressible with
+    explode/codegen elsewhere in this repo uses built-ins (text_chunk
+    is the codegen twin of this shape)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, word string")
+    class SplitFirstWords:
+        def eval(self, doc_id, text: str):
+            for i, w in enumerate(text.split(" ")[:5]):
+                yield doc_id, i, w
+
+    spark.udtf.register("split_first_words", SplitFirstWords)
+    _docs(spark, sf_dir).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.pos, s.word "
+        "FROM __udtf_docs, LATERAL split_first_words(doc_id, text) s"
+    )
+
+
+@register(
     "udf_surface",
     oracle="""
     WITH expl AS (

@@ -2069,3 +2069,101 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col, min_v, max_v, n_null, ndv)"
     )
+
+
+@register(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderstatus
+    """,
+    tags=("scan", "sink"),
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink roundtrip: orders → ORC (the other columnar
+    lake format Spark reads natively) → schema'd read-back → aggregate.
+    ORC gets the same scan machinery as Parquet (column pruning,
+    predicate pushdown, vectorized reader), so format choice is a
+    storage decision, not a query-plan decision — the oracle runs on
+    the Parquet original and must hash-match the ORC roundtrip."""
+    out = _scratch_dir("scan_orc") + "/orders"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "sink_partition_prune",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY o_year, o_orderstatus
+    """,
+    tags=("scan", "sink"),
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED sink + partition-PRUNED read: orders
+    written partitionBy(o_year), read back with a year predicate — the
+    filter resolves against directory names (PartitionFilters in the
+    scan, pinned in tests/test_plans.py), so non-matching partitions
+    are never opened. THE table-layout decision at 100 TB: a
+    date-partitioned fact table turns every time-bounded query into a
+    fraction-of-the-lake scan."""
+    out = _scratch_dir("sink_ppr") + "/orders_by_year"
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_year").isin(1996, 1997))
+        .groupBy("o_year", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus", "n")
+    )
+
+
+_FRONTDOOR_SQL = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
+@register(
+    "sql_frontdoor",
+    oracle=_FRONTDOOR_SQL,
+    tags=("sql", "join"),
+)
+def sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API front door: the ORACLE STRING ITSELF runs on Spark —
+    tables registered as temp views, `spark.sql(<same ANSI text DuckDB
+    executes>)`. Proves dialect-portable SQL is a first-class entry
+    point (identical plans to the DataFrame API; Catalyst sees one
+    logical plan either way)."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_FRONTDOOR_SQL)

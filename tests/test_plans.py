@@ -208,3 +208,12 @@ def test_text_chunk_and_pack_shapes(spark, sf_dir):
     pp = plan_of(specs()["text_pack"].fn(spark, sf_dir))
     assert pp.count("Exchange") == 1
     assert "Sort" in pp and "rangepartitioning" not in pp
+
+
+def test_sink_partition_prune_reads_only_matching_partitions(spark, sf_dir):
+    """The year predicate must resolve as PartitionFilters on the
+    partitioned read-back — directory pruning, not row filtering."""
+    df = specs()["sink_partition_prune"].fn(spark, sf_dir)
+    p = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "o_year" in m.group(1), p[:1500]
