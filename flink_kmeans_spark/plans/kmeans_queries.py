@@ -186,6 +186,23 @@ def kmeans_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return model.predict(e).select("vec_id", "cid", "label")
 
 
+@register("kmeans_fit_converged", tags=("kmeans",))
+def kmeans_fit_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-terminated Lloyd's: stop when the max squared
+    centroid shift drops below tol — OUR documented extension beyond
+    the reference's fixed-iteration contract (SURVEY §4.3.1; the
+    canonical example always runs exactly n iterations). Rows-only:
+    the iteration count is data-dependent, so no unrolled SQL replica;
+    pytest (test_fit_tol_early_stop_matches_converged) pins that the
+    early-stopped model satisfies the shift-below-tol contract and
+    matches the fixed-iteration run once both have converged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    model = km.fit(e, k=K, n_iter=50, tol=1e-10)
+    return model.centroids_df(spark).select(
+        "cid", F.posexplode("cvec").alias("dim_idx", "value")
+    ).select("cid", "dim_idx", F.round("value", 6).alias("value"))
+
+
 @register("kmeans_mllib", tags=("kmeans", "mllib"))
 def kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 MLlib path (north-star mandated): ml.clustering.KMeans.

@@ -2167,3 +2167,57 @@ def sql_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_FRONTDOOR_SQL)
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+    SELECT 'post_filter' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem WHERE l_discount > 0.05
+    UNION ALL
+    SELECT 'output',
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           ROUND(SUM(sub.s), 2)
+    FROM (SELECT l_returnflag, SUM(l_extendedprice) AS s
+          FROM lineitem WHERE l_discount > 0.05
+          GROUP BY l_returnflag) sub
+    """,
+    tags=("agg", "profile"),
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline OBSERVABILITY via ``df.observe`` (the Observation API):
+    mid-pipeline metrics (row count + checksum after the filter)
+    piggyback on the query's own single pass — no second scan, no
+    accumulator races; the executor-side metric aggregation is exactly
+    how a production 100 TB pipeline audits stage row counts for free.
+    The observed metrics and the final aggregate both surface as rows,
+    hash-verified against a relational replay."""
+    from pyspark.sql import Observation
+
+    l = _t(spark, sf_dir, "lineitem")
+    obs = Observation("post_filter")
+    filtered = l.filter(F.col("l_discount") > 0.05).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    out = (
+        filtered.groupBy("l_returnflag")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .agg(
+            F.count_distinct("l_returnflag").cast("long").alias("n_rows"),
+            F.round(F.sum("s"), 2).alias("sum_price"),
+        )
+        .select(F.lit("output").alias("stage"), "n_rows", "sum_price")
+    )
+    # one action drives the pipeline AND materializes the observation
+    rows = out.collect()
+    m = obs.get
+    spark_rows = [("post_filter", int(m["n_rows"]), float(m["sum_price"]))] + [
+        (r["stage"], int(r["n_rows"]), float(r["sum_price"])) for r in rows
+    ]
+    return spark.createDataFrame(
+        spark_rows, "stage string, n_rows long, sum_price double"
+    )
