@@ -530,6 +530,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(e, q, k=5, n_clusters=16, nprobe=4)
 
 
+@register("sim_pq_topk", tags=("vector",))
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization approximate top-5 (operators/similarity.py
+    pq_topk): 64-d floats compress to 8 one-byte codes; queries score
+    the compressed corpus via ADC table lookups. Rows-only (codebooks
+    are seeded-sample k-means, not SQL-replicable); pytest pins recall
+    vs brute force."""
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(10)
+    return SIM.pq_topk(e, q, k=5)
+
+
 @register("sim_lsh_topk", tags=("vector", "mllib"))
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via BucketedRandomProjectionLSH over unit
