@@ -76,3 +76,55 @@ def asof_join_backward(
         F.col(f"__asof_{c}").alias(c) for c in value_cols
     ]
     return out.select(*keep)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (forward) join: for every left row, the right row with the
+    SMALLEST ``right_ts`` ≥ ``left_ts`` within the same keys (pandas
+    ``merge_asof(direction='forward')``). Same union+window shape as
+    :func:`asof_join_backward` mirrored: descending time order, right
+    rows sorting before left at equal timestamps so ``==`` matches, the
+    running ``last(ignorenulls)`` carrying the NEAREST LATER value
+    backward through event time. One shuffle of |left|+|right| rows —
+    the same no-pair-blowup scale argument as backward."""
+    on = list(on)
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs_cols = on + [F.col(right_ts).alias("__ts"), F.lit(0).alias("__side")] + [
+        F.col(c).alias(f"__v_{c}") for c in value_cols
+    ]
+    rhs = right.select(*rhs_cols)
+    for c in left.columns:
+        if c not in [f.name for f in rhs.schema.fields]:
+            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in value_cols:
+        lhs = lhs.withColumn(f"__v_{c}", F.lit(None).cast(right.schema[c].dataType))
+    unioned = lhs.unionByName(rhs, allowMissingColumns=False)
+
+    order = (
+        [F.col("__ts").desc(), F.col("__side").asc()]
+        + [F.col(t).asc() for t in tiebreak]
+        # same greatest-value-wins determinism rule as backward
+        + [F.col(f"__v_{c}").asc_nulls_first() for c in value_cols]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"__asof_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w)
+        )
+    out = unioned.filter(F.col("__side") == 1)
+    keep = [F.col(c) for c in left.columns] + [
+        F.col(f"__asof_{c}").alias(c) for c in value_cols
+    ]
+    return out.select(*keep)

@@ -707,6 +707,48 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS next_click_us,
+           ROUND(c.value, 4) AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "events"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (earliest click at-or-after each purchase, per
+    user) — completes the as-of family: backward carries history
+    forward, forward finds the next future match (the label-lookahead /
+    next-event-attribution shape). Same single-shuffle union+window
+    formulation, time-mirrored (operators/joins.py:asof_join_forward);
+    oracle is DuckDB's native forward ASOF (c.ts >= p.ts)."""
+    from ..operators.joins import asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join_forward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_ts", "click_value"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.unix_micros("click_ts").alias("next_click_us"),
+        F.round("click_value", 4).alias("next_click_value"),
+    )
+
+
+@register(
     "join_cross",
     oracle="""
     SELECT r.r_name, s.o_orderstatus

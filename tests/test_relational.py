@@ -162,3 +162,25 @@ def test_asof_join_equal_ts_right_rows_deterministic(spark):
             left, right, on=["key"], left_ts="t", right_ts="t", value_cols=["v"]
         ).collect()
         assert len(got) == 1 and got[0]["v"] == 150.0
+
+
+def test_asof_join_forward_semantics(spark):
+    """Forward direction: earliest right row with t >= left t."""
+    from flink_kmeans_spark.operators.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c"), (3, 5, "d")],
+        "key int, t int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 12, 990.0)],
+        "key int, t int, v double",
+    )
+    out = asof_join_forward(
+        left, right, on=["key"], left_ts="t", right_ts="t", value_cols=["v"]
+    )
+    got = {(r["key"], r["t"]): r["v"] for r in out.collect()}
+    assert got[(1, 10)] == 100.0  # equal ts matches (>=)
+    assert got[(1, 20)] is None  # no later right row
+    assert got[(2, 15)] is None  # right row is EARLIER -> no match
+    assert got[(3, 5)] is None  # key absent on right
