@@ -32,8 +32,11 @@ def _scratch_dir(name: str) -> str:
     import os
     import tempfile
 
+    from ..session import prune_scratch
+
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
     os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
     return tempfile.mkdtemp(prefix=f"{name}_", dir=base)
 
 

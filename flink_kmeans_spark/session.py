@@ -80,3 +80,24 @@ def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | No
     # explicit bench sizing wins over the RUNTIME_CONFS default
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return builder.getOrCreate()
+
+
+def prune_scratch(base: str, max_age_s: int = 7200) -> None:
+    """Best-effort GC for .scratch temp dirs (sinks, stream checkpoints):
+    every creation call prunes siblings older than ``max_age_s`` so
+    repeated gate/bench runs don't accumulate unbounded spill. Errors
+    are swallowed — a concurrent run may own a dir we try to delete."""
+    import shutil
+    import time
+
+    try:
+        cutoff = time.time() - max_age_s
+        for name in os.listdir(base):
+            p = os.path.join(base, name)
+            try:
+                if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    except OSError:
+        pass

@@ -266,7 +266,10 @@ def run_available_now(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
     )
+    from ..session import prune_scratch
+
     os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=base)
     q = (
         df.writeStream.format("memory")
