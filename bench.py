@@ -32,6 +32,7 @@ HEADLINE = [
     "window_tumbling",
     "join_asof",
     "join_theta_range",
+    "tpch_q1",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",

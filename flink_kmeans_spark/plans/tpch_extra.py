@@ -1,11 +1,14 @@
 """Round-2 TPC-H compositions (SURVEY.md §2B "TPC-H compositions").
 
-Q7/Q8/Q13/Q15 are expressible verbatim against the driver's synthetic
-schema; Q9/Q16/Q22 are ADAPTED (no partsupp table, no l_shipmode /
-c_phone / o_comment columns — see round-1 memory in SURVEY §2.0): the
-join/agg/subquery SHAPE of each query is preserved, the missing-column
-predicates are remapped onto existing columns. Every key carries a
-DuckDB oracle.
+With relational.py's Q3/Q4/Q5/Q6/Q10/Q14/Q17/Q18/Q19, this module
+completes 20 of the 22 TPC-H queries. Q1/Q7/Q8/Q13/Q15 are expressible
+verbatim against the driver's synthetic schema; Q2/Q9/Q11/Q16/Q20/Q22
+are ADAPTED (no partsupp table, no l_shipmode / c_phone / o_comment
+columns — see round-1 memory in SURVEY §2.0): the join/agg/subquery
+SHAPE of each query is preserved, the missing-column predicates are
+remapped onto existing columns. Q12/Q21 are NOT expressible (they are
+predicates over l_shipmode/l_commitdate/l_receiptdate, columns the
+synthetic lineitem lacks entirely). Every key carries a DuckDB oracle.
 
 Scale notes per query are in the docstrings — the recurring themes:
 dimension chains broadcast, fact joins shuffle once on their key,
@@ -446,4 +449,224 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
         )
+    )
+
+
+@register(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg", "bench"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 verbatim (pricing summary report) — the canonical
+    scan-dominated aggregate: one pruned scan, eight partial+final hash
+    aggregates over ~6 groups, one row per partition per group on the
+    wire. The agg_hash headline key is the abbreviated form; this is
+    the full spec column list."""
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH eligible AS (
+      SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size = 15 AND p.p_type = 'STANDARD'
+    ),
+    mn AS (SELECT l_partkey, MIN(s_acctbal) AS min_bal
+           FROM eligible GROUP BY l_partkey)
+    SELECT e.l_partkey AS p_partkey, e.s_suppkey, e.s_name, e.n_name,
+           ROUND(e.s_acctbal, 2) AS s_acctbal
+    FROM eligible e
+    JOIN mn ON e.l_partkey = mn.l_partkey AND e.s_acctbal = mn.min_bal
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), ADAPTED: no partsupp table →
+    lineitem is the part↔supplier bridge and min s_acctbal stands in
+    for min ps_supplycost. The signature shape survives: a correlated
+    MIN subquery decorrelated to aggregate-then-rejoin on the
+    correlation key. The equality join on the min uses STORED values
+    (no arithmetic), so float equality is engine-safe; ties keep all
+    minimal suppliers on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    sn = (
+        s.join(
+            F.broadcast(
+                n.join(r, n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+        .distinct()
+    )
+    mn = eligible.groupBy(F.col("l_partkey").alias("mn_part")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        eligible.join(
+            F.broadcast(mn),
+            (F.col("l_partkey") == F.col("mn_part"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+        )
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, val AS value
+    FROM v, (SELECT SUM(val) AS total, COUNT(*) AS np FROM v) t
+    WHERE ROUND(val, 2) > ROUND(2.0 * t.total / t.np, 2)
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), ADAPTED: no partsupp → "value" is
+    one nation's revenue per part instead of stock value, and the spec's
+    absolute fraction becomes 2× the MEAN share (the absolute 0.001
+    cutoff returns zero rows once the part count passes 1/0.001 —
+    scale-fragile; the relative form selects heavy parts at every sf).
+    The signature shape survives: an aggregate compared against a
+    scalar function of its own total. Like tpch_q15, the total is a
+    window over the aggregated rows — ONE lineitem scan, not the two
+    the self-referencing subquery form costs."""
+    from pyspark.sql.window import Window
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    v = (
+        l.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    return (
+        v.withColumn("total", F.sum("val").over(w))
+        .withColumn("np", F.count(F.lit(1)).over(w))
+        # both comparison sides round to 2 dp: the sums differ across
+        # engines at ~1e-15 relative, and an unrounded > flips parts
+        # sitting exactly on the threshold (seen at sf0.1). The OUTPUT
+        # value stays raw — a part's revenue landed exactly on a .xx5
+        # 2 dp boundary where Spark and DuckDB ROUND disagree; the
+        # harness's 6 dp rounding is boundary-safe at this magnitude
+        # (registry float discipline).
+        .filter(F.round("val", 2) > F.round(2.0 * F.col("total") / F.col("np"), 2))
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("val").alias("value"))
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
+    WHERE n.n_name = 'NATION_2' AND sh.qty > 50
+    """,
+    tags=("tpch", "join"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-stock suppliers), ADAPTED: no partsupp →
+    "suppliers holding excess red stock" becomes "NATION_2 suppliers
+    who shipped >50 units of red parts in 1997". The nested-IN
+    signature becomes what the optimizer would make of it anyway: an
+    aggregate-then-join chain with the part filter broadcast into the
+    fact scan. qty sums are integral doubles, so the >50 threshold is
+    float-exact on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        s.join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
     )
