@@ -355,6 +355,110 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                        AS BIGINT) % 100 AS h
+            FROM documents)
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id
+    FROM s GROUP BY split
+    """,
+    tags=("text", "sampling"),
+)
+def data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by CONTENT-STABLE
+    hash — md5(doc_id) mod 100, identical in every engine and on every
+    run, so a document's split never changes as the corpus grows (the
+    property row-number or random splits lack; md5 rather than
+    xxhash64 because the oracle must replay it). A pure narrow map at
+    100 TB: no shuffle until the audit count."""
+    d = _docs(spark, sf_dir)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+        )
+    )
+
+
+@register(
+    "split_contamination",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- synthesized leak: 10 lowest-id docs cloned into new eval ids
+      -- (the raw corpus has no byte-exact dups — without the clones the
+      -- check would pass vacuously on an empty result)
+      SELECT doc_id + 1000000, text
+      FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 10)
+    ),
+    s AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN doc_id < 1000000
+                       AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                                AS BIGINT) % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM base
+    )
+    SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc
+    FROM s a JOIN s b ON a.fp = b.fp
+    WHERE a.split = 'train' AND b.split = 'eval'
+    """,
+    tags=("text", "dedup"),
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval CONTAMINATION check: exact-text collisions across the
+    split boundary (the pre-training hygiene gate — eval answers leaking
+    into train). Docs join on md5(text) fingerprints, never on raw text
+    — at 100 TB the shuffle carries 16-byte digests, and the join is an
+    ordinary hash join on the digest. The raw corpus is clean (no
+    byte-exact dups), so 10 cloned docs are unioned into the eval side
+    to prove detection fires; near-dup contamination is the composition
+    dedup_minhash ∘ data_split."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = (
+        d.orderBy("doc_id")
+        .limit(10)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    base = d.unionByName(clones)
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    s = base.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.when((F.col("doc_id") < 1_000_000) & (h < 80), "train")
+        .otherwise("eval")
+        .alias("split"),
+    )
+    a = s.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    b = s.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), "fp"
+    )
+    return a.join(b, "fp").select("train_doc", "eval_doc")
+
+
 # ---------------------------------------------------------------- dedup
 
 @register("dedup_minhash", tags=("dedup",))
