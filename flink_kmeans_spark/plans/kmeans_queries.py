@@ -197,7 +197,7 @@ def kmeans_fit_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     early-stopped model satisfies the shift-below-tol contract and
     matches the fixed-iteration run once both have converged."""
     e = load_table(spark, sf_dir, "embeddings")
-    model = km.fit(e, k=K, n_iter=50, tol=1e-10)
+    model = km.fit(e, k=K, n_iter=30, tol=1e-6)
     return model.centroids_df(spark).select(
         "cid", F.posexplode("cvec").alias("dim_idx", "value")
     ).select("cid", "dim_idx", F.round("value", 6).alias("value"))
