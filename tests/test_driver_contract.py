@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 spark = SparkSession.builder.master("local[4]").appName("contract").getOrCreate()
 import __spark_entry__ as E
 q = E.queries()
-for key in ["multimodal_decode", "udf_surface", "kmeans_fit", "dedup_embedding_cosine"]:
+for key in ["multimodal_decode", "udf_surface", "kmeans_fit", "dedup_embedding_cosine", "sim_pq_topk", "udtf_surface"]:
     n = q[key](spark, "/root/testdata/sf0.001").count()
     assert n > 0, key
 print("CONTRACT_OK", flush=True)

@@ -184,3 +184,14 @@ def test_asof_join_forward_semantics(spark):
     assert got[(1, 20)] is None  # no later right row
     assert got[(2, 15)] is None  # right row is EARLIER -> no match
     assert got[(3, 5)] is None  # key absent on right
+
+
+def test_bad_sf_dir_raises_clean_analysis_error(spark):
+    """A wrong data dir must surface as a clean PATH_NOT_FOUND analysis
+    error at action time — not a worker crash or a silent empty frame."""
+    from pyspark.errors import AnalysisException
+
+    from flink_kmeans_spark.plans.registry import specs
+
+    with pytest.raises(AnalysisException):
+        specs()["scan_parquet"].fn(spark, "/root/testdata/sf_nope").collect()
