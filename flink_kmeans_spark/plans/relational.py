@@ -2287,3 +2287,37 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark_rows, "stage string, n_rows long, sum_price double"
     )
+
+
+@register(
+    "scalar_complex",
+    oracle="""
+    SELECT event_id,
+           CAST(1 AS INTEGER) AS n_keys,
+           CAST(props->>'k' AS BIGINT) AS k_val,
+           CAST(props->>'k' AS BIGINT) * 2 AS doubled,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS tagged
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def scalar_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type construction surface: JSON → MapType
+    (from_json map<string,bigint>), map_keys/element_at lookups, and a
+    struct built then field-accessed — all INSIDE the projection, with
+    only scalar columns surfaced (complex cells never cross the result
+    boundary: the driver's pandas canonicalizer cannot hash them, and
+    at 100 TB complex values are intermediate shapes, not outputs).
+    All codegen'd; the map/struct ops add zero shuffles."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    st = F.struct(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    )
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(F.transform_values(m, lambda _, v: v * 2), "k").alias("doubled"),
+        F.concat(st["t"], F.lit(":"), st["u"].cast("string")).alias("tagged"),
+    )
