@@ -1731,6 +1731,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy(key)
     d = (
         l.select(key, col)
+        # percentile_cont semantics ignore NULLs; without this filter a
+        # null value would occupy rank 0 and shift every interpolation
+        .filter(F.col(col).isNotNull())
         .withColumn("rn", F.row_number().over(w) - 1)
         .withColumn("n", F.count(F.lit(1)).over(wc))
     )

@@ -191,3 +191,91 @@ def test_text_pack_bins_monotone_and_complete(spark, sf_dir):
         # offset math: bin = floor(start_offset / 512)
         starts = g["n_tokens"].cumsum().shift(fill_value=0).to_numpy()
         assert ((starts // 512) == bins).all()
+
+
+def test_sort_based_percentile_random_data_with_nulls(spark):
+    """Differential test vs numpy on random grouped data INCLUDING
+    nulls: the rank-window interpolation must equal np.percentile over
+    the non-null values of each group (percentile_cont ignores nulls)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = []
+    for g in "abc":
+        for _ in range(rng.randint(30, 80)):
+            v = None if rng.random() < 0.15 else round(rng.uniform(0, 1000), 3)
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    w = Window.partitionBy("g").orderBy("v")
+    wc = Window.partitionBy("g")
+    d = (
+        df.filter(F.col("v").isNotNull())
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    aggs = []
+    for p, name in ((0.5, "p50"), (0.95, "p95")):
+        pos = (F.col("n") - 1) * F.lit(p)
+        lower = F.floor(pos)
+        frac = pos - lower
+        wgt = (
+            F.when(F.col("rn") == lower, 1.0 - frac)
+            .when(F.col("rn") == lower + 1, frac)
+            .otherwise(0.0)
+        )
+        aggs.append(F.sum(F.col("v") * wgt).alias(name))
+    got = {r["g"]: r for r in d.groupBy("g").agg(*aggs).collect()}
+
+    for g in "abc":
+        vals = np.array([v for gg, v in rows if gg == g and v is not None])
+        assert abs(got[g]["p50"] - np.percentile(vals, 50)) < 1e-9
+        assert abs(got[g]["p95"] - np.percentile(vals, 95)) < 1e-9
+
+
+def test_asof_joins_match_pandas_merge_asof_random(spark):
+    """Differential test: both as-of directions vs pandas merge_asof on
+    random keyed event data (unique timestamps per key — merge_asof
+    breaks equal-ts ties differently by construction)."""
+    import random
+
+    import pandas as pd
+
+    from flink_kmeans_spark.operators.joins import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    rng = random.Random(11)
+    lts = {(k, t) for k in range(5) for t in rng.sample(range(1000), 40)}
+    rts_pool = {(k, t) for k in range(5) for t in rng.sample(range(1000), 30)}
+    left_pd = pd.DataFrame(sorted(lts), columns=["key", "t"])
+    right_pd = pd.DataFrame(sorted(rts_pool), columns=["key", "t"])
+    right_pd["v"] = [round(rng.uniform(0, 100), 3) for _ in range(len(right_pd))]
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction, fn in (("backward", asof_join_backward), ("forward", asof_join_forward)):
+        got = (
+            fn(left, right, on=["key"], left_ts="t", right_ts="t", value_cols=["v"])
+            .toPandas()
+            .sort_values(["key", "t"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            pd.merge_asof(
+                left_pd.sort_values("t"),
+                right_pd.sort_values("t"),
+                on="t",
+                by="key",
+                direction=direction,
+            )
+            .sort_values(["key", "t"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
