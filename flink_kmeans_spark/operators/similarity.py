@@ -424,3 +424,40 @@ def embedding_near_dups(
         .cogroup(right.groupBy("bi", "bj"))
         .applyInPandas(score, "id_a long, id_b long, cosine double")
     )
+
+
+def cosine_radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine RANGE retrieval: every corpus row whose similarity to
+    a query is ≥ ``threshold`` (the radius-search sibling of
+    :func:`cosine_topk_bruteforce`).
+
+    Same scale shape as top-k brute force: queries broadcast, the corpus
+    is scored map-side inside its own scan stage, and — unlike top-k —
+    no window at all: the threshold filter runs in the same projection,
+    so matching rows are the ONLY thing that ever leaves the scan. At
+    100 TB this is a single corpus pass with zero shuffles.
+
+    The threshold compares against the 6-dp ROUNDED score (and the
+    rounded score is what's returned): Spark and DuckDB sum float
+    products in different orders, and an unrounded boundary comparison
+    can flip rows between engines (registry float discipline).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
+    )
+    score = F.round(cosine_sim(F.col("q_vec"), F.col("n_vec")), 6)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,269 @@
+"""Round-2 extended analytics surface (SURVEY.md §2B).
+
+Operators a production analytics/training-data pipeline runs beyond the
+core relational set: arbitrary GROUPING SETS, deterministic per-group
+mode, a data-quality audit report (null / PK-dup / FK-orphan / domain
+checks), and cohort retention over event time.
+
+Scale notes (100 TB discipline):
+- every key is a constant number of scans + hash aggregates — no
+  driver-side loops, no collects;
+- FK-orphan checks are LEFT ANTI joins (broadcast when the PK side is a
+  dim; shuffle-hash otherwise) — never ``NOT IN`` subqueries that
+  degenerate to nested loops;
+- GROUPING SETS compiles to one Expand + single hash aggregate (same
+  shape as rollup/cube — one pass over the fact table regardless of the
+  number of sets);
+- retention is two hash aggregates over (user, day) — the distinct
+  collapses event-grain to user-day-grain BEFORE the join with the
+  cohort map, so the join input is bounded by |users| × |days|, not by
+  raw event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, '<all>') AS seg,
+           COALESCE(o_orderpriority, '<all>') AS pri,
+           CAST(GROUPING_ID(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                            (c_mktsegment), (o_orderpriority), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not just rollup/cube prefixes): the
+    four sets compile to ONE Expand + one hash aggregate over a single
+    orders scan — the multi-granularity report pattern without a
+    UNION ALL of separate GROUP BYs. Customer is broadcast (dim-sized);
+    the only shuffle is the final aggregate exchange."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupingSets(
+            [
+                [F.col("c_mktsegment"), F.col("o_orderpriority")],
+                [F.col("c_mktsegment")],
+                [F.col("o_orderpriority")],
+                [],
+            ],
+            F.col("c_mktsegment"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("seg"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("pri"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT seg, pri, cnt,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY cnt DESC, pri ASC) AS rn
+      FROM c
+    )
+    SELECT seg, pri AS mode_pri, cnt AS mode_cnt FROM r WHERE rn = 1
+    """,
+    tags=("agg",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: count per (group, value), then
+    row_number ordered by (count DESC, value ASC) — the explicit
+    tiebreak makes the result reproducible across engines and runs
+    (a bare ``mode()`` aggregate is engine-defined on ties). Two hash
+    aggregates + one tiny window over |groups × distinct values| rows;
+    the window input is already aggregate-sized, not data-sized."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    counts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("seg").orderBy(F.col("cnt").desc(), F.col("pri").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("seg", F.col("pri").alias("mode_pri"), F.col("cnt").alias("mode_cnt"))
+    )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'customer_pk_dup' AS check_name,
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS violations
+    FROM (SELECT c_custkey, COUNT(*) AS cnt FROM customer
+          GROUP BY 1 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_fk_orphan',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_nonpositive',
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_fk_orphan',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_price_negative',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+    FROM orders
+    """,
+    tags=("agg", "quality"),
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-report data-quality audit: PK uniqueness, FK referential
+    integrity, null-key and domain checks, one row per check.
+
+    Shapes: PK-dup = hash agg + HAVING; FK orphans = LEFT ANTI join
+    with the PK side broadcast when dim-sized (customer, orders-keys);
+    domain/null checks = conditional counts fused into ONE scan per
+    table via count_if. At 100 TB each check stays a single
+    partial+final aggregate; nothing is collected until the six
+    one-row results union."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+
+    pk_dup = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .agg(
+            F.lit("customer_pk_dup").alias("check_name"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("violations"),
+        )
+    )
+    li_orphan = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(
+            F.lit("lineitem_fk_orphan").alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    li_domain = l.agg(
+        F.lit("lineitem_qty_nonpositive").alias("check_name"),
+        F.count_if(F.col("l_quantity") <= 0).alias("violations"),
+    )
+    o_orphan = (
+        # NULL FKs are reported by orders_null_custkey, not as orphans
+        o.where(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(
+            F.lit("orders_fk_orphan").alias("check_name"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    o_scan = o.agg(
+        F.lit("orders_null_custkey").alias("check_name"),
+        F.count_if(F.col("o_custkey").isNull()).alias("violations"),
+    )
+    o_neg = o.agg(
+        F.lit("orders_price_negative").alias("check_name"),
+        F.count_if(F.col("o_totalprice") < 0).alias("violations"),
+    )
+    return pk_dup.unionByName(li_orphan).unionByName(li_domain).unionByName(
+        o_orphan
+    ).unionByName(o_scan).unionByName(o_neg)
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1
+    ), sizes AS (
+      SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      FROM cohort GROUP BY 1
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', c.cohort_day, ud.day) AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active,
+           ROUND(COUNT(DISTINCT ud.user_id) * 1.0 / ANY_VALUE(s.cohort_n), 6)
+             AS retention
+    FROM ud JOIN cohort c USING (user_id)
+            JOIN sizes s ON s.cohort_day = c.cohort_day
+    GROUP BY 1, 2
+    """,
+    tags=("eventtime", "events"),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: cohort = each user's first active day,
+    cell (cohort_day, day_offset) = distinct users from that cohort
+    active that many days later, plus the retained fraction.
+
+    Scale shape: the event stream collapses to DISTINCT (user, day)
+    FIRST (one hash aggregate — at 100 TB this is the big reduction,
+    |users|×|days| ≪ |events|), the cohort map is a second aggregate
+    over users, and the final join shuffles only user-day-grain rows on
+    user_id. Cohort sizes are a tiny aggregate joined broadcast."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
+    return (
+        ud.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.round(
+                F.count_distinct("user_id") / F.any_value("cohort_n"), 6
+            ).alias("retention"),
+        )
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            "retention",
+        )
+    )

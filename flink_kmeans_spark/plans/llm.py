@@ -825,3 +825,136 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("avg_norm", 6).alias("avg_norm"),
         )
     )
+
+
+# ------------------------------------------- round-2 late text/sim adds
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id, ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_bigram_frac
+      FROM c GROUP BY 1
+    )
+    SELECT t.doc_id,
+           ROUND(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+             AS dup_token_frac,
+           COALESCE(m.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM t LEFT JOIN m USING (doc_id)
+    """,
+    tags=("text",),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-doc duplicate-token
+    fraction (1 − distinct/total, pure map-side array math) and
+    top-bigram fraction (most frequent bigram / total bigrams —
+    the boilerplate/spam tell).
+
+    Scale shape: dup_token_frac never leaves the scan projection; the
+    bigram mode needs true per-(doc, bigram) counts, so bigrams are
+    built map-side with the zip_with shifted-slice idiom (no self-join)
+    and aggregated twice on doc-prefixed keys — both shuffles are on
+    high-cardinality uniform keys. Docs with <2 tokens surface 0.0
+    (LEFT JOIN + coalesce), matching the oracle's empty generate_series."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    base = t.select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("dup_token_frac"),
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    frac = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"))
+    )
+    return base.join(frac, "doc_id", "left").select(
+        "doc_id",
+        "dup_token_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+      FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+      WHERE len(toks) >= 3
+    )
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1 HAVING COUNT(*) >= 4
+    """,
+    tags=("text",),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: 3-gram shingles appearing in
+    ≥4 DISTINCT documents — the candidate list a training pipeline
+    strips as template/boilerplate text before dedup.
+
+    Scale shape: shingles are built map-side (functions/text.py
+    shingles(), already per-doc DISTINCT — so the document-frequency
+    count needs no count_distinct state, just COUNT(*) after one
+    explode+hash-agg on the shingle key). At 100 TB this is the same
+    plan as a word-count: uniform high-cardinality keys, partial
+    aggregation map-side, one shuffle."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(TX.shingles(F.col("text"), n=3)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 4)
+    )
+
+
+@register(
+    "sim_range_search",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           ROUND(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                               p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                 / (q.nrm * c.nrm), 6) AS cosine
+    FROM n q JOIN n c ON q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+    WHERE ROUND(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                              p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                / (q.nrm * c.nrm), 6) >= 0.35
+    """,
+    tags=("vector",),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (radius retrieval): all corpus vectors with
+    similarity ≥ 0.35 of each query (every 25th vec_id — a bounded,
+    broadcastable query set). Threshold 0.35 because this synthetic
+    corpus has no true near-dups (max pairwise cosine ≈ 0.51); range
+    semantics are what matter. Unlike top-k there is NO window: the
+    threshold filter runs inside the corpus scan projection
+    (operators/similarity.py cosine_radius_search), zero shuffles."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return SIM.cosine_radius_search(e, q, threshold=0.35)

@@ -1,0 +1,170 @@
+"""Semantic tests for the extended analytics surface
+(plans/analytics.py + the late text/similarity additions in plans/llm.py).
+
+Each test recomputes the operator's semantics independently (pandas /
+numpy / pure Python) rather than trusting the SQL oracle alone — the
+oracle gate proves Spark==DuckDB; these prove both equal the intended
+math. The data-quality test additionally builds a CORRUPTED copy of the
+tables to prove the checks actually fire (a clean-data-only test would
+pass with `SELECT 0`)."""
+
+import collections
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from flink_kmeans_spark.plans import registry
+
+
+def _q(name):
+    registry._load_all()
+    return registry._SPECS[name].fn
+
+
+def test_agg_mode_matches_pandas_with_deterministic_tiebreak(spark, sf_dir):
+    got = {
+        r["seg"]: (r["mode_pri"], r["mode_cnt"])
+        for r in _q("agg_mode")(spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    for seg, grp in j.groupby("c_mktsegment"):
+        cnt = grp.groupby("o_orderpriority").size()
+        # tiebreak: count DESC then value ASC
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[seg] == (best[0], best[1])
+
+
+def test_agg_grouping_sets_totals_are_consistent(spark, sf_dir):
+    rows = _q("agg_grouping_sets")(spark, sf_dir).collect()
+    by_gid = collections.defaultdict(list)
+    for r in rows:
+        by_gid[r["gid"]].append(r)
+    # four grouping sets present, and each set's n_orders sums to the
+    # grand total (every order lands in exactly one cell per set)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3][0]["n_orders"]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r["n_orders"] for r in by_gid[gid]) == grand
+
+
+def test_data_quality_checks_clean_then_corrupted(spark, sf_dir, tmp_path):
+    clean = {
+        r["check_name"]: r["violations"]
+        for r in _q("data_quality_checks")(spark, sf_dir).collect()
+    }
+    assert len(clean) == 6
+    assert all(v == 0 for v in clean.values()), clean
+
+    # corrupt a copy: dup customer PK, orphan order, orphan lineitem,
+    # null custkey, negative price, nonpositive quantity
+    d = tmp_path / "bad"
+    d.mkdir()
+    for t in ("region", "nation", "supplier", "part", "events",
+              "documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    l = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pd.concat([c, c.iloc[[0]]]).to_parquet(d / "customer.parquet", index=False)
+    bad_o = o.iloc[[0, 1, 2]].copy()
+    bad_o["o_orderkey"] = [10_000_001, 10_000_002, 10_000_003]
+    bad_o.loc[bad_o.index[0], "o_custkey"] = 99_999_999  # orphan FK
+    bad_o.loc[bad_o.index[1], "o_custkey"] = None  # null key
+    bad_o.loc[bad_o.index[2], "o_totalprice"] = -5.0
+    pd.concat([o, bad_o]).to_parquet(d / "orders.parquet", index=False)
+    bad_l = l.iloc[[0, 1]].copy()
+    bad_l.loc[bad_l.index[0], "l_orderkey"] = 88_888_888  # orphan FK
+    bad_l.loc[bad_l.index[1], "l_quantity"] = 0.0
+    pd.concat([l, bad_l]).to_parquet(d / "lineitem.parquet", index=False)
+
+    bad = {
+        r["check_name"]: r["violations"]
+        for r in _q("data_quality_checks")(spark, str(d)).collect()
+    }
+    assert bad == {
+        "customer_pk_dup": 1,
+        "orders_fk_orphan": 1,
+        "orders_null_custkey": 1,
+        "orders_price_negative": 1,
+        "lineitem_fk_orphan": 1,
+        "lineitem_qty_nonpositive": 1,
+    }
+
+
+def test_events_retention_offset_zero_is_full_cohort(spark, sf_dir):
+    rows = _q("events_retention")(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    day = pd.to_datetime(e["ts"]).dt.date
+    ud = pd.DataFrame({"user_id": e["user_id"], "day": day}).drop_duplicates()
+    cohort = ud.groupby("user_id")["day"].min()
+    sizes = cohort.value_counts()
+    at0 = {r["cohort_day"]: r for r in rows if r["day_offset"] == 0}
+    # every cohort has an offset-0 row with retention exactly 1.0
+    assert set(at0) == {str(d) for d in sizes.index}
+    for dstr, r in at0.items():
+        assert r["retention"] == pytest.approx(1.0)
+        assert r["n_active"] == sizes[pd.Timestamp(dstr).date()]
+    # spot-check one non-zero offset cell against pandas
+    merged = ud.merge(cohort.rename("cohort_day"), on="user_id")
+    merged["off"] = (
+        pd.to_datetime(merged["day"]) - pd.to_datetime(merged["cohort_day"])
+    ).dt.days
+    pc = merged.groupby(["cohort_day", "off"])["user_id"].nunique()
+    for r in rows[:20]:
+        assert (
+            pc[(pd.Timestamp(r["cohort_day"]).date(), r["day_offset"])]
+            == r["n_active"]
+        )
+
+
+def test_text_repetition_matches_python(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in _q("text_repetition")(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for _, doc in docs.head(25).iterrows():
+        toks = doc["text"].split(" ")
+        dup = round(1.0 - len(set(toks)) / len(toks), 6)
+        bi = collections.Counter(zip(toks, toks[1:]))
+        top = round(max(bi.values()) / sum(bi.values()), 6) if bi else 0.0
+        r = rows[doc["doc_id"]]
+        assert r["dup_token_frac"] == pytest.approx(dup, abs=1e-9)
+        assert r["top_bigram_frac"] == pytest.approx(top, abs=1e-9)
+
+
+def test_text_boilerplate_ngrams_matches_python(spark, sf_dir):
+    got = {
+        r["shingle"]: r["n_docs"]
+        for r in _q("text_boilerplate_ngrams")(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    df_count = collections.Counter()
+    for _, doc in docs.iterrows():
+        toks = doc["text"].split(" ")
+        df_count.update({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+    want = {s: n for s, n in df_count.items() if n >= 4}
+    assert got == want
+
+
+def test_sim_range_search_complete_and_correct_vs_numpy(spark, sf_dir):
+    rows = _q("sim_range_search")(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qmask = ids % 25 == 0
+    sims = unit[qmask] @ unit.T
+    want = set()
+    for qi, qid in enumerate(ids[qmask]):
+        for ci, cid in enumerate(ids):
+            if cid != qid and round(sims[qi, ci], 6) >= 0.35:
+                want.add((qid, cid))
+    got = {(r["q_id"], r["n_id"]) for r in rows}
+    assert got == want  # completeness AND no spurious pairs
+    for r in rows:
+        qi = np.where(ids[qmask] == r["q_id"])[0][0]
+        ci = np.where(ids == r["n_id"])[0][0]
+        assert r["cosine"] == pytest.approx(sims[qi, ci], abs=1e-5)
