@@ -267,3 +267,81 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention",
         )
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), r AS (
+      SELECT user_id, event_type, t, event_id,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM s
+    ), runs AS (
+      SELECT user_id, event_type AS state,
+             CAST(MIN(t) AS BIGINT) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS run_events
+      FROM r GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, state, valid_from,
+           COALESCE(LEAD(valid_from) OVER
+                    (PARTITION BY user_id ORDER BY valid_from),
+                    CAST(-1 AS BIGINT)) AS valid_to,
+           run_events
+    FROM runs
+    """,
+    tags=("eventtime", "events"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history from a change log:
+    collapse each user's consecutive identical states into runs
+    (gaps-and-islands: lag-change flag → running sum → group), then
+    derive [valid_from, valid_to) intervals with lead(); -1 marks the
+    open current interval. The CDC→dimension-history materialization
+    every warehouse pipeline runs.
+
+    Scale shape: everything is windows + one aggregate over the SAME
+    user_id partitioning — Spark plans ONE exchange on user_id and
+    reuses the sort for lag, the running sum, and lead (the aggregate
+    keys on (user_id, grp) are prefix-compatible with it). Equal-ts
+    ties order by event_id so both engines pick identical run
+    boundaries deterministically."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    r = s.withColumn(
+        "grp", F.sum("chg").over(
+            Window.partitionBy("user_id").orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    runs = r.groupBy("user_id", F.col("event_type").alias("state"), "grp").agg(
+        F.min("t").alias("valid_from"),
+        F.count(F.lit(1)).alias("run_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w2), F.lit(-1).cast("long")
+        ).alias("valid_to"),
+        "run_events",
+    )

@@ -168,3 +168,25 @@ def test_sim_range_search_complete_and_correct_vs_numpy(spark, sf_dir):
         qi = np.where(ids[qmask] == r["q_id"])[0][0]
         ci = np.where(ids == r["n_id"])[0][0]
         assert r["cosine"] == pytest.approx(sims[qi, ci], abs=1e-5)
+
+
+def test_scd2_intervals_match_python_run_collapse(spark, sf_dir):
+    rows = _q("scd2_intervals")(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, g in e.groupby("user_id"):
+        runs = []
+        for _, r in g.iterrows():
+            t = int(pd.Timestamp(r["ts"]).value // 1000)  # ns -> us
+            if runs and runs[-1][0] == r["event_type"]:
+                runs[-1][2] += 1
+            else:
+                runs.append([r["event_type"], t, 1])
+        for i, (state, vfrom, n) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else -1
+            want.append((uid, state, vfrom, vto, n))
+    got = {(r["user_id"], r["state"], r["valid_from"], r["valid_to"], r["run_events"]) for r in rows}
+    assert got == set(want)
+    # exactly one open interval per user
+    open_per_user = collections.Counter(r["user_id"] for r in rows if r["valid_to"] == -1)
+    assert all(v == 1 for v in open_per_user.values())

@@ -217,3 +217,63 @@ def test_sink_partition_prune_reads_only_matching_partitions(spark, sf_dir):
     p = plan_of(df)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "o_year" in m.group(1), p[:1500]
+
+
+def test_agg_grouping_sets_single_expand_pass(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["agg_grouping_sets"].fn(spark, sf_dir))
+    # all four grouping sets from ONE Expand + one aggregate exchange,
+    # customer broadcast — not a UNION ALL of separate GROUP BYs
+    assert p.count("Expand") == 1
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in p
+
+
+def test_sim_range_search_zero_shuffle(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["sim_range_search"].fn(spark, sf_dir))
+    # queries broadcast, threshold filter inside the corpus scan stage:
+    # nothing shuffles at all
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_text_boilerplate_is_wordcount_shape(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["text_boilerplate_ngrams"].fn(spark, sf_dir))
+    # map-side shingle Generate + ONE count exchange, no join anywhere
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Generate") == 1
+    assert "Join" not in p.replace("BroadcastHashJoin", "") or "BroadcastHashJoin" not in p
+
+
+def test_text_repetition_no_self_join_for_bigrams(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["text_repetition"].fn(spark, sf_dir))
+    # bigrams built map-side (zip_with), counted with two doc-keyed
+    # exchanges; the only join is the broadcast join back to the base
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("CartesianProduct") == 0
+
+
+def test_retention_and_quality_no_cartesian(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    for key in ("events_retention", "data_quality_checks"):
+        p = plan_of(_specs()[key].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scd2_single_user_exchange(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["scd2_intervals"].fn(spark, sf_dir))
+    # lag + running-sum + run-agg + lead all share ONE user_id exchange
+    # (prefix-compatible partitionings — no re-shuffle per window)
+    assert p.count("Exchange hashpartitioning") == 1
