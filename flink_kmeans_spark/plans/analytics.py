@@ -345,3 +345,57 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         "run_events",
     )
+
+
+@register(
+    "join_bucket_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    tags=("join", "bucketing"),
+)
+def join_bucket_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join — the shuffle-elimination strategy for
+    repeated large-fact joins: both sides are written ONCE as
+    8-bucket tables hashed on the join key (bucketBy + sortBy), and
+    every subsequent join on that key is a sort-merge over matching
+    bucket files with NO exchange on either side (pinned in
+    tests/test_plans.py).
+
+    At 100 TB this is the difference between shuffling the fact table
+    on every query and shuffling it once at ingest: bucket files are
+    read bucket-for-bucket by the same task. The merge hint keeps AQE
+    from broadcasting the small side at test scale, which would hide
+    the property being demonstrated. Result is bucketing-independent,
+    hence the plain-SQL oracle."""
+    from ..plans.relational import _scratch_dir
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    tag = abs(hash(sf_dir)) % 10**8
+    names = {}
+    for nm, df, key in (("orders_b", o, "o_orderkey"), ("lineitem_b", l, "l_orderkey")):
+        tbl = f"{nm}_{tag}"
+        names[nm] = tbl
+        if not spark.catalog.tableExists(tbl):
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", _scratch_dir(tbl))
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    ob = spark.table(names["orders_b"]).hint("merge")
+    lb = spark.table(names["lineitem_b"]).hint("merge")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

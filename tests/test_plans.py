@@ -277,3 +277,14 @@ def test_scd2_single_user_exchange(spark, sf_dir):
     # lag + running-sum + run-agg + lead all share ONE user_id exchange
     # (prefix-compatible partitionings — no re-shuffle per window)
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_bucket_colocated_join_has_no_join_exchange(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["join_bucket_colocated"].fn(spark, sf_dir))
+    # both sides bucketed on the join key: sort-merge join directly over
+    # bucket files; the ONLY exchange in the whole plan is the final agg
+    assert p.count("SortMergeJoin") == 1
+    assert p.count("BroadcastHashJoin") == 0
+    assert p.count("Exchange hashpartitioning") == 1
