@@ -190,3 +190,25 @@ def test_scd2_intervals_match_python_run_collapse(spark, sf_dir):
     # exactly one open interval per user
     open_per_user = collections.Counter(r["user_id"] for r in rows if r["valid_to"] == -1)
     assert all(v == 1 for v in open_per_user.values())
+
+
+def test_ts_fill_forward_matches_pandas_ffill(spark, sf_dir):
+    rows = _q("ts_fill_forward")(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    e["day"] = pd.to_datetime(e["ts"]).dt.normalize()
+    daily = e.groupby(["user_id", "day"]).last()["value"]
+    got = {(r["user_id"], r["day"]): (r["v_fill"], r["gap"]) for r in rows}
+    n_checked = 0
+    for uid in e["user_id"].unique():
+        s = daily.xs(uid, level="user_id")
+        full = s.resample("1D").last()  # introduces NaN gaps
+        filled = full.ffill()
+        for day, v in filled.items():
+            key = (uid, day.strftime("%Y-%m-%d"))
+            assert key in got
+            gv, gap = got[key]
+            assert gv == pytest.approx(round(v, 6), abs=1e-9)
+            assert gap == int(pd.isna(full[day]))
+            n_checked += 1
+    assert n_checked == len(rows)  # same grid, no extra cells
