@@ -472,3 +472,131 @@ def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("gap"),
         )
     )
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW), 6) AS roll3d_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3d_n
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user rolling 3-DAY sum/count
+    ordered by event time — the frame boundary is a time interval, not
+    a row count (window_frame's ROWS sibling). RANGE frames include
+    equal-timestamp peers on both engines, so no tiebreak column is
+    needed (or allowed — multi-column RANGE order is illegal).
+
+    Scale: one user_id exchange + one sort feeds both windowed
+    aggregates; the running frame is computed streamingly per
+    partition (no per-row rescan)."""
+    e = _t(spark, sf_dir, "events")
+    sec = (F.unix_micros("ts") / F.lit(1000000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-259200, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("roll3d_sum"),
+        F.count(F.lit(1)).over(w).alias("roll3d_n"),
+    )
+
+
+@register(
+    "text_collocations",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), uni AS (
+      SELECT tok, COUNT(*) AS n FROM idx GROUP BY 1
+    ), big AS (
+      SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS n_ab
+      FROM idx a JOIN idx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT SUM(len(string_split(text, ' '))) * 1.0 AS n1,
+             SUM(greatest(len(string_split(text, ' ')) - 1, 0)) * 1.0 AS n2
+      FROM documents
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+           ROUND(ln((n_ab / n2) / ((ua.n / n1) * (ub.n / n1))), 6) AS pmi
+    FROM big
+    CROSS JOIN tot
+    JOIN uni ua ON ua.tok = w1
+    JOIN uni ub ON ub.tok = w2
+    WHERE n_ab >= 5
+    """,
+    tags=("text",),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored collocations: pointwise mutual information of each
+    bigram vs its unigram marginals — the classic phrase-mining /
+    tokenizer-merge-rule statistic. Support floor n_ab ≥ 5.
+
+    Scale shape: unigram and bigram counts are wordcount-shaped
+    (map-side zip_with bigrams — no positional self-join on Spark;
+    the oracle uses the equivalent self-join form). Corpus totals come
+    from a separate O(1)-output aggregate over the documents scan (NOT
+    a window-over-everything or a recomputed explode branch) and
+    broadcast-cross-join onto the vocab-sized bigram table; the
+    unigram marginals broadcast onto bigrams. Both PMI divisions are
+    written in the same association order on both engines so the 6-dp
+    round is stable."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    tot = toks.agg(
+        (F.sum(F.size("toks")) * 1.0).alias("n1"),
+        (F.sum(F.greatest(F.size("toks") - 1, F.lit(0))) * 1.0).alias("n2"),
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("n").alias("nb"))
+    return (
+        big.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n2"))
+                    / ((F.col("na") / F.col("n1")) * (F.col("nb") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -212,3 +212,44 @@ def test_ts_fill_forward_matches_pandas_ffill(spark, sf_dir):
             assert gap == int(pd.isna(full[day]))
             n_checked += 1
     assert n_checked == len(rows)  # same grid, no extra cells
+
+
+def test_window_range_interval_matches_pandas(spark, sf_dir):
+    rows = _q("window_range_interval")(spark, sf_dir).collect()
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    sec = pd.to_datetime(e["ts"]).astype("int64") // 10**9
+    df = pd.DataFrame({"event_id": e["event_id"], "user_id": e["user_id"],
+                       "sec": sec, "value": e["value"]})
+    got = {r["event_id"]: (r["roll3d_sum"], r["roll3d_n"]) for r in rows}
+    for uid, g in list(df.groupby("user_id"))[:20]:
+        g = g.sort_values("sec")
+        for _, r in g.iterrows():
+            win = g[(g["sec"] >= r["sec"] - 259200) & (g["sec"] <= r["sec"])]
+            s, n = got[r["event_id"]]
+            assert n == len(win)
+            assert s == pytest.approx(round(win["value"].sum(), 6), abs=1e-6)
+
+
+def test_text_collocations_pmi_matches_python(spark, sf_dir):
+    rows = _q("text_collocations")(spark, sf_dir).collect()
+    import math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    uni, big = collections.Counter(), collections.Counter()
+    n1 = n2 = 0
+    for t in docs["text"]:
+        toks = t.split(" ")
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+        n1 += len(toks)
+        n2 += max(len(toks) - 1, 0)
+    want = {}
+    for (a, b), nab in big.items():
+        if nab >= 5:
+            want[(a, b)] = round(
+                math.log((nab / n2) / ((uni[a] / n1) * (uni[b] / n1))), 6
+            )
+    got = {(r["w1"], r["w2"]): r["pmi"] for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
