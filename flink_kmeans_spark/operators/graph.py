@@ -103,3 +103,70 @@ def dedup_cluster_representatives(
         F.col("component").alias("rep_id"),
         (F.col(id_col) == F.col("component")).alias("is_rep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (src, dst) —
+    the link-analysis sibling of the K-Means driver loop (SURVEY §4.3.1):
+    a fixed number of join + aggregate rounds with localCheckpoint
+    lineage truncation.
+
+    Per round: rank mass flows src→dst proportional to 1/out_degree
+    (one shuffle join edges⋈ranks on src, one hash aggregate on dst);
+    dangling-node mass (no out-edges) is a ONE-ROW aggregate collected
+    to the driver and redistributed uniformly — the tiny-result collect
+    pattern, never a data-sized collect. Node count is computed once.
+    At 100 TB: edges partition on src and are persisted across rounds;
+    the per-round shuffle is edge-sized, ranks are node-sized, and the
+    driver holds only two scalars.
+
+    Returns (node, rank) with sum(rank) == 1 (up to float error).
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # pre-join degree onto edges once so the loop joins a single frame
+    flow = e.join(out_deg, "src").select("src", "dst", "deg").persist()
+    flow.count()  # materialize before iterating
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                flow.join(ranks, flow.src == ranks.node)
+                .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            # dangling mass: ranks on nodes with no out-edges (1-row agg)
+            dangling = (
+                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+                or 0.0
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = (
+                nodes.join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        nodes.unpersist()
+        flow.unpersist()
+    return ranks

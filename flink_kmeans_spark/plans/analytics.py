@@ -600,3 +600,28 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register("graph_pagerank", tags=("graph",))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier→customer fulfillment graph (edge =
+    supplier shipped a lineitem belonging to the customer's order;
+    customer nodes offset by 10^6 to disambiguate the two key spaces).
+    10 power iterations, damping 0.85 (operators/graph.py pagerank —
+    see its docstring for the per-round dataflow). Rows-only: iterative
+    float fixpoints are not single-statement SQL; the pytest oracle is
+    an exact numpy power iteration on the same edge list."""
+    from ..operators.graph import pagerank
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, damping=0.85, n_iter=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))

@@ -253,3 +253,28 @@ def test_text_collocations_pmi_matches_python(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-6)
+
+
+def test_graph_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    rows = _q("graph_pagerank")(spark, sf_dir).collect()
+    l = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_suppkey"]]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    edges = {(s, c + 1_000_000) for s, c in zip(j["l_suppkey"], j["o_custkey"])}
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = collections.Counter(s for s, _ in edges)
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / deg[s]
+        dangling = sum(r[idx[x]] for x in nodes if x not in deg)
+        r = (1 - d) / n + d * dangling / n + d * contrib
+    got = {row["node"]: row["rank"] for row in rows}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert got[node] == pytest.approx(r[idx[node]], abs=2e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
