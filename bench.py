@@ -62,6 +62,18 @@ HEADLINE = [
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_mllib",
+    # round-2 extended analytics surface
+    "agg_grouping_sets",
+    "data_quality_checks",
+    "events_retention",
+    "scd2_intervals",
+    "ts_fill_forward",
+    "window_range_interval",
+    "text_repetition",
+    "text_collocations",
+    "sim_range_search",
+    "join_bucket_colocated",
+    "graph_pagerank",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -117,12 +117,14 @@ def pagerank(
 
     Per round: rank mass flows src→dst proportional to 1/out_degree
     (one shuffle join edges⋈ranks on src, one hash aggregate on dst);
-    dangling-node mass (no out-edges) is a ONE-ROW aggregate collected
-    to the driver and redistributed uniformly — the tiny-result collect
-    pattern, never a data-sized collect. Node count is computed once.
-    At 100 TB: edges partition on src and are persisted across rounds;
-    the per-round shuffle is edge-sized, ranks are node-sized, and the
-    driver holds only two scalars.
+    dangling-node mass (no out-edges) is recovered WITHOUT its own
+    anti-join pass: every linked node's rank splits fully across its
+    out-edges, so sum(contrib) = total linked-rank and dangling =
+    sum(ranks) − sum(contrib) — a one-row sum over the already-
+    checkpointed contrib frame (tiny-result collect, never data-sized).
+    Node count is computed once. At 100 TB: edges partition on src and
+    are persisted across rounds; the per-round shuffle is edge-sized,
+    ranks are node-sized, and the driver holds only two scalars.
 
     Returns (node, rank) with sum(rank) == 1 (up to float error).
     """
@@ -139,33 +141,30 @@ def pagerank(
     flow = e.join(out_deg, "src").select("src", "dst", "deg").persist()
     flow.count()  # materialize before iterating
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    total_rank = 1.0
     try:
         for _ in range(n_iter):
+            # checkpointing CONTRIB (edge-agg output, node-sized) both
+            # truncates lineage and lets the dangling computation reuse
+            # the materialized partitions instead of a second pass
             contrib = (
                 flow.join(ranks, flow.src == ranks.node)
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
-            )
-            # dangling mass: ranks on nodes with no out-edges (1-row agg)
-            dangling = (
-                ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-                .agg(F.sum("rank"))
-                .collect()[0][0]
-                or 0.0
-            )
-            base = (1.0 - damping) / n + damping * dangling / n
-            ranks = (
-                nodes.join(contrib, nodes.node == contrib.dst, "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    ).alias("rank"),
-                )
                 .localCheckpoint(eager=True)
             )
+            linked = contrib.agg(F.sum("contrib")).collect()[0][0] or 0.0
+            dangling = max(total_rank - linked, 0.0)
+            base = (1.0 - damping) / n + damping * dangling / n
+            ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            total_rank = n * base + damping * linked
     finally:
         nodes.unpersist()
         flow.unpersist()

@@ -447,14 +447,16 @@ def cosine_radius_search(
     rounded score is what's returned): Spark and DuckDB sum float
     products in different orders, and an unrounded boundary comparison
     can flip rows between engines (registry float discipline).
+
+    Both sides are L2-normalized BEFORE the join (one pass each), so
+    the per-pair work is a single dot product — the naive
+    ``dot/(|a||b|)`` form recomputes both norms inside every pair
+    (measured 3× slower at sf0.1: norms are loop-invariant per row but
+    Catalyst does not CSE across the join boundary).
     """
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).cast("array<double>").alias("n_vec")
-    )
-    score = F.round(cosine_sim(F.col("q_vec"), F.col("n_vec")), 6)
+    q = _with_norm_unit(queries, id_col, vec_col, "q")
+    c = _with_norm_unit(corpus, id_col, vec_col, "n")
+    score = F.round(dot(F.col("q_vec"), F.col("n_vec")), 6)
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("n_id"))
