@@ -1,14 +1,14 @@
 """Round-2 TPC-H compositions (SURVEY.md §2B "TPC-H compositions").
 
 With relational.py's Q3/Q4/Q5/Q6/Q10/Q14/Q17/Q18/Q19, this module
-completes 20 of the 22 TPC-H queries. Q1/Q7/Q8/Q13/Q15 are expressible
+completes ALL 22 TPC-H queries. Q1/Q7/Q8/Q13/Q15 are expressible
 verbatim against the driver's synthetic schema; Q2/Q9/Q11/Q16/Q20/Q22
-are ADAPTED (no partsupp table, no l_shipmode / c_phone / o_comment
-columns — see round-1 memory in SURVEY §2.0): the join/agg/subquery
-SHAPE of each query is preserved, the missing-column predicates are
-remapped onto existing columns. Q12/Q21 are NOT expressible (they are
-predicates over l_shipmode/l_commitdate/l_receiptdate, columns the
-synthetic lineitem lacks entirely). Every key carries a DuckDB oracle.
+and Q12/Q21 are ADAPTED (no partsupp table, no l_shipmode /
+l_commitdate / l_receiptdate / c_phone / o_comment columns — see
+round-1 memory in SURVEY §2.0): the join/agg/subquery SHAPE of each
+query is preserved, the missing-column predicates are remapped onto
+existing columns (lateness = shipped >N days after order date, the
+same remap Q4 uses). Every key carries a DuckDB oracle.
 
 Scale notes per query are in the docstrings — the recurring themes:
 dimension chains broadcast, fact joins shuffle once on their key,
@@ -669,4 +669,129 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), ADAPTED: the
+    synthetic lineitem has no l_shipmode / l_commitdate / l_receiptdate,
+    so the mode group key becomes l_returnflag (same small categorical
+    role) and the two-date lateness chain collapses to the one lateness
+    predicate this schema can express (shipped >30 days after order
+    date, as in the Q4 adaptation). The SHAPE is intact: fact⋈fact
+    equi-join with a non-equi residual, a pushed-down scan-range filter,
+    and priority-bucketed conditional counts. Scale: lineitem carries
+    only 3 columns into the orderkey shuffle; the ship-date range
+    prunes at the parquet scan; the CASE sums are map-side partial."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), ADAPTED: lateness
+    = shipped >60 days after order date (no l_receiptdate /
+    l_commitdate). The reference formulation is EXISTS + NOT EXISTS
+    self-joins on lineitem; at scale that is three shuffles of the fact
+    table. This plan uses the aggregate rewrite, provably equivalent
+    because both subqueries are correlated only on l_orderkey: per
+    order compute n_supp = countDistinct(supplier) and n_late =
+    countDistinct(late supplier); "another supplier exists" ⟺
+    n_supp > 1, "no OTHER supplier was late" (given l1 itself is late)
+    ⟺ n_late = 1. One lineitem⋈orders shuffle on orderkey, the
+    aggregate and the join-back stay co-partitioned on orderkey, the
+    NATION_3 supplier dim broadcasts, numwait counts late LINE rows
+    (multiple late lines by the same supplier each count — matching
+    the EXISTS formulation's row semantics)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lf = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lf.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+    return (
+        lf.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "o_orderkey",
+            "left_semi",
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
     )
