@@ -74,6 +74,12 @@ HEADLINE = [
     "sim_range_search",
     "join_bucket_colocated",
     "graph_pagerank",
+    "tpch_q12",
+    "tpch_q21",
+    "graph_components",
+    "events_streaks",
+    "events_transitions",
+    "join_bloom_pruned",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -726,3 +726,168 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, pairs, id_col="doc_id").select(
         "doc_id", "component"
     )
+
+
+@register(
+    "events_streaks",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (SELECT user_id, d,
+            d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                     AS INTEGER) AS grp
+          FROM days),
+    s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM s GROUP BY user_id
+    """,
+    tags=("window", "events"),
+)
+def events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks via the
+    date − row_number() constant-group trick — the standard engagement /
+    retention-quality signal. One distinct to collapse events to
+    user-day grain (event-count-sized input never reaches the window),
+    then a user-partitioned window and two hash aggregates, all on the
+    same user_id partitioning — Catalyst reuses one exchange for the
+    window and both groupBys. Integer output, engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+@register(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("window", "events"),
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (behavioral modeling / next-event features). LEAD over
+    (ts, event_id) — the event_id tiebreak makes same-timestamp
+    ordering deterministic across engines — then one hash aggregate to
+    transition counts. The row-conditional probability is a window over
+    the |types|² aggregate, not the data. One event-table shuffle on
+    user_id, one on the tiny transition matrix."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    tr = seq.groupBy(F.col("event_type").alias("prev_type"), "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return tr.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(Window.partitionBy("prev_type")), 6)
+    )
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "runtime-filter"),
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the 100 TB pattern where a
+    selective dimension predicate cannot broadcast (the dim is still
+    GBs) but CAN ship as a bloom filter that prunes the fact scan
+    map-side, before the shuffle. Spark's InjectRuntimeFilter does
+    this natively when enabled; the result is EXACT because the real
+    join removes bloom false positives — which is what makes the key
+    hash-verifiable against the plain-join oracle.
+
+    The bloom confs are session-scoped, so the aggregate (a few rows)
+    is materialized eagerly under a try/finally that restores every
+    conf — the returned frame is plan-stable and later actions replay
+    nothing under mutated settings. Broadcast is disabled only INSIDE
+    the scope, to force the shuffle-join shape the filter targets
+    (with broadcast available Spark would rightly just broadcast).
+    tests/test_plans.py pins might_contain in the pre-materialization
+    physical plan."""
+    with _bloom_filter_confs(spark):
+        return _bloom_pruned_agg(spark, sf_dir).localCheckpoint(eager=True)
+
+
+class _bloom_filter_confs:
+    """Scoped session confs enabling runtime bloom-filter injection
+    (and disabling broadcast so the shuffle-join shape the filter
+    targets actually materializes at test scale)."""
+
+    CONFS = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.saved: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self.CONFS.items():
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self.saved[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+        return False
+
+
+def _bloom_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan join_bloom_pruned materializes; split out so
+    tests/test_plans.py can pin might_contain in the physical plan
+    (the registered key returns a checkpointed LogicalRDD, which no
+    longer shows the filter)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+    )

@@ -288,3 +288,39 @@ def test_bucket_colocated_join_has_no_join_exchange(spark, sf_dir):
     assert p.count("SortMergeJoin") == 1
     assert p.count("BroadcastHashJoin") == 0
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_tpch_q21_aggregate_rewrite_shape(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    p = plan_of(_specs()["tpch_q21"].fn(spark, sf_dir))
+    # aggregate rewrite: no EXISTS/NOT-EXISTS self-join cascade —
+    # no cartesian, supplier dim broadcast, orderkey work co-partitioned
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_bloom_runtime_filter_injected(spark, sf_dir):
+    from flink_kmeans_spark.plans.analytics import (
+        _bloom_filter_confs,
+        _bloom_pruned_agg,
+    )
+
+    with _bloom_filter_confs(spark):
+        p = plan_of(_bloom_pruned_agg(spark, sf_dir))
+    # the selective orders predicate ships to the lineitem side as a
+    # runtime bloom filter probed BEFORE the shuffle
+    assert "might_contain" in p
+    # and outside the scope the same plan must NOT carry the filter
+    p2 = plan_of(_bloom_pruned_agg(spark, sf_dir))
+    assert "might_contain" not in p2
+
+
+def test_events_streaks_and_transitions_join_free(spark, sf_dir):
+    from flink_kmeans_spark.plans.registry import specs as _specs
+
+    for key in ("events_streaks", "events_transitions"):
+        p = plan_of(_specs()[key].fn(spark, sf_dir))
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
