@@ -891,3 +891,58 @@ def _bloom_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev")
         )
     )
+
+
+@register(
+    "events_anomaly",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT user_id, AVG(n) AS mu, STDDEV_SAMP(n) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM ud GROUP BY 1
+    )
+    SELECT ud.user_id, strftime(ud.d, '%Y-%m-%d') AS d, ud.n,
+           ROUND((ud.n - st.mu) / st.sd, 4) AS z
+    FROM ud JOIN st USING (user_id)
+    WHERE st.n_days >= 7 AND st.sd > 0
+      AND ROUND(ud.n - (st.mu + 2 * st.sd), 6) > 0
+    """,
+    tags=("agg", "events", "quality"),
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity anomaly days: z-score of the daily event count
+    against the user's own history, flagging days more than 2σ above
+    the mean (spam/bot burst detection in a training-data pipeline).
+    Two hash aggregates on the same user_id keys plus a join of
+    day-grain rows to user-grain stats — Catalyst keeps all three on
+    one user_id exchange. Float discipline: the 2σ threshold compares
+    ROUNDED on both sides (Spark and DuckDB disagree ~1e-15 on avg/
+    stddev summation order; an unrounded > flips boundary days), and
+    the emitted z rounds to 4 dp well inside the 6 dp harness compare."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    st = ud.groupBy("user_id").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_samp("n").alias("sd"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        ud.join(st, "user_id")
+        .where(
+            (F.col("n_days") >= 7)
+            & (F.col("sd") > 0)
+            & (F.round(F.col("n") - (F.col("mu") + 2 * F.col("sd")), 6) > 0)
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n",
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+        )
+    )

@@ -261,6 +261,64 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_exact",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    sc AS (
+      SELECT t.doc_id, t.term, t.tf,
+             t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) AS score
+      FROM tf t JOIN df d USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT doc_id, term, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM sc
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(score, 6) AS tfidf, CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 3
+    """,
+    tags=("text",),
+)
+def text_tfidf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact term-level TF-IDF, top-3 terms per document — the
+    hash-verifiable sibling of text_tfidf (whose HashingTF buckets are
+    engine-specific): smooth idf = ln((N+1)/(df+1)) + 1, integer tf, so
+    both engines compute the identical double product and the (score
+    DESC, term) ranking is deterministic. Shapes: explode → one
+    (doc, term) hash aggregate; df is a second aggregate over the
+    ALREADY doc-distinct tf frame (no count-distinct pass over raw
+    tokens); the idf join shuffles on term (vocab-sized — too big to
+    assume broadcastable at 100 TB); top-3 via rank window becomes
+    WindowGroupLimit, never a full per-doc sort of the corpus."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.count()
+    sc = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        sc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", F.round("score", 6).alias("tfidf"), "rk")
+    )
+
+
+@register(
     "text_chunk",
     oracle="""
     WITH t AS (
