@@ -1016,3 +1016,105 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") % 25 == 0)
     return SIM.cosine_radius_search(e, q, threshold=0.35)
+
+
+@register(
+    "sample_hash_stratified",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang FROM h
+    WHERE bucket < CASE WHEN lang = 'en' THEN 25 ELSE 60 END
+    """,
+    tags=("sampling",),
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling by content-stable hash —
+    the corpus-rebalancing move (downweight the dominant language,
+    keep the tail) done so a document's keep/drop decision never
+    changes across runs or as the corpus grows, unlike sampleBy(seed)
+    whose output is partitioning-dependent. md5 rather than xxhash64
+    for engine portability (same rationale as data_split). Pure
+    narrow map at 100 TB: no shuffle, no state, trivially resumable;
+    the per-stratum rate table extends by adding CASE arms (or a
+    broadcast rate dim)."""
+    d = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", 25).otherwise(60)
+    return d.select("doc_id", "lang").where(bucket < rate)
+
+
+@register(
+    "text_containment",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS sh
+      FROM documents
+    ),
+    post AS (SELECT doc_id, unnest(sh) AS g FROM d),
+    df AS (SELECT g, COUNT(*) AS df FROM post GROUP BY 1),
+    p2 AS (SELECT post.doc_id, post.g FROM post JOIN df USING (g)
+           WHERE df.df <= 50),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM p2 a JOIN p2 b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM d)
+    SELECT id_a, id_b, shared,
+           ROUND(shared * 1.0 / LEAST(sa.n, sb.n), 6) AS containment
+    FROM pair
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE ROUND(shared * 1.0 / LEAST(sa.n, sb.n) - 0.9, 6) >= 0
+    """,
+    tags=("dedup", "text"),
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (sub-document duplication): containment =
+    |A∩B| / min(|A|,|B|) ≥ 0.9 over 3-gram shingles — catches a short
+    doc pasted inside a longer one, which symmetric Jaccard misses
+    (the union term drowns the small side). Candidates come from an
+    inverted shingle index with a document-frequency cap: shingles in
+    > 50 docs are boilerplate and would blow the posting-list
+    self-join quadratically at 100 TB, so BOTH engines drop them
+    before pairing (the shared count is thus a lower bound — standard
+    stop-shingle discipline — while set sizes stay exact). Shapes:
+    explode → df aggregate → df-capped self-join on shingle → one
+    (id_a, id_b) hash aggregate; sizes join back via broadcastable
+    doc-grain frames; threshold compares rounded on both sides."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", TX.shingles(F.col("text"), 3).alias("sh"))
+    post = sh.select("doc_id", F.explode("sh").alias("g"))
+    df_cap = post.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= 50
+    )
+    p2 = post.join(df_cap.select("g"), "g")
+    a = p2.select(F.col("doc_id").alias("id_a"), "g")
+    b = p2.select(F.col("doc_id").alias("id_b"), "g")
+    pair = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz = sh.select("doc_id", F.size("sh").alias("n"))
+    cont = F.col("shared") / F.least(F.col("na"), F.col("nb"))
+    return (
+        pair.join(sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(F.round(cont - 0.9, 6) >= 0)
+        .select("id_a", "id_b", "shared", F.round(cont, 6).alias("containment"))
+    )
