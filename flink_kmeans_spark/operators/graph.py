@@ -24,12 +24,24 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "id",
     max_iter: int = 10,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable through
     ``pairs`` (undirected). Returns (id, component).
 
     nodes: one column ``id_col``; pairs: columns id_a, id_b.
+
+    The label frame is NODE-sized while the propagation join input is
+    EDGE-sized: when the node count is bounded (≤ ``broadcast_nodes_max``)
+    the labels broadcast into both per-round joins, so the persisted
+    edge partitions never re-shuffle — same rationale as
+    :func:`pagerank`. Web-scale graphs fall back to shuffle joins.
     """
+    # pairs is referenced twice by the direction-mirroring union (and is
+    # typically an EXPENSIVE candidate-generation join — prefix-filtered
+    # Jaccard, LSH buckets); Spark re-executes it per reference unless
+    # persisted. Freed as soon as edges materialize.
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -38,9 +50,15 @@ def connected_components(
         .distinct()
     )
     edges.persist()
+    edges.count()  # materialize while pairs is cached
+    # nodes is usually derived from the same expensive pairs frame —
+    # checkpoint the initial labels (node-sized) so neither nodes nor
+    # pairs upstream re-evaluates inside the loop, then drop pairs.
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    )
+    ).localCheckpoint(eager=True)
+    bcast = labels.count() <= broadcast_nodes_max
+    pairs.unpersist()
     # labels are monotonically NON-INCREASING under min-propagation, so
     # "no label changed" ⟺ "sum(component) unchanged" — a single
     # map-side-combined aggregate per round instead of a join-with-old
@@ -50,13 +68,15 @@ def connected_components(
     try:
         for i in range(max_iter):
             # every node's candidate label: min over its neighbors' labels
+            lbl_side = F.broadcast(labels) if bcast else labels
             nbr_min = (
-                edges.join(labels, edges.dst == labels.node)
+                edges.join(lbl_side, edges.dst == lbl_side.node)
                 .groupBy("src")
                 .agg(F.min("component").alias("nbr"))
             )
+            nbr_side = F.broadcast(nbr_min) if bcast else nbr_min
             new_labels = (
-                labels.join(nbr_min, labels.node == nbr_min.src, "left")
+                labels.join(nbr_side, labels.node == nbr_side.src, "left")
                 .select(
                     "node",
                     F.least(
@@ -109,6 +129,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 10,
+    broadcast_nodes_max: int = 1_000_000,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (src, dst) —
     the link-analysis sibling of the K-Means driver loop (SURVEY §4.3.1):
@@ -116,19 +137,35 @@ def pagerank(
     lineage truncation.
 
     Per round: rank mass flows src→dst proportional to 1/out_degree
-    (one shuffle join edges⋈ranks on src, one hash aggregate on dst);
+    (join edges⋈ranks on src, one hash aggregate on dst);
     dangling-node mass (no out-edges) is recovered WITHOUT its own
     anti-join pass: every linked node's rank splits fully across its
     out-edges, so sum(contrib) = total linked-rank and dangling =
     sum(ranks) − sum(contrib) — a one-row sum over the already-
     checkpointed contrib frame (tiny-result collect, never data-sized).
-    Node count is computed once. At 100 TB: edges partition on src and
-    are persisted across rounds; the per-round shuffle is edge-sized,
-    ranks are node-sized, and the driver holds only two scalars.
+    Node count is computed once.
+
+    The ranks side is NODE-sized while the join input is EDGE-sized,
+    so when the node count is bounded (≤ ``broadcast_nodes_max``,
+    default 10⁶ ≈ 16 MB of (long, double) rows) the rank vector
+    BROADCASTS into the join — the exact centroids-as-broadcast shape
+    of the K-Means fit loop: the persisted edge partitions are never
+    re-shuffled, each round is one map-side join + one contrib
+    exchange. Beyond the bound it falls back to the generic shuffle
+    join (web-scale graphs; at 100 TB edges partition on src and the
+    per-round shuffle is edge-sized either way).
 
     Returns (node, rank) with sum(rank) == 1 (up to float error).
     """
-    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long")).distinct()
+    # e is referenced FOUR times below (twice in nodes, twice in flow via
+    # out_deg) and Spark does not reuse an exchange referenced from the
+    # DataFrame API — without the persist the upstream edge derivation
+    # (often an expensive join/distinct) executes four times.
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -140,15 +177,18 @@ def pagerank(
     # pre-join degree onto edges once so the loop joins a single frame
     flow = e.join(out_deg, "src").select("src", "dst", "deg").persist()
     flow.count()  # materialize before iterating
+    e.unpersist()  # nodes + flow are materialized; e is no longer read
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     total_rank = 1.0
+    bcast = n <= broadcast_nodes_max
     try:
         for _ in range(n_iter):
             # checkpointing CONTRIB (edge-agg output, node-sized) both
             # truncates lineage and lets the dangling computation reuse
             # the materialized partitions instead of a second pass
+            rank_side = F.broadcast(ranks) if bcast else ranks
             contrib = (
-                flow.join(ranks, flow.src == ranks.node)
+                flow.join(rank_side, flow.src == rank_side.node)
                 .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
