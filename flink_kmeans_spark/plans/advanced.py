@@ -1,0 +1,377 @@
+"""Round-2b advanced surface: distributed graph metrics, re-aggregable
+exact-distinct bitmaps, wide→long reshape, running distinct-count
+windows, and an engine-portable count-min sketch.
+
+Scale notes (100 TB discipline):
+- ``graph_triangles`` is the ordered-edge-join triangle enumeration —
+  the canonical distributed algorithm (each triangle materializes once,
+  as its (low, mid, high) orientation; joins shuffle on edge endpoints,
+  never all-pairs). Degree/triangle tables are node-sized, not
+  edge-squared.
+- ``agg_bitmap_distinct`` is EXACT distinct via Spark's bitmap
+  aggregates. Unlike COUNT(DISTINCT), partial bitmaps are re-aggregable
+  (``bitmap_or_agg``) — the rollup-tier pattern for exact distinct at
+  100 TB: shards build (group, bucket) partials map-side, any coarser
+  tier ORs them without touching raw rows.
+- ``agg_cms_frequency`` builds a count-min sketch with explicit
+  arithmetic hashing (engine-portable, so DuckDB can verify the EXACT
+  sketch cells, not an approximation band). The sketch is D×W cells —
+  broadcastable — regardless of input row count; the classic bounded-
+  memory frequency summary for unbounded key domains.
+- ``window_count_distinct`` rewrites the unsupported
+  COUNT(DISTINCT) OVER as first-occurrence-marker + running SUM —
+  two window passes over the same (user, time) sort order, so Catalyst
+  reuses one Sort+Exchange for both.
+- ``reshape_unpivot`` expands W metric columns into W rows per group
+  with Expand (no shuffle at all — the aggregate before it did the
+  only exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .registry import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# Shared DuckDB CTE: the exact 3-gram Jaccard near-dup candidate pairs
+# (same text pipeline as dedup_ngram_jaccard / graph_components oracles).
+_PAIRS_CTE = """
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS sh
+      FROM documents
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    )
+"""
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY src),
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.id_a = e1.id_b
+      JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT deg.doc_id, deg.degree,
+           COALESCE(pernode.n_tri, 0) AS n_tri,
+           ROUND(CASE WHEN deg.degree >= 2
+                      THEN 2.0 * COALESCE(pernode.n_tri, 0)
+                           / (deg.degree * (deg.degree - 1))
+                      ELSE 0.0 END, 4) AS clustering
+    FROM deg LEFT JOIN pernode ON pernode.node = deg.doc_id
+    """,
+    tags=("graph", "dedup"),
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    exact ngram-Jaccard near-dup graph. Triangles enumerate via the
+    ordered-edge double join (edges kept as id_a < id_b, so each
+    triangle appears exactly once as its sorted orientation) — the
+    standard shuffle-on-endpoint distributed algorithm; work is
+    O(sum of deg²) candidate wedges, never |V|² pairs. The explode to
+    per-corner rows turns the triangle list into node-sized
+    aggregates. Dup-graph use: clustering≈1 flags fully-duplicated
+    clusters, low clustering flags chain-shaped near-dup drift."""
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)  # reused 4×; candidate set is tiny vs corpus
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = und.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(pernode, deg.doc_id == pernode.node, "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering"),
+        )
+    )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap aggregates, built as
+    the two-level re-aggregation a 100 TB rollup tier uses:
+    shard-level partial bitmaps (``bitmap_construct_agg`` per
+    (group, bucket, shard)) are OR-merged (``bitmap_or_agg``) into
+    group-level bitmaps, and the distinct count is the sum of
+    ``bitmap_count`` over buckets. Unlike COUNT(DISTINCT) — whose
+    partials are not mergeable without a re-shuffle of raw values —
+    bitmap partials compose, so coarser rollup tiers never touch raw
+    rows again. The oracle is plain COUNT(DISTINCT): the bitmap path
+    must be exactly equal, not approximately."""
+    o = _t(spark, sf_dir, "orders")
+    # shard = ingest-split surrogate (any partition-stable column works)
+    partial = (
+        o.select(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("shard"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("pri", "shard", "bkt")
+        .agg(
+            F.expr("bitmap_construct_agg(pos)").alias("bm"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    merged = partial.groupBy("pri", "bkt").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm"), F.sum("pn").alias("pn")
+    )
+    return merged.groupBy("pri").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_distinct_cust"),
+        F.sum("pn").alias("n_orders"),
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS revenue,
+             ROUND(MAX(o_totalprice), 2) AS max_price
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM w
+    UNION ALL SELECT n_name, 'revenue', revenue FROM w
+    UNION ALL SELECT n_name, 'max_price', max_price FROM w
+    """,
+    tags=("reshape",),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native ``unpivot`` (Expand-based
+    inverse of pivot): per-nation metric columns become (nation,
+    metric, value) rows. Expand is a map-side row multiplier — zero
+    shuffle beyond the aggregate that built the wide table, vs the
+    UNION-ALL-of-N-selects formulation that would rescan the input N
+    times (the oracle does exactly that, over an already-aggregated
+    CTE, to stay engine-portable). Metrics are cast to a common DOUBLE
+    before unpivot — unpivot requires a least-common value type.
+    MAX (not AVG) keeps the value exactly representable so 2-dp
+    rounding can't straddle an engine-order boundary."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    wide = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"], ["n_orders", "revenue", "max_price"], "metric", "value"
+    )
+
+
+@register(
+    "window_count_distinct",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types
+    FROM m
+    """,
+    tags=("window", "events"),
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user — unsupported as a
+    native window aggregate in both engines, rewritten as the
+    first-occurrence-marker trick: row_number()==1 over
+    (user, type, time) marks each type's first sighting, and a running
+    SUM of the marker over (user, time) is the distinct count so far.
+    Both windows sort by (user_id, ts, event_id) — event_id breaks ts
+    ties deterministically, and Catalyst computes the second window on
+    the first's sort order without a second exchange. State is O(1)
+    per row vs the collect_set-over-window formulation whose per-row
+    set materialization is O(distinct) memory per row."""
+    e = _t(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w2).alias("n_distinct_types"),
+    )
+
+
+# Count-min sketch constants: depth×width cells, pairwise-independent-ish
+# arithmetic hashes h_j(k) = ((k·A_j + B_j) mod P) mod W with P = 2³¹−1.
+# Plain integer arithmetic so DuckDB computes the IDENTICAL sketch.
+_CMS_A = [1103515245, 1229782938, 1666666669, 1431655765]
+_CMS_B = [12345, 67890, 424242, 13579]
+_CMS_P = 2147483647
+_CMS_W = 512
+_CMS_D = 4
+
+
+@register(
+    "agg_cms_frequency",
+    oracle=f"""
+    WITH ks AS (SELECT o_custkey AS k FROM orders),
+    ex AS (SELECT k, j FROM ks, generate_series(0, {_CMS_D - 1}) AS t(j)),
+    sketch AS (
+      SELECT j,
+             ((k * ({_CMS_A})[j + 1] + ({_CMS_B})[j + 1]) % {_CMS_P})
+               % {_CMS_W} AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ex GROUP BY 1, 2
+    ),
+    exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM ks GROUP BY k),
+    probe AS (
+      SELECT k, exact_n, j,
+             ((k * ({_CMS_A})[j + 1] + ({_CMS_B})[j + 1]) % {_CMS_P})
+               % {_CMS_W} AS bkt
+      FROM exact, generate_series(0, {_CMS_D - 1}) AS t(j)
+    )
+    SELECT k, exact_n, MIN(cnt) AS cms_est
+    FROM probe JOIN sketch USING (j, bkt)
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with engine-portable arithmetic hashing: build
+    the D×W cell table (one hash aggregate over k×D exploded rows —
+    map-side combine collapses to ≤D×W cells per partition before the
+    shuffle), then probe every distinct key back through the sketch
+    and take the row-wise MIN — the CMS point estimate. The sketch is
+    4×512 cells regardless of input size, so the probe
+    join broadcasts it; CMS guarantees est ≥ exact (one-sided error),
+    which the output exposes as (exact_n, cms_est) for direct
+    inspection and the pytest invariant. At 100 TB the sketch is the
+    bounded-memory frequency summary for heavy-hitter screens —
+    exact per-key counts need a full shuffle of the key domain; the
+    sketch needs a broadcastable constant-size table."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    arr_a = F.array(*[F.lit(a) for a in _CMS_A])
+    arr_b = F.array(*[F.lit(b) for b in _CMS_B])
+
+    def bucket(k_col):
+        return (
+            (
+                k_col * F.element_at(arr_a, F.col("j") + 1)
+                + F.element_at(arr_b, F.col("j") + 1)
+            )
+            % _CMS_P
+        ) % _CMS_W
+
+    ex = o.select("k", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"))
+    sketch = ex.groupBy("j", bucket(F.col("k")).alias("bkt")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    exact = o.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe = exact.select(
+        "k",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j"),
+    ).withColumn("bkt", bucket(F.col("k")))
+    return (
+        probe.join(F.broadcast(sketch), ["j", "bkt"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
     from . import llm  # noqa: F401
     from . import tpch_extra  # noqa: F401
     from . import analytics  # noqa: F401
+    from . import advanced  # noqa: F401
 
 
 # Driver-verification window priority. The round-1 driver hashed only the

@@ -58,8 +58,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # int64 ns -> µs TimestampType; integer div keeps full precision.
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a µs TimestampType regardless of the
+    at-rest parquet encoding. Two encodings exist across driver testdata
+    generations: TIMESTAMP(NANOS) (read as int64 ns under the
+    ``nanosAsLong`` conf — convert with integer division, float division
+    would lose precision on ~1.7e18 ns epochs) and plain TIMESTAMP(µs)
+    (read as TIMESTAMP_NTZ — cast to TimestampType; the session timezone
+    is pinned to UTC by ``ensure_conf``, so the cast is value-preserving
+    and epoch-µs projections still agree with DuckDB's naive-as-UTC
+    reading). TIMESTAMP_NTZ must not leak downstream: event-time
+    watermarks reject it (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    Dtype-dispatch here keeps every downstream operator agnostic to the
+    file encoding."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -1,8 +1,13 @@
+import os
 import sys
 
 import pytest
 
 sys.path.insert(0, "/root/repo")
+
+# pytest.ini points --basetemp at .scratch/pytest; basetemp's mkdir is
+# non-recursive, so make sure the (gitignored) parent exists.
+os.makedirs("/root/repo/.scratch", exist_ok=True)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

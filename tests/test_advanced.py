@@ -1,0 +1,51 @@
+"""Invariant tests for the round-2b advanced keys (hash-equality vs
+DuckDB is covered by tools/check_oracles.py; these pin the semantic
+invariants that survive any data regeneration)."""
+
+import pandas as pd
+import pytest
+
+from flink_kmeans_spark.plans.registry import QUERIES
+
+
+def _q(name):
+    return QUERIES()[name]
+
+
+def test_cms_estimate_is_one_sided(spark, sf_oracle_dir):
+    pdf = _q("agg_cms_frequency")(spark, sf_oracle_dir).toPandas()
+    # CMS never underestimates; with 4x512 cells on ~1.5k keys the
+    # overestimate should also be tiny (collision mass per cell is small).
+    assert (pdf["cms_est"] >= pdf["exact_n"]).all()
+    assert (pdf["cms_est"] - pdf["exact_n"]).median() <= 50
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_oracle_dir):
+    got = _q("agg_bitmap_distinct")(spark, sf_oracle_dir).toPandas()
+    orders = pd.read_parquet(f"{sf_oracle_dir}/orders.parquet")
+    exact = orders.groupby("o_orderpriority")["o_custkey"].nunique()
+    for _, r in got.iterrows():
+        assert r["n_distinct_cust"] == exact[r["pri"]]
+
+
+def test_triangle_clustering_bounds(spark, sf_oracle_dir):
+    pdf = _q("graph_triangles")(spark, sf_oracle_dir).toPandas()
+    assert (pdf["degree"] >= 1).all()
+    assert (pdf["clustering"] >= 0).all() and (pdf["clustering"] <= 1).all()
+    # each triangle corner needs degree >= 2
+    assert (pdf.loc[pdf["n_tri"] > 0, "degree"] >= 2).all()
+
+
+def test_window_count_distinct_monotone_and_bounded(spark, sf_oracle_dir):
+    pdf = _q("window_count_distinct")(spark, sf_oracle_dir).toPandas()
+    events = pd.read_parquet(f"{sf_oracle_dir}/events.parquet")
+    true_nd = events.groupby("user_id")["event_type"].nunique()
+    final = pdf.groupby("user_id")["n_distinct_types"].max()
+    assert final.equals(true_nd.astype(final.dtype))
+    assert (pdf["n_distinct_types"] >= 1).all()
+
+
+def test_unpivot_metric_coverage(spark, sf_oracle_dir):
+    pdf = _q("reshape_unpivot")(spark, sf_oracle_dir).toPandas()
+    per_nation = pdf.groupby("n_name")["metric"].apply(set)
+    assert all(s == {"n_orders", "revenue", "max_price"} for s in per_nation)

@@ -217,7 +217,9 @@ def test_ts_fill_forward_matches_pandas_ffill(spark, sf_dir):
 def test_window_range_interval_matches_pandas(spark, sf_dir):
     rows = _q("window_range_interval")(spark, sf_dir).collect()
     e = pd.read_parquet(f"{sf_dir}/events.parquet")
-    sec = pd.to_datetime(e["ts"]).astype("int64") // 10**9
+    # astype("datetime64[ns]") pins the unit: pyarrow hands back
+    # datetime64[us] for µs-encoded files, where int64 would be µs.
+    sec = pd.to_datetime(e["ts"]).astype("datetime64[ns]").astype("int64") // 10**9
     df = pd.DataFrame({"event_id": e["event_id"], "user_id": e["user_id"],
                        "sec": sec, "value": e["value"]})
     got = {r["event_id"]: (r["roll3d_sum"], r["roll3d_n"]) for r in rows}
