@@ -375,3 +375,178 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", "exact_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+@register(
+    "events_user_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT 20
+    """,
+    tags=("events", "window"),
+)
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 onboarding paths: each user's first 5 events (by time,
+    event_id tiebreak) joined into a '>'-path, counted across users.
+    The per-user sequence is one window pass; the ORDERED string
+    aggregation — Spark's collect_list has no ORDER BY — is
+    array_sort over (rn, type) structs then transform+array_join,
+    all engine-side codegen. Top-20 compiles to
+    TakeOrderedAndProject: no global sort materializes. Path counts
+    are user-grain (≪ event-grain) before the final aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+    WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 17 = 0),
+    upds AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+      FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+             o_totalprice FROM orders WHERE o_orderkey % 23 = 0
+    ),
+    merged AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             COALESCE(u.new_price, o.o_totalprice) AS price
+      FROM orders o
+      LEFT JOIN upds u ON o.o_orderkey = u.o_orderkey
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM ins
+    )
+    SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(price), 2) AS total_price
+    FROM merged GROUP BY pri
+    """,
+    tags=("cdc", "join"),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog MERGE (CDC apply): a deterministic change batch —
+    deletes (key%17), updates (key%10, +10% price, delete wins on
+    overlap), inserts (key%23 under shifted keys) — applied to the
+    orders snapshot with the canonical distributed pattern: UNION the
+    keyed snapshot (seq=0) with the change rows (seq=1), shuffle once
+    on the key, keep the max-seq row per key, drop tombstones. One
+    exchange regardless of change-type mix — vs the three-join
+    formulation (the oracle's, for SQL portability) that shuffles the
+    snapshot once per change type. Emitted as the per-priority audit
+    aggregate so the output is group-sized."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    upds = (
+        o.filter((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 17 != 0))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            # +1000.0 is exact in binary — a ×1.1 + ROUND update hits
+            # half-up (Spark) vs half-even (DuckDB) on .xx5 halfway
+            # values and the per-row disagreements survive the sum.
+            (F.col("o_totalprice") + 1000.0).alias("price"),
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+        )
+    )
+    ins = o.filter(F.col("o_orderkey") % 23 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    log = base.unionByName(dels).unionByName(upds).unionByName(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("op") != "D")
+    )
+    return latest.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total,
+           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew"),
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-phase salted aggregation for skewed group keys:
+    l_returnflag has 3 values, so a naive groupBy lands ~1/3 of 100 TB
+    on 3 reducers. Phase 1 aggregates (flag, salt) with a 16-way
+    deterministic salt — 48 evenly-sized partials; phase 2 merges the
+    partials (sum-of-sums / sum-of-counts, AVG recomposed at the end —
+    never avg-of-avgs). Same two-exchange shape Spark's partial
+    aggregation gives for free on commutative aggs; written out
+    explicitly because the pattern is what rescues HOLISTIC aggs
+    (collect/percentile) and extreme skew where map-side combine
+    alone can't balance reducers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    salted = li.withColumn("salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("l_extendedprice").alias("pt")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pt"), 2).alias("total"),
+        F.round(F.sum("pt") / F.sum("pn"), 4).alias("avg_price"),
+    )
