@@ -550,3 +550,51 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("pt"), 2).alias("total"),
         F.round(F.sum("pt") / F.sum("pn"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "scalar_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice / NULLIF(o_custkey % 7, 0), 4) AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0
+                         THEN CAST(o_orderkey AS VARCHAR)
+                         ELSE o_orderpriority END AS BIGINT) AS maybe_num,
+           CASE WHEN o_orderkey > 0 THEN NULL
+                ELSE 9223372036854775807 + o_orderkey END AS overflow_add,
+           [1, 2, 3][CAST(o_orderkey % 5 + 1 AS INTEGER)] AS oob_elem
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar family — the ANSI-mode escape hatches a
+    data-quality pipeline runs on untrusted input: try_divide
+    (÷0 → NULL, not an error or ±Inf), try_cast (malformed → NULL),
+    try_add (int64 overflow → NULL — the oracle encodes the documented
+    semantic as an explicit CASE since DuckDB 1.0 has no TRY()),
+    try_element_at (out-of-bounds → NULL, matching DuckDB's native
+    OOB-is-NULL list indexing; note 1-based vs element_at which
+    errors). All pure codegen — error handling costs nothing vs the
+    CASE-guard formulation and never aborts a 100 TB job on one bad
+    row."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 7), 4
+        ).alias("safe_div"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey").cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .try_cast("bigint")
+        .alias("maybe_num"),
+        F.try_add(
+            F.lit(9223372036854775807).cast("bigint"), F.col("o_orderkey")
+        ).alias("overflow_add"),
+        # index stays 1-based and nonzero (1..5): try_element_at nulls
+        # out-of-bounds but still ERRORS on index 0 in both engines' API
+        F.try_element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(3)),
+            (F.col("o_orderkey") % 5 + 1).cast("int"),
+        ).alias("oob_elem"),
+    )
