@@ -598,3 +598,106 @@ def scalar_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 5 + 1).cast("int"),
         ).alias("oob_elem"),
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT source AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY source
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` heavy-hitter sketch (Spark 4 built-in —
+    bounded-memory item tracking, partial-mergeable, the streaming-
+    friendly top-k that never shuffles raw values). Probed with
+    k=100 ≥ |domain| and default maxItemsTracked ≫ |domain|, where the
+    sketch is provably exact — so the full GROUP BY histogram is a
+    hash-exact oracle of the sketch machinery itself, stronger than a
+    tolerance band. The struct-array result explodes to (item, cnt)
+    rows; order-insensitive compare makes count ties harmless. At
+    100 TB the sketch aggregates map-side into a constant-size state
+    per partition vs COUNT(*) GROUP BY's full key shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    topk = docs.agg(F.expr("approx_top_k(source, 100)").alias("tk"))
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+    WITH sel AS (SELECT * FROM orders WHERE o_orderkey % 100 = 0)
+    SELECT CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 <> 0) AS BIGINT)
+             AS n_good,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey % 7 = 0) AS BIGINT)
+             AS n_corrupt,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderkey % 7 <> 0), 2)
+             AS good_total
+    FROM sel
+    """,
+    tags=("scan", "quality"),
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input CSV ingestion: a deterministic subset of orders
+    is serialized to CSV with every key%7 row corrupted (non-numeric
+    price field), then read back under PERMISSIVE mode with a
+    ``_corrupt_record`` column — the production posture for untrusted
+    100 TB landing data, where FAILFAST would abort the job on row one
+    and DROPMALFORMED silently loses the evidence. The audit output
+    (good/corrupt counts + good-row total) is what a quarantine
+    pipeline logs; the oracle recomputes it from the clean source via
+    the same modular conditions. Corrupt rows quarantine at scan
+    grain, map-side — no shuffle touches them."""
+    from .relational import _scratch_dir
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.lit("NOT_A_PRICE"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_totalprice"),
+            )
+        )
+        .alias("value")
+    )
+    path = _scratch_dir("csv_permissive") + "/orders_csv"
+    lines.write.mode("overwrite").text(path)
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "_corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    # cache() before splitting on _corrupt_record: Spark documents that
+    # a bare filter on the corrupt column alone is unreliable pre-cache
+    back = back.cache()
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_corrupt"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice"))
+            ),
+            2,
+        ).alias("good_total"),
+    )
