@@ -80,6 +80,13 @@ HEADLINE = [
     "events_streaks",
     "events_transitions",
     "join_bloom_pruned",
+    # round-2b additions
+    "cdc_merge_apply",
+    "window_count_distinct",
+    "agg_bitmap_distinct",
+    "agg_cms_frequency",
+    "events_user_paths",
+    "pipeline_curation",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

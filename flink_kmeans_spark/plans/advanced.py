@@ -701,3 +701,79 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("good_total"),
     )
+
+
+@register(
+    "pipeline_curation",
+    oracle="""
+    WITH filt AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE n_chars BETWEEN 150 AND 500
+        AND len(string_split(text, ' ')) >= 20
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang, source, n_chars
+                                  ORDER BY doc_id) AS rn
+        FROM filt) WHERE rn = 1
+    ),
+    cents AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    joined AS (
+      SELECT k.doc_id, k.lang, k.n_chars,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+    ),
+    assigned AS (
+      SELECT doc_id, lang, n_chars, cid FROM (
+        SELECT j.doc_id, j.lang, j.n_chars, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY j.doc_id ORDER BY
+                 list_aggregate(list_transform(list_zip(j.v, c.cvec),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cid) AS rn
+        FROM joined j CROSS JOIN cents c) WHERE rn = 1
+    )
+    SELECT cid, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM assigned GROUP BY cid, lang
+    """,
+    tags=("pipeline", "dedup", "kmeans"),
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation — the composed pipeline a user
+    of this engine actually runs, as ONE declarative plan Catalyst
+    optimizes globally: quality filter (length gates, pushed to the
+    parquet scan) → exact-key dedup (keep-first window over the
+    metadata key) → embedding join (doc_id = vec_id) → K-Means cluster
+    assignment (fixed first-8 init, broadcast centroid block, zero
+    shuffle) → per-(cluster, lang) corpus report. Stage boundaries
+    cost nothing — no materialization between steps, and the final
+    aggregate is the only data-sized exchange after the dedup window.
+    The DuckDB oracle replays the identical five stages, so the whole
+    composition is hash-verified, not just its parts."""
+    from ..operators import kmeans as km
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    filt = docs.filter(
+        F.col("n_chars").between(150, 500)
+        & (F.size(F.split(F.col("text"), " ")) >= 20)
+    ).select("doc_id", "lang", "source", "n_chars")
+    w = Window.partitionBy("lang", "source", "n_chars").orderBy("doc_id")
+    kept = (
+        filt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    cents = km.init_centroids(emb, 8)
+    joined = kept.join(emb, kept.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "n_chars", "embedding"
+    )
+    assigned = km.assign(joined, cents)
+    return assigned.groupBy("cid", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
