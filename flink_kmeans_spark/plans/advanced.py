@@ -273,14 +273,19 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence-marker trick: row_number()==1 over
     (user, type, time) marks each type's first sighting, and a running
     SUM of the marker over (user, time) is the distinct count so far.
-    Both windows sort by (user_id, ts, event_id) — event_id breaks ts
-    ties deterministically, and Catalyst computes the second window on
-    the first's sort order without a second exchange. State is O(1)
-    per row vs the collect_set-over-window formulation whose per-row
-    set materialization is O(distinct) memory per row."""
+    ONE exchange for both windows: the input pre-partitions on
+    user_id alone, which satisfies the first window's
+    (user_id, event_type) clustering too (hash on a subset of the
+    keys co-locates the full key), so EnsureRequirements inserts only
+    the two in-partition sorts — without the repartition, each window
+    plans its own full shuffle (verified in the physical plan). State
+    is O(1) per row vs the collect_set-over-window formulation whose
+    per-row set materialization is O(distinct) memory per row."""
     e = _t(spark, sf_dir, "events")
     w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    marked = e.select(
+    marked = e.select("event_id", "user_id", "event_type", "ts").repartition(
+        "user_id"
+    ).select(
         "event_id",
         "user_id",
         "ts",

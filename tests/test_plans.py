@@ -324,3 +324,41 @@ def test_events_streaks_and_transitions_join_free(spark, sf_dir):
         p = plan_of(_specs()[key].fn(spark, sf_dir))
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
+
+
+def test_window_count_distinct_single_exchange(spark, sf_dir):
+    """Both window passes must share ONE user_id shuffle: hash on the
+    subset key satisfies the (user_id, event_type) clustering, so only
+    in-partition sorts separate the two Window nodes."""
+    plan = plan_of(specs()["window_count_distinct"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_cdc_merge_single_key_shuffle(spark, sf_dir):
+    """The changelog union must shuffle ONCE on the merge key (the
+    max-seq window); the only other exchange is the group-sized final
+    aggregate. No join of snapshot vs changes appears at all."""
+    plan = plan_of(specs()["cdc_merge_apply"].fn(spark, sf_dir))
+    key_exchanges = plan.count("Exchange hashpartitioning(o_orderkey")
+    assert key_exchanges == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pipeline_curation_shapes(spark, sf_dir):
+    """The composed pipeline keeps its stage shapes: length gates reach
+    the documents parquet scan, the centroid block rides in as the
+    single-row broadcast (no point shuffle for assignment), and no
+    cartesian product anywhere."""
+    plan = plan_of(specs()["pipeline_curation"].fn(spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "n_chars" in pushed
+    assert "BroadcastNestedLoopJoin" in plan  # one-row centroid build
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
+    """unpivot compiles to Expand over the aggregated wide table — the
+    only exchanges are the aggregate's own."""
+    plan = plan_of(specs()["reshape_unpivot"].fn(spark, sf_dir))
+    assert "Expand" in plan
