@@ -782,3 +782,88 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST('1995-01-01' AS DATE)
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < CAST('2001-08-01' AS DATE)
+    )
+    SELECT strftime(m, '%Y-%m') AS month_start,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+    FROM months
+    LEFT JOIN orders ON date_trunc('month', CAST(o_orderdate AS DATE)) = m
+    GROUP BY m
+    """,
+    tags=("sql", "eventtime"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL front door (Spark 4 recursive
+    CTE): a calendar spine generated by the recursion — no physical
+    calendar table — LEFT-joined to orders so zero-order months
+    survive with 0 revenue (the gap-preserving report a bare GROUP BY
+    cannot produce). The recursion materializes ~80 month rows on the
+    driver side of the plan (UnionLoop), broadcast into the join;
+    orders aggregates once. DuckDB runs the IDENTICAL statement —
+    the dialect surface itself is what's verified."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST('1995-01-01' AS DATE)
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < CAST('2001-08-01' AS DATE)
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month_start,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0.0), 2) AS revenue
+        FROM months
+        LEFT JOIN orders ON date_trunc('month', CAST(o_orderdate AS DATE)) = m
+        GROUP BY m
+        """
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+    ) c
+    """,
+    tags=("join", "sql"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-nation top-2 customers by
+    balance, custkey tiebreak) — the SQL-standard spelling of
+    top-N-per-group. Catalyst DECORRELATES it: the executed plan is a
+    window rank over customer partitioned by nationkey + a broadcast
+    join with nation, not a per-outer-row re-execution — the same plan
+    the hand-written window formulation gets, which is exactly why the
+    surface is safe at 100 TB. DuckDB runs the identical statement."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) c
+        """
+    )
