@@ -867,3 +867,95 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                THEN 'BIGINT' ELSE 'VOID' END AS k_type
+    FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4): ``parse_json`` into
+    an open-schema value, path access via ``variant_get`` with a typed
+    extraction, and ``schema_of_variant`` for runtime type discovery —
+    the shredding-free way to carry heterogeneous JSON at scale
+    (binary-encoded, predicate-pushable — vs re-parsing JSON strings
+    per access). The oracle reads the same paths with DuckDB's JSON
+    accessors: VARIANT must be a faithful view of the document."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.expr("schema_of_variant(variant_get(parse_json(props), '$.k'))").alias(
+            "k_type"
+        ),
+    )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH g AS (SELECT i FROM generate_series(0, 9999) AS t(i))
+    SELECT i % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i * i) AS BIGINT) AS sum_sq
+    FROM g GROUP BY 1
+    """,
+    tags=("source",),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SOURCE via the Python Data Source API (Spark 4): a
+    deterministic generator exposing ``partitions()`` so the scan
+    parallelizes — 4 independent splits, each yielding its own index
+    range (the contract any external-system connector implements:
+    plan splits driver-side, read each split executor-side, no driver
+    materialization). Defined in-function so it ships to workers BY
+    VALUE (repo worker-serialization contract — module-level classes
+    pickle by reference and break under the driver's plain session).
+    The oracle recomputes the closed-form dataset with
+    generate_series."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_total, n_parts = 10_000, 4
+
+    class RangePartition(InputPartition):
+        def __init__(self, start, end):
+            self.start, self.end = start, end
+
+    class SquaresReader(DataSourceReader):
+        def partitions(self):
+            step = n_total // n_parts
+            return [
+                RangePartition(p * step, (p + 1) * step) for p in range(n_parts)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, i * i)
+
+    class SquaresSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "squares_gen"
+
+        def schema(self):
+            return "i bigint, sq bigint"
+
+        def reader(self, schema):
+            return SquaresReader()
+
+    spark.dataSource.register(SquaresSource)
+    df = spark.read.format("squares_gen").load()
+    return df.groupBy((F.col("i") % 7).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sq").alias("sum_sq")
+    )
