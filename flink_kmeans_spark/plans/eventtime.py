@@ -473,3 +473,33 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "streaming_foreach_batch",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value,
+           ROUND(MAX(l.value), 4) AS last_value
+    FROM events e
+    JOIN latest l ON l.user_id = e.user_id AND l.rn = 1
+    GROUP BY e.user_id
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: per-batch partials staged append-only under
+    their batch_id, merged post-drain to per-user totals + last-writer-
+    wins latest value — the idempotent upsert recipe for sinks with no
+    native streaming writer. The drained merge must equal the batch
+    GROUP BY + argmax on the same events (oracle), regardless of how
+    availableNow split the micro-batches."""
+    from ..streaming.jobs import run_foreach_batch_upsert
+
+    return run_foreach_batch_upsert(spark, sf_dir)

@@ -291,3 +291,70 @@ def run_available_now(
         )
     q.stop()
     return df.sparkSession.table(name)
+
+
+def run_foreach_batch_upsert(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """``foreachBatch`` sink — the production pattern for targets with
+    no native streaming writer (JDBC upserts, MERGE INTO a lakehouse
+    table): each micro-batch is handed to arbitrary BATCH logic with a
+    monotonically increasing ``batch_id`` for idempotent retries.
+
+    Here every batch reduces to per-user partials (count, sum, latest
+    (ts, value) via ``max_by``) and APPENDS them to a staging parquet
+    keyed by batch_id — append-only staging + deterministic post-merge
+    is the replay-safe upsert recipe (a retried batch overwrites its
+    own batch_id partition; it never double-applies). The returned
+    frame is the post-drain merge: per-user totals + last-writer-wins
+    latest value across batches."""
+    import os
+    import tempfile
+
+    from ..session import prune_scratch
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
+    stage = tempfile.mkdtemp(prefix="fbu_stage_", dir=base) + "/partials"
+    ckpt = tempfile.mkdtemp(prefix="fbu_ckpt_", dir=base)
+
+    ev = stream_events(spark, sf_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("pv"),
+            F.max(F.struct("ts", "event_id", "value")).alias("latest"),
+        )
+        (
+            partial.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(stage)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"foreachBatch stream did not drain in {timeout_sec}s")
+    q.stop()
+
+    staged = spark.read.parquet(stage)
+    return staged.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 4).alias("total_value"),
+        F.max("latest").alias("latest"),
+    ).select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.round(F.col("latest.value"), 4).alias("last_value"),
+    )
