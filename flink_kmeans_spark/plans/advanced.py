@@ -959,3 +959,155 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy((F.col("i") % 7).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n"), F.sum("sq").alias("sum_sq")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    back AS (
+      SELECT p.event_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS b_ts,
+             ROUND(c.value, 4) AS b_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ),
+    fwd AS (
+      SELECT p.event_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS f_ts,
+             ROUND(c.value, 4) AS f_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.ts >= p.ts
+    )
+    SELECT p.event_id,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+             WHEN f.f_ts IS NULL THEN b.b_ts
+             WHEN b.b_ts IS NULL THEN f.f_ts
+             WHEN epoch_us(CAST(p.ts AS TIMESTAMP)) - b.b_ts
+                  <= f.f_ts - epoch_us(CAST(p.ts AS TIMESTAMP)) THEN b.b_ts
+             ELSE f.f_ts
+           END AS nearest_ts_us,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+             WHEN f.f_ts IS NULL THEN b.b_val
+             WHEN b.b_ts IS NULL THEN f.f_val
+             WHEN epoch_us(CAST(p.ts AS TIMESTAMP)) - b.b_ts
+                  <= f.f_ts - epoch_us(CAST(p.ts AS TIMESTAMP)) THEN b.b_val
+             ELSE f.f_val
+           END AS nearest_value
+    FROM p
+    LEFT JOIN back b ON b.event_id = p.event_id
+    LEFT JOIN fwd f ON f.event_id = p.event_id
+    """,
+    tags=("join", "eventtime"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas ``merge_asof(direction='nearest')``):
+    each purchase matches its closest click in EITHER time direction,
+    backward winning ties — the sensor-alignment semantic neither
+    native ASOF direction covers. Composed from the two single-shuffle
+    as-of passes (backward + forward, both purchase-grain) merged on
+    the left key with the |Δt| argmin decided per row — still a
+    constant number of shuffles, no time-pair blowup. The oracle
+    composes DuckDB's two native ASOF directions with the identical
+    pick rule."""
+    from ..operators.joins import asof_join_backward, asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_val"),
+    )
+    back = asof_join_backward(
+        p, c, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["c_ts", "c_val"], tiebreak=["event_id"],
+    ).select(
+        "event_id",
+        F.col("ts").alias("p_ts"),
+        F.unix_micros("c_ts").alias("b_ts"),
+        F.round("c_val", 4).alias("b_val"),
+    )
+    fwd = asof_join_forward(
+        p, c, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["c_ts", "c_val"], tiebreak=["event_id"],
+    ).select(
+        "event_id",
+        F.unix_micros("c_ts").alias("f_ts"),
+        F.round("c_val", 4).alias("f_val"),
+    )
+    j = back.join(fwd, "event_id", "left")
+    p_us = F.unix_micros("p_ts")
+    take_back = (
+        F.col("f_ts").isNull()
+        | (F.col("b_ts").isNotNull() & ((p_us - F.col("b_ts")) <= (F.col("f_ts") - p_us)))
+    )
+    return j.select(
+        "event_id",
+        F.when(take_back, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "nearest_ts_us"
+        ),
+        F.when(take_back, F.col("b_val")).otherwise(F.col("f_val")).alias(
+            "nearest_value"
+        ),
+    )
+
+
+@register(
+    "events_pattern_seq",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(event_id, 2) OVER w AS end_event_id,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP)), 2) OVER w AS end_ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS start_event_id, end_event_id,
+           CAST((end_ts_us - ts_us) // 1000000 AS BIGINT) AS span_sec
+    FROM o
+    WHERE event_type = 'click' AND t1 = 'click' AND t2 = 'purchase'
+      AND end_ts_us - ts_us <= CAST(86400 AS BIGINT) * 1000000
+    """,
+    tags=("eventtime", "events"),
+)
+def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence detection (the Flink-CEP shape, relationally):
+    the strict-contiguity pattern click→click→purchase within 24 h,
+    matched with LEAD offsets over each user's time-ordered stream —
+    one window pass, no self-joins (a k-step pattern is k-1 LEADs, not
+    a k-way join; at 100 TB the difference is one shuffle vs k). Spark
+    and DuckDB run the same windowed predicate."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_event_id"),
+        F.lead(ts_us, 2).over(w).alias("end_ts_us"),
+    )
+    return o.filter(
+        (F.col("event_type") == "click")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("end_ts_us") - F.col("ts_us") <= 86400 * 1_000_000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("start_event_id"),
+        "end_event_id",
+        # floor div on BOTH sides: double-division + CAST rounds half-to-
+        # even in DuckDB but truncates in Spark — off-by-one on .5s spans
+        F.floor((F.col("end_ts_us") - F.col("ts_us")) / 1_000_000)
+        .cast("bigint")
+        .alias("span_sec"),
+    )
