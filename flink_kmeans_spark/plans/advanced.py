@@ -1111,3 +1111,79 @@ def events_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("span_sec"),
     )
+
+
+@register(
+    "scalar_collation",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 0 THEN UPPER(source) ELSE source END
+               AS mixed
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT mixed) AS BIGINT) AS n_case_sensitive,
+           CAST(COUNT(DISTINCT LOWER(mixed)) AS BIGINT) AS n_case_insensitive,
+           CAST(COUNT(*) FILTER (WHERE LOWER(mixed) = 'src1') AS BIGINT)
+             AS n_src1_ci
+    FROM m GROUP BY lang
+    """,
+    tags=("scalar", "string"),
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATION (Spark 4): distinct counts and equality under
+    UNICODE_CI — collation-aware semantics pushed into the ENGINE's
+    comparators (hash/sort operators use the collation key directly)
+    instead of wrapping every column in lower() at every use site.
+    The oracle expresses the same semantics with explicit LOWER() —
+    collated distinct/equality must agree exactly with the normalize-
+    then-compare formulation. Case diversity is injected
+    deterministically (doc_id parity)."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper(F.col("source"))
+    ).otherwise(F.col("source"))
+    m = docs.select("lang", mixed.alias("mixed"))
+    ci = F.collate(F.col("mixed"), "UNICODE_CI")
+    return m.groupBy("lang").agg(
+        F.countDistinct("mixed").alias("n_case_sensitive"),
+        F.countDistinct(ci).alias("n_case_insensitive"),
+        F.count(F.when(ci == F.lit("src1"), 1)).alias("n_src1_ci"),
+    )
+
+
+@register(
+    "scalar_xml",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS pri,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders
+    """,
+    tags=("scalar", "xml"),
+)
+def scalar_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML serialize/parse roundtrip (``to_xml`` → ``from_xml`` with an
+    explicit schema): every orders row survives the format conversion
+    bit-exactly, verified by the identity oracle on the source table.
+    The XML reader is schema-on-read like from_json/from_csv — the
+    scan shape for XML feeds at scale; all row-at-a-time work stays in
+    JVM codegen (no Python)."""
+    o = _t(spark, sf_dir, "orders")
+    xml = o.select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("p"),
+                F.col("o_totalprice").alias("t"),
+            )
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.from_xml(F.col("doc"), "k BIGINT, p STRING, t DOUBLE").alias("s")
+    )
+    return parsed.select(
+        F.col("s.k").alias("o_orderkey"),
+        F.col("s.p").alias("pri"),
+        F.round("s.t", 2).alias("price"),
+    )
