@@ -1187,3 +1187,49 @@ def scalar_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.p").alias("pri"),
         F.round("s.t", 2).alias("price"),
     )
+
+
+@register(
+    "multimodal_dedup_hash",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    hashed AS (SELECT doc_id, md5(text) AS digest FROM corpus),
+    grp AS (
+      SELECT digest, MIN(doc_id) AS rep_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_copies
+      FROM hashed GROUP BY digest
+    )
+    SELECT rep_doc_id, n_copies, digest FROM grp WHERE n_copies > 1
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-content dedup for media tables: payloads dedupe on
+    their md5 content digest — the first pass of every multimodal
+    pipeline (identical bytes re-crawled under different ids), running
+    entirely on the 16-byte digest so the shuffle never carries
+    payloads (at 100 TB the digests are ~0.0001% of the media bytes;
+    group-by-digest + min-id representative is the same keep-first
+    shape as dedup_exact). Re-crawls are simulated by re-ingesting
+    every 5th document under a shifted id; the oracle md5s the same
+    utf-8 bytes (Spark md5(binary) ≡ DuckDB md5(text) for utf-8
+    payloads)."""
+    from ..operators.multimodal import to_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    corpus = docs.unionByName(recrawl)
+    media = to_media_table(corpus)
+    grp = media.groupBy(F.col("meta.content_md5").alias("digest")).agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return grp.filter(F.col("n_copies") > 1).select(
+        "rep_doc_id", "n_copies", "digest"
+    )
