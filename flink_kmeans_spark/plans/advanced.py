@@ -1233,3 +1233,74 @@ def multimodal_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grp.filter(F.col("n_copies") > 1).select(
         "rep_doc_id", "n_copies", "digest"
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN lag(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), r AS (
+      SELECT user_id, event_type, t, event_id,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM s
+    ), runs AS (
+      SELECT user_id, event_type AS state,
+             CAST(MIN(t) AS BIGINT) AS valid_from
+      FROM r GROUP BY user_id, event_type, grp
+    ),
+    p AS (
+      SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, runs.state AS state_at_event,
+           runs.valid_from AS state_since_us
+    FROM p ASOF JOIN runs
+      ON p.user_id = runs.user_id AND runs.valid_from <= p.t
+    """,
+    tags=("join", "eventtime", "scd2"),
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME correct join (the feature-store primitive): each
+    purchase event reads the SCD2 state dimension AS OF its own
+    timestamp — never a later state (label leakage) and never missing
+    the concurrent one. Implemented as the backward as-of join of the
+    purchase stream against the interval starts, so the temporal
+    containment needs NO range predicate at all: intervals per user
+    are contiguous, so "greatest valid_from ≤ t" IS the containing
+    interval — one shuffle, no interval explosion. The oracle rebuilds
+    the same SCD2 runs and uses DuckDB's native ASOF."""
+    from ..operators.joins import asof_join_backward
+    from .analytics import scd2_intervals
+
+    e = _t(spark, sf_dir, "events")
+    intervals = scd2_intervals(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from").alias("iv_t"),
+        F.col("state").alias("state"),
+        F.col("valid_from").alias("vfrom"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    out = asof_join_backward(
+        purchases,
+        intervals,
+        on=["user_id"],
+        left_ts="t",
+        right_ts="iv_t",
+        value_cols=["state", "vfrom"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.col("state").alias("state_at_event"),
+        F.col("vfrom").alias("state_since_us"),
+    )
