@@ -1304,3 +1304,123 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_event"),
         F.col("vfrom").alias("state_since_us"),
     )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS now_us
+                FROM events),
+    base AS (
+      SELECT user_id,
+             CAST((mx.now_us - MAX(epoch_us(CAST(ts AS TIMESTAMP))))
+                  // 86400000000 AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0 END), 4) AS monetary
+      FROM events, mx GROUP BY user_id, mx.now_us
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, user_id)
+                AS INTEGER) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id)
+                AS INTEGER) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id)
+                AS INTEGER) AS m_quartile
+    FROM base
+    """,
+    tags=("events", "agg", "window"),
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary + NTILE
+    quartiles) — the standard customer-scoring composite: one hash
+    aggregate to user grain, a one-row MAX broadcast as "now", then
+    three global NTILEs over the user-sized frame. The NTILEs are
+    single-partition windows BY DESIGN: they run on aggregate-grain
+    rows (|users| ≪ |events|), the one place a global sort is
+    affordable; user_id tiebreaks make quartile boundaries
+    deterministic. Floor-div for day buckets on both engines."""
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    now = e.agg(F.max(ts_us).alias("now_us"))
+    base = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(ts_us).alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                4,
+            ).alias("monetary"),
+        )
+        .join(F.broadcast(now))
+        .select(
+            "user_id",
+            F.floor((F.col("now_us") - F.col("last_us")) / 86_400_000_000)
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+@register(
+    "mining_cooccurrence",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("mining", "join"),
+)
+def mining_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (the candidate-pair stage of
+    association-rule mining): item pairs co-purchased in the same
+    order, counted across orders, support-thresholded. The self-join
+    keys on the BASKET id, so the pair space is Σ|basket|² — bounded
+    by the ~7-item TPC-H basket, never |items|²; the a < b ordering
+    halves it and canonicalizes the pair. At 100 TB the same shape
+    feeds FP-growth-style pruning: the support HAVING is applied in
+    the same aggregate that counts, so sub-threshold pairs die in the
+    map-side combine, not in a second pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
