@@ -1424,3 +1424,81 @@ def mining_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    lm AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT SUM(c) AS n FROM lm)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-LN(lm.c / tot.n)), 4) AS avg_neg_logprob
+    FROM toks t JOIN lm ON t.tok = lm.tok CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "llm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring (the CCNet/Gopher-style quality
+    filter shape, with the corpus itself as the LM): per-document mean
+    negative log-probability under corpus unigram frequencies. Two
+    aggregates + one join: the LM table is VOCAB-sized (broadcast — at
+    100 TB vocab ≪ corpus), the total is a one-row cross join, and
+    scoring is a map-side lookup per token. Docs full of rare tokens
+    score high (gibberish screen), boilerplate scores low — the
+    cheap distributed proxy where a real LM is too expensive to run
+    corpus-wide."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = lm.agg(F.sum("c").alias("n"))
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
+@register(
+    "scalar_decimal",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS VARCHAR)
+             AS exact_total,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("scalar", "agg"),
+)
+def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT money arithmetic with DECIMAL(18,2): the sum of ~3000
+    prices per group is bit-exact and ORDER-INDEPENDENT — no float
+    summation noise, no .xx5 rounding divergence — so the oracle
+    compares the full-precision total as a STRING, something the
+    double path fundamentally cannot promise (its engines disagree in
+    the last ulps and need the 6 dp rounding escape hatch). Spark
+    widens decimal sums to (28,2) internally and map-side combines
+    them like any other aggregate; the scale story is unchanged from
+    double sums, only overflow-checked."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("exact_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
