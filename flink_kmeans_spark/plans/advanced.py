@@ -1245,7 +1245,7 @@ def multimodal_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (PARTITION BY user_id ORDER BY ts, event_id)
                        IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS chg
-      FROM events
+      FROM events WHERE event_type <> 'purchase'
     ), r AS (
       SELECT user_id, event_type, t, event_id,
              SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
@@ -1262,7 +1262,7 @@ def multimodal_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.event_id, runs.state AS state_at_event,
            runs.valid_from AS state_since_us
-    FROM p ASOF JOIN runs
+    FROM p ASOF LEFT JOIN runs
       ON p.user_id = runs.user_id AND runs.valid_from <= p.t
     """,
     tags=("join", "eventtime", "scd2"),
@@ -1275,16 +1275,42 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase stream against the interval starts, so the temporal
     containment needs NO range predicate at all: intervals per user
     are contiguous, so "greatest valid_from ≤ t" IS the containing
-    interval — one shuffle, no interval explosion. The oracle rebuilds
-    the same SCD2 runs and uses DuckDB's native ASOF."""
+    interval — one shuffle, no interval explosion. The DIMENSION is
+    built from the non-purchase events only (status stream) and the
+    purchases are the FACT stream — joining facts against a history
+    containing themselves degenerates to self-lookup. A purchase
+    before any status event carries NULL state (left as-of). The
+    oracle rebuilds the same SCD2 runs and uses DuckDB's native
+    ASOF LEFT."""
     from ..operators.joins import asof_join_backward
-    from .analytics import scd2_intervals
 
     e = _t(spark, sf_dir, "events")
-    intervals = scd2_intervals(spark, sf_dir).select(
+    status = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = status.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    r = s.withColumn(
+        "grp",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = r.groupBy("user_id", F.col("event_type").alias("state"), "grp").agg(
+        F.min("t").alias("valid_from")
+    )
+    intervals = runs.select(
         "user_id",
         F.col("valid_from").alias("iv_t"),
-        F.col("state").alias("state"),
+        "state",
         F.col("valid_from").alias("vfrom"),
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
