@@ -1528,3 +1528,62 @@ def scalar_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d = days.d
+                                    THEN ud.user_id END) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN ud.d > days.d - 7
+                                    THEN ud.user_id END) AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+    FROM days JOIN ud
+      ON ud.d <= days.d AND ud.d > days.d - 28
+    GROUP BY days.d
+    """,
+    tags=("events", "agg"),
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU — trailing-window DISTINCT users per day, the
+    engagement report every product pipeline ships. Computed on the
+    DEDUPED (user, day) grid (event-grain collapses first: the grid is
+    |users|×|days| ≪ |events|), then one bounded range join fans each
+    user-day into the ≤28 report days it supports, and conditional
+    COUNT(DISTINCT CASE …) folds all three horizons in a single
+    aggregate — one pass, not three. At 100 TB the fan-out is a
+    constant ×28 of the tiny grid, never of raw events; the
+    range join is binned by construction (date equality bands)."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct().select(F.col("d").alias("day_d"))
+    j = days.join(
+        ud,
+        (F.col("d") <= F.col("day_d"))
+        & (F.col("d") > F.date_sub(F.col("day_d"), 28)),
+    )
+    return (
+        j.groupBy("day_d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day_d"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("day_d"), 7), F.col("user_id")
+                )
+            ).alias("wau"),
+            F.countDistinct("user_id").alias("mau"),
+        )
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+    )

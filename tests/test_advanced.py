@@ -49,3 +49,47 @@ def test_unpivot_metric_coverage(spark, sf_oracle_dir):
     pdf = _q("reshape_unpivot")(spark, sf_oracle_dir).toPandas()
     per_nation = pdf.groupby("n_name")["metric"].apply(set)
     assert all(s == {"n_orders", "revenue", "max_price"} for s in per_nation)
+
+
+def test_rfm_quartiles_balanced(spark, sf_oracle_dir):
+    pdf = _q("events_rfm")(spark, sf_oracle_dir).toPandas()
+    for c in ["r_quartile", "f_quartile", "m_quartile"]:
+        counts = pdf[c].value_counts()
+        assert set(counts.index) == {1, 2, 3, 4}
+        assert counts.max() - counts.min() <= 1  # NTILE balance
+    assert (pdf["recency_days"] >= 0).all()
+
+
+def test_cooccurrence_pairs_canonical(spark, sf_oracle_dir):
+    pdf = _q("mining_cooccurrence")(spark, sf_oracle_dir).toPandas()
+    assert (pdf["part_a"] < pdf["part_b"]).all()
+    assert (pdf["support"] >= 2).all()
+
+
+def test_point_in_time_never_reads_future(spark, sf_oracle_dir):
+    import pandas as pd
+
+    pit = _q("join_point_in_time")(spark, sf_oracle_dir).toPandas()
+    events = pd.read_parquet(f"{sf_oracle_dir}/events.parquet")
+    ts_us = (
+        pd.to_datetime(events["ts"]).astype("datetime64[ns]").astype("int64")
+        // 1000
+    )
+    p = events[events["event_type"] == "purchase"].assign(t=ts_us)
+    m = pit.merge(p[["event_id", "t"]], on="event_id")
+    matched = m[m["state_since_us"].notna()]
+    # PIT correctness: the carried state never starts after the event
+    assert (matched["state_since_us"] <= matched["t"]).all()
+    assert (matched["state_at_event"] != "purchase").all()
+
+
+def test_active_users_monotone_horizons(spark, sf_oracle_dir):
+    pdf = _q("events_active_users")(spark, sf_oracle_dir).toPandas()
+    assert (pdf["dau"] <= pdf["wau"]).all()
+    assert (pdf["wau"] <= pdf["mau"]).all()
+
+
+def test_unigram_logprob_positive(spark, sf_oracle_dir):
+    pdf = _q("text_unigram_logprob")(spark, sf_oracle_dir).toPandas()
+    assert (pdf["avg_neg_logprob"] > 0).all()
+    assert len(pdf) == 500
