@@ -1587,3 +1587,65 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mau",
         )
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, UNNEST(v) AS x, generate_subscripts(v, 1) AS dim
+      FROM v
+    ),
+    st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY dim),
+    q AS (
+      SELECT e.vec_id, e.dim, e.x, st.mn, st.mx,
+             FLOOR((e.x - st.mn) / (st.mx - st.mn) * 255 + 0.5) AS code
+      FROM ex e JOIN st USING (dim)
+    ),
+    r AS (
+      SELECT vec_id, dim, code,
+             x - (mn + code / 255 * (mx - mn)) AS err
+      FROM q
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN dim = 1 THEN code END) AS BIGINT) AS code0,
+           CAST(MAX(CASE WHEN dim = 64 THEN code END) AS BIGINT) AS code63,
+           ROUND(AVG(err * err) * 1000000, 3) AS mse_ppm
+    FROM r GROUP BY vec_id
+    """,
+    tags=("similarity", "llm"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding corpus — the 4×
+    footprint cut every vector store applies before ANN: per-dimension
+    [min, max] ranges (64-row stats table, broadcast), codes =
+    half-up-rounded 0..255 bins (explicit FLOOR(x·255 + .5) so both
+    engines round identically — bare round() is half-up in Spark,
+    half-even in DuckDB), and per-vector reconstruction MSE as the
+    quality audit. Fully distributed: explode to (vec, dim) grain,
+    broadcast-join the stats, re-aggregate — the corpus never
+    collects, and at 100 TB the stats table stays 64 rows whatever
+    the row count."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    st = v.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = v.join(F.broadcast(st), "dim").withColumn(
+        "code",
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5),
+    )
+    r = q.withColumn(
+        "err",
+        F.col("x") - (F.col("mn") + F.col("code") / 255 * (F.col("mx") - F.col("mn"))),
+    )
+    return r.groupBy("vec_id").agg(
+        F.max(F.when(F.col("dim") == 0, F.col("code"))).cast("bigint").alias("code0"),
+        F.max(F.when(F.col("dim") == 63, F.col("code"))).cast("bigint").alias("code63"),
+        F.round(F.avg(F.col("err") * F.col("err")) * 1_000_000, 3).alias("mse_ppm"),
+    )
