@@ -1649,3 +1649,162 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("dim") == 63, F.col("code"))).cast("bigint").alias("code63"),
         F.round(F.avg(F.col("err") * F.col("err")) * 1_000_000, 3).alias("mse_ppm"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS val, l_quantity AS w,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    ),
+    px AS (
+      SELECT l_returnflag, val,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cw, val) AS rn
+      FROM s WHERE cw >= tw / 2
+    )
+    SELECT l_returnflag, ROUND(val, 2) AS weighted_median
+    FROM px WHERE rn = 1
+    """,
+    tags=("agg", "window"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (lower weighted median: smallest value whose
+    cumulative weight reaches half the total) — neither engine has a
+    native weighted percentile, so both run the same cumulative-weight
+    window formulation: sort by value within the group (orderkey/
+    linenumber tiebreaks pin equal prices), running SUM of weights,
+    first row past tw/2. Same sort-based, spill-safe shape as the
+    exact percentile rewrite (README round-2 lesson) — no per-group
+    value buffering. Quantity-weighted price medians are the
+    unit-economics version of the plain median."""
+    li = _t(spark, sf_dir, "lineitem")
+    wsort = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wall = Window.partitionBy("l_returnflag")
+    s = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("val"),
+        F.sum("l_quantity")
+        .over(wsort.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("l_quantity").over(wall).alias("tw"),
+    )
+    px = s.filter(F.col("cw") >= F.col("tw") / 2).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("cw", "val")
+        ),
+    )
+    return px.filter(F.col("rn") == 1).select(
+        "l_returnflag", F.round("val", 2).alias("weighted_median")
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                         (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id)
+                       > 21600000000 OR
+                  LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                         (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    g AS (
+      SELECT user_id, event_type, t,
+             SUM(new_s) OVER (PARTITION BY user_id, event_type
+                              ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM sess
+    ),
+    iv AS (
+      SELECT user_id, event_type, sid,
+             MIN(t) AS s_from, MAX(t) AS s_to
+      FROM g GROUP BY user_id, event_type, sid
+    )
+    SELECT c.user_id,
+           CAST(c.sid AS BIGINT) AS click_sid,
+           CAST(e.sid AS BIGINT) AS error_sid,
+           CAST(LEAST(c.s_to, e.s_to) - GREATEST(c.s_from, e.s_from)
+                AS BIGINT) AS overlap_us
+    FROM iv c JOIN iv e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND c.s_from <= e.s_to AND e.s_from <= c.s_to
+    """,
+    tags=("join", "eventtime"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP join: 6h-gap click sessions × error sessions
+    per user, emitting every overlapping pair with its overlap length
+    — "did errors cluster inside active sessions?". Both interval
+    sets derive from one gaps-and-islands pass (shared user shuffle);
+    the overlap join keys on user_id EQUALITY so the range predicate
+    only filters within user-sized groups — never a global
+    interval×interval nested loop (the binned-range-join fallback
+    covers keyless interval joins; here the natural key bounds it
+    better). Session grain ≪ event grain before the join."""
+    e = _t(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type").isin("click", "error"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        t.alias("t"),
+        F.when(
+            F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > 21_600_000_000),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id", "event_type")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    iv = g.groupBy("user_id", "event_type", "sid").agg(
+        F.min("t").alias("s_from"), F.max("t").alias("s_to")
+    )
+    c = iv.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("sid").alias("click_sid"),
+        F.col("s_from").alias("c_from"),
+        F.col("s_to").alias("c_to"),
+    )
+    er = iv.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("sid").alias("error_sid"),
+        F.col("s_from").alias("e_from"),
+        F.col("s_to").alias("e_to"),
+    )
+    j = c.join(
+        er,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("c_from") <= F.col("e_to"))
+        & (F.col("e_from") <= F.col("c_to")),
+    )
+    return j.select(
+        "user_id",
+        "click_sid",
+        "error_sid",
+        (
+            F.least("c_to", "e_to") - F.greatest("c_from", "e_from")
+        ).cast("bigint").alias("overlap_us"),
+    )
