@@ -1808,3 +1808,117 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("c_to", "e_to") - F.greatest("c_from", "e_from")
         ).cast("bigint").alias("overlap_us"),
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, md5(text) AS digest FROM documents
+      WHERE doc_id % 4 <> 0
+    ),
+    batch AS (
+      SELECT doc_id + 20000 AS new_id, doc_id AS orig_id, md5(text) AS digest
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    in_batch_first AS (
+      SELECT new_id, digest FROM (
+        SELECT new_id, digest,
+               ROW_NUMBER() OVER (PARTITION BY digest ORDER BY new_id) AS rn
+        FROM batch) WHERE rn = 1
+    )
+    SELECT b.new_id, b.digest,
+           CASE WHEN c.digest IS NOT NULL THEN 'dup_of_corpus'
+                WHEN f.new_id IS NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM batch b
+    LEFT JOIN corpus c ON c.digest = b.digest
+    LEFT JOIN in_batch_first f
+      ON f.digest = b.digest AND f.new_id = b.new_id
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingest dedup — the daily-batch shape: a new batch
+    dedupes against the EXISTING corpus digest index (never the corpus
+    text: at 100 TB the index is 16-byte digests, broadcast- or
+    shuffle-joinable) and against ITSELF (keep-first window), with a
+    three-way verdict per document (new / dup_of_corpus /
+    dup_in_batch). Corpus = docs with id%4≠0; batch = docs with id%2=0
+    re-ingested under shifted ids — so the batch contains both
+    corpus-known and batch-internal dups deterministically. The full
+    corpus is scanned ONCE to build the digest index; each increment
+    touches only its own rows plus the index."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0).select(
+        F.md5(F.encode("text", "utf-8")).alias("c_digest")
+    ).distinct()
+    batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 20000).alias("new_id"),
+        F.md5(F.encode("text", "utf-8")).alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy("new_id")
+    marked = batch.withColumn("rn", F.row_number().over(w))
+    return (
+        marked.join(
+            F.broadcast(corpus), marked.digest == corpus.c_digest, "left"
+        )
+        .select(
+            "new_id",
+            "digest",
+            F.when(F.col("c_digest").isNotNull(), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(discount_pct) AS BIGINT) AS n_with_discount,
+           ROUND(SUM(COALESCE(discount_pct, 0.0)), 2) AS total_discount
+    FROM (
+      SELECT o_orderpriority, NULL::DOUBLE AS discount_pct
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderpriority, ROUND(o_totalprice / 10000, 2) AS discount_pct
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY pri
+    """,
+    tags=("scan", "schema"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION (mergeSchema): generation-1 files lack
+    a column that generation-2 files carry — the normal state of any
+    long-lived 100 TB table. Both generations are written to one
+    directory, read back with ``mergeSchema=true``, and the old rows
+    surface the new column as NULL — the audit aggregate counts
+    nulls-vs-present and must match recomputing from the unioned
+    source. Schema merge happens at PLANNING time (footer union);
+    per-file projections adapt at scan, no rewrite of old files."""
+    from .relational import _scratch_dir
+
+    o = _t(spark, sf_dir, "orders")
+    out = _scratch_dir("schema_evo") + "/orders_evo"
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") / 10000, 2).alias("discount_pct"),
+    )
+    gen1.write.mode("overwrite").parquet(out + "/gen=1")
+    gen2.write.mode("overwrite").parquet(out + "/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("discount_pct").alias("n_with_discount"),
+        F.round(F.sum(F.coalesce("discount_pct", F.lit(0.0))), 2).alias(
+            "total_discount"
+        ),
+    )
