@@ -1922,3 +1922,148 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_discount"
         ),
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS c_week
+      FROM events GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT e.user_id, c.c_week,
+             CAST((CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE)
+                   - c.c_week) // 7 AS BIGINT) AS week_off,
+             SUM(CASE WHEN e.event_type = 'purchase' THEN e.value
+                      ELSE 0 END) AS rev
+      FROM events e JOIN cohort c ON e.user_id = c.user_id
+      GROUP BY 1, 2, 3
+    ),
+    curve AS (
+      SELECT c_week, week_off, SUM(rev) AS w_rev,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM weekly GROUP BY 1, 2
+    )
+    SELECT strftime(c_week, '%Y-%m-%d') AS cohort_week, week_off,
+           active_users,
+           ROUND(SUM(w_rev) OVER (PARTITION BY c_week ORDER BY week_off
+                                  ROWS UNBOUNDED PRECEDING), 4)
+             AS cum_revenue
+    FROM curve
+    """,
+    tags=("events", "agg", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen week, revenue
+    accumulated per (cohort, weeks-since) cell, running-summed into
+    the cumulative-revenue curve every growth team plots. Three
+    grain-collapsing aggregates (event → user-week → cohort-week)
+    before the window, so the running sum runs over curve-sized rows;
+    the cohort map joins back user-keyed (broadcast at dim scale).
+    Week arithmetic is integer day-diff // 7 on both engines — no
+    month-length ambiguity."""
+    e = _t(spark, sf_dir, "events")
+    wk = F.to_date(F.date_trunc("week", F.col("ts")))
+    cohort = e.groupBy("user_id").agg(F.min(wk).alias("c_week"))
+    weekly = (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "user_id",
+            "c_week",
+            F.floor(F.datediff(wk, F.col("c_week")) / 7)
+            .cast("bigint")
+            .alias("week_off"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ).alias("rev")
+        )
+    )
+    curve = weekly.groupBy("c_week", "week_off").agg(
+        F.sum("rev").alias("w_rev"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    w = (
+        Window.partitionBy("c_week")
+        .orderBy("week_off")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return curve.select(
+        F.date_format("c_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_off",
+        "active_users",
+        F.round(F.sum("w_rev").over(w), 4).alias("cum_revenue"),
+    )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+      SELECT p.event_id, p.value, c.click_id,
+             CAST(COUNT(*) OVER (PARTITION BY p.event_id) AS BIGINT)
+               AS n_touches
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.t <= p.t
+       AND c.t > p.t - CAST(86400 AS BIGINT) * 7 * 1000000
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           SUM(value / n_touches) AS attributed_value
+    FROM touch GROUP BY click_id
+    """,
+    tags=("events", "join", "eventtime"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase's value splits
+    equally across every click in its trailing 7-day window, then
+    credit aggregates per click — the ad-tech revenue-allocation shape
+    (last-touch is join_asof; this is the many-to-many generalization).
+    The time-bounded join keys on user EQUALITY so the fan-out is
+    per-user touches-within-window, never a global range join; the
+    per-purchase touch count is a window over the already-joined
+    pairs (no second join). Credits are conserved: sum(attributed) =
+    sum(attributed purchases' values), pinned by pytest."""
+    e = _t(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", t_us.alias("t")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        t_us.alias("c_t"),
+    )
+    touch = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_t") <= F.col("t"))
+        & (F.col("c_t") > F.col("t") - 7 * 86_400 * 1_000_000),
+    ).select(
+        "event_id",
+        "value",
+        "click_id",
+        F.count(F.lit(1)).over(Window.partitionBy("event_id")).alias("n_touches"),
+    )
+    return touch.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        # raw double by design: a coarse in-query ROUND lands engine
+        # fold-order noise on .xxx5 boundaries (repo float discipline)
+        F.sum(F.col("value") / F.col("n_touches")).alias("attributed_value"),
+    )

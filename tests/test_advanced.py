@@ -93,3 +93,23 @@ def test_unigram_logprob_positive(spark, sf_oracle_dir):
     pdf = _q("text_unigram_logprob")(spark, sf_oracle_dir).toPandas()
     assert (pdf["avg_neg_logprob"] > 0).all()
     assert len(pdf) == 500
+
+
+def test_attribution_conserves_value(spark, sf_oracle_dir):
+    import pandas as pd
+
+    attr = _q("events_attribution_linear")(spark, sf_oracle_dir).toPandas()
+    events = pd.read_parquet(f"{sf_oracle_dir}/events.parquet")
+    # total attributed credit == total value of purchases that had >=1
+    # click touch in their 7-day window (recompute touches in pandas)
+    e = events.copy()
+    e["t"] = pd.to_datetime(e["ts"]).astype("datetime64[ns]").astype("int64") // 1000
+    p = e[e["event_type"] == "purchase"]
+    c = e[e["event_type"] == "click"]
+    win = 7 * 86_400 * 1_000_000
+    touched_value = 0.0
+    for _, r in p.iterrows():
+        cc = c[(c["user_id"] == r["user_id"]) & (c["t"] <= r["t"]) & (c["t"] > r["t"] - win)]
+        if len(cc):
+            touched_value += r["value"]
+    assert attr["attributed_value"].sum() == pytest.approx(touched_value, rel=1e-9)
