@@ -87,6 +87,12 @@ HEADLINE = [
     "agg_cms_frequency",
     "events_user_paths",
     "pipeline_curation",
+    "events_active_users",
+    "events_attribution_linear",
+    "agg_weighted_median",
+    "join_point_in_time",
+    "mining_cooccurrence",
+    "embedding_quantize_int8",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2
