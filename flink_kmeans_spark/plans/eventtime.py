@@ -503,3 +503,22 @@ def streaming_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import run_foreach_batch_upsert
 
     return run_foreach_batch_upsert(spark, sf_dir)
+
+
+@register(
+    "streaming_checkpoint_resume",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume exactly-once: two availableNow drains over a
+    growing landing directory share one checkpoint + parquet sink; the
+    resumed query processes only the new arrival. The sink must equal
+    the source EXACTLY (identity oracle) — any reprocessing shows as
+    duplicate rows, any loss as missing rows."""
+    from ..streaming.jobs import run_checkpoint_resume
+
+    return run_checkpoint_resume(spark, sf_dir)
