@@ -2150,3 +2150,50 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         py_upper(F.col("o_orderpriority")).alias("pri_upper"),
         py_quarter(F.col("o_totalprice")).alias("quarter_price"),
     )
+
+
+@register(
+    "dedup_threshold_histogram",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             )) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT len(list_intersect(a.sh, b.sh))
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS j
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(FLOOR(j * 20) AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE j >= 0.5
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-TUNING histogram: the similarity distribution of
+    candidate pairs in 0.05-wide Jaccard bands above 0.5 — the
+    diagnostic that picks a dedup threshold from data (a bimodal
+    histogram separates boilerplate twins from organic overlap)
+    instead of folklore 0.8. One prefix-filtered candidate pass at the
+    LOWEST band of interest serves every band above it (prefix
+    filtering is complete for J ≥ t, so t=0.5 candidates contain all
+    higher bands); the naive-all-pairs oracle confirms no band lost
+    pairs. Band edges floor identical IEEE doubles on both engines."""
+    from ..operators import dedup as DD
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 20).cast("int").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
