@@ -1557,27 +1557,31 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-day into the ≤28 report days it supports, and conditional
     COUNT(DISTINCT CASE …) folds all three horizons in a single
     aggregate — one pass, not three. At 100 TB the fan-out is a
-    constant ×28 of the tiny grid, never of raw events; the
-    range join is binned by construction (date equality bands)."""
+    constant ×28 of the tiny grid, never of raw events, and the spine
+    join is a broadcast EQUALITY join (plan-checked: no BNLJ)."""
     e = _t(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
     days = ud.select("d").distinct().select(F.col("d").alias("day_d"))
-    j = days.join(
-        ud,
-        (F.col("d") <= F.col("day_d"))
-        & (F.col("d") > F.date_sub(F.col("day_d"), 28)),
-    )
+    # explode each user-day into the <=28 report days it supports: a
+    # MAP-SIDE fan-out + broadcast EQUALITY join with the observed-day
+    # spine — no BroadcastNestedLoopJoin range scan (the first draft's
+    # keyless range join planned as BNLJ; equality keeps the join
+    # hash-based however large the grid grows)
+    fan = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("i"),
+    ).select("user_id", "d", "i", F.expr("date_add(d, i)").alias("day_d"))
+    j = fan.join(F.broadcast(days), "day_d")
     return (
         j.groupBy("day_d")
         .agg(
-            F.countDistinct(
-                F.when(F.col("d") == F.col("day_d"), F.col("user_id"))
-            ).alias("dau"),
-            F.countDistinct(
-                F.when(
-                    F.col("d") > F.date_sub(F.col("day_d"), 7), F.col("user_id")
-                )
-            ).alias("wau"),
+            F.countDistinct(F.when(F.col("i") == 0, F.col("user_id"))).alias(
+                "dau"
+            ),
+            F.countDistinct(F.when(F.col("i") < 7, F.col("user_id"))).alias(
+                "wau"
+            ),
             F.countDistinct("user_id").alias("mau"),
         )
         .select(
