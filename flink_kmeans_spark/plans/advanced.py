@@ -2201,3 +2201,117 @@ def dedup_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "orders_backlog_curve",
+    oracle="""
+    WITH placed AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS placed
+      FROM orders GROUP BY 1
+    ),
+    completed AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS completed FROM (
+        SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS day
+        FROM lineitem GROUP BY l_orderkey
+      ) GROUP BY day
+    ),
+    flow AS (
+      SELECT COALESCE(p.day, c.day) AS day,
+             COALESCE(placed, 0) AS placed,
+             COALESCE(completed, 0) AS completed
+      FROM placed p FULL OUTER JOIN completed c ON p.day = c.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, placed, completed,
+           CAST(SUM(placed - completed) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM flow
+    """,
+    tags=("eventtime", "window"),
+)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog-over-time curve (running net flow): +placed on order
+    date, −completed on the order's LAST ship date, cumulative-summed
+    over the merged day spine — the open-work inventory series every
+    ops dashboard tracks. Both inflow and outflow collapse to
+    day-grain aggregates BEFORE the full outer day merge, so the
+    running-sum window runs single-partition over ~|days| rows — the
+    one place a global ordered window is free. An order 'completes'
+    when its last lineitem ships (MAX, not MIN)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    placed = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("placed")
+    )
+    completed = (
+        li.groupBy("l_orderkey")
+        .agg(F.to_date(F.max("l_shipdate")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("completed"))
+    )
+    flow = (
+        placed.join(completed, "day", "full")
+        .select(
+            "day",
+            F.coalesce("placed", F.lit(0)).alias("placed"),
+            F.coalesce("completed", F.lit(0)).alias("completed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return flow.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "placed",
+        "completed",
+        F.sum(F.col("placed") - F.col("completed")).over(w).alias("backlog"),
+    )
+
+
+@register(
+    "events_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT user_id, SUM(value) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(revenue) AS t FROM rev)
+    SELECT user_id, ROUND(revenue, 4) AS revenue,
+           CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, user_id)
+                AS BIGINT) AS rnk,
+           ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, user_id
+                                    ROWS UNBOUNDED PRECEDING) / tot.t, 6)
+             AS cum_share
+    FROM rev, tot
+    """,
+    tags=("events", "window"),
+)
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue concentration: users ranked by purchase revenue
+    with the cumulative share of total — the 80/20 curve (how many
+    users until 80% of revenue). The running share is a sequential
+    fold over identically-ordered rows on both engines (rank ties
+    broken by user_id), so the division is bit-stable at 6 dp; the
+    window runs on user-grain aggregates, not raw events. The total
+    rides in as a one-row broadcast cross join."""
+    e = _t(spark, sf_dir, "events")
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("revenue"))
+    )
+    tot = rev.agg(F.sum("revenue").alias("t"))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("user_id"))
+    return (
+        rev.join(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.round("revenue", 4).alias("revenue"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.round(
+                F.sum("revenue")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("t"),
+                6,
+            ).alias("cum_share"),
+        )
+    )
