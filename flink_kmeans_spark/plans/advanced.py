@@ -2315,3 +2315,78 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@register(
+    "events_session_metrics",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 21600000000 OR
+                  LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, t,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             (MAX(t) - MIN(t)) // 1000000 AS dur_sec
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounce,
+           ROUND(AVG(n_events), 4) AS avg_events,
+           ROUND(AVG(dur_sec), 2) AS avg_dur_sec,
+           CAST(MAX(n_events) AS BIGINT) AS max_events
+    FROM sess
+    """,
+    tags=("eventtime", "events"),
+)
+def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality report over 6h-gap sessions: session count,
+    bounce count (single-event sessions), mean length/duration, max
+    length — the engagement summary downstream of any sessionization.
+    One gaps-and-islands pass (single user shuffle) → session-grain
+    aggregate → one global one-row summary; each stage collapses
+    cardinality before the next, so the final aggregate sees
+    session-grain rows only. Duration uses integer floor-div seconds
+    on both engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    s = e.select(
+        "user_id",
+        t.alias("t"),
+        F.when(
+            F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > 21_600_000_000),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    g = s.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = g.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("t") - F.min("t")) / 1_000_000).alias("dur_sec"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounce"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("dur_sec"), 2).alias("avg_dur_sec"),
+        F.max("n_events").alias("max_events"),
+    )
