@@ -2390,3 +2390,168 @@ def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dur_sec"), 2).alias("avg_dur_sec"),
         F.max("n_events").alias("max_events"),
     )
+
+
+@register(
+    "sim_maxsim_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(generate_series(0, 3),
+               i -> list_transform(embedding[i*16+1 : i*16+16],
+                                   x -> CAST(x AS DOUBLE))) AS subs
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, subs AS qsubs FROM v WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_id, v.vec_id,
+             list_aggregate(list_transform(q.qsubs,
+               qs -> list_max(list_transform(v.subs,
+                 ds -> list_aggregate(list_transform(list_zip(qs, ds),
+                         z -> z[1] * z[2]), 'sum')))), 'sum') AS score
+      FROM q CROSS JOIN v
+    )
+    SELECT q_id, vec_id, ROUND(score, 5) AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT q_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    """,
+    tags=("similarity", "llm"),
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VECTOR late-interaction retrieval (the ColBERT MaxSim
+    shape): documents and queries carry 4×16-d sub-vectors (slices of
+    the 64-d embedding standing in for token vectors), and the score
+    is Σ over query sub-vectors of the MAX dot product against the
+    doc's sub-vectors — richer than single-vector cosine because each
+    query part matches its own best doc part. All nested arithmetic
+    runs in Catalyst higher-order functions over a broadcast 3-query
+    build side: corpus map-side scored, one top-k window per query
+    (WindowGroupLimit), no Python. Sequential fold order makes the
+    scores bit-identical across engines; vec_id breaks rank ties."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 3), "
+            "i -> transform(slice(embedding, i*16+1, 16), "
+            "x -> cast(x as double)))"
+        ).alias("subs"),
+    )
+    q = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("subs").alias("qsubs")
+    )
+    scored = v.join(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.expr(
+            "aggregate(qsubs, 0D, (acc, qs) -> acc + "
+            "array_max(transform(subs, ds -> "
+            "aggregate(zip_with(qs, ds, (a, b) -> a * b), 0D, "
+            "(s, x) -> s + x))))"
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("q_id", "vec_id", F.round("score", 5).alias("score"), "rnk")
+    )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM ud a JOIN ud b ON a.d = b.d AND a.user_id < b.user_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 29
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    two_hop AS (
+      SELECT DISTINCT e1.src AS a, e2.dst AS b
+      FROM und e1 JOIN und e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+        AND NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE p.id_a = e1.src AND p.id_b = e2.dst)
+    ),
+    nb AS (SELECT src, list_distinct(list(dst)) AS ns FROM und GROUP BY src)
+    SELECT t.a, t.b,
+           CAST(len(list_intersect(na.ns, nb2.ns)) AS BIGINT) AS common,
+           ROUND(len(list_intersect(na.ns, nb2.ns))
+                 / (len(na.ns) + len(nb2.ns)
+                    - len(list_intersect(na.ns, nb2.ns))), 6) AS jaccard
+    FROM two_hop t
+    JOIN nb na ON na.src = t.a
+    JOIN nb nb2 ON nb2.src = t.b
+    """,
+    tags=("graph", "events"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION via common-neighbor Jaccard on the user
+    CO-ACTIVITY graph (edge = two users active on >=29 shared days —
+    the near-dup doc graph is pure cliques on this corpus, so 2-hop
+    non-edges only exist here): 2-hop candidate non-edges scored by
+    neighborhood overlap, the candidate-expansion step of any
+    graph-ML recommender. Candidates come from the 2-hop join
+    (shuffle on the middle node — wedge-bounded, never all-pairs),
+    existing edges anti-join away, neighbor sets join at node grain.
+    Integer set sizes are engine-exact; the day-grain co-activity
+    edge list itself collapses events before any pairing."""
+    e = _t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    a_side, b_side = ud.alias("ua"), ud.alias("ub")
+    pairs = (
+        a_side.join(
+            b_side,
+            (F.col("ua.d") == F.col("ub.d"))
+            & (F.col("ua.user_id") < F.col("ub.user_id")),
+        )
+        .groupBy(
+            F.col("ua.user_id").alias("id_a"),
+            F.col("ub.user_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 29)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    e1, e2 = und.alias("e1"), und.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(F.col("e1.src").alias("a"), F.col("e2.dst").alias("b"))
+        .distinct()
+        .join(
+            pairs,
+            (F.col("a") == pairs.id_a) & (F.col("b") == pairs.id_b),
+            "left_anti",
+        )
+    )
+    nb = und.groupBy("src").agg(F.collect_set("dst").alias("ns"))
+    na, nb2 = nb.alias("na"), nb.alias("nb2")
+    j = (
+        two_hop.join(na, F.col("a") == F.col("na.src"))
+        .join(nb2, F.col("b") == F.col("nb2.src"))
+    )
+    inter = F.size(F.array_intersect(F.col("na.ns"), F.col("nb2.ns")))
+    union = F.size(F.col("na.ns")) + F.size(F.col("nb2.ns")) - inter
+    return j.select(
+        "a",
+        "b",
+        inter.cast("bigint").alias("common"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )
