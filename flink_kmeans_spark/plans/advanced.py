@@ -2555,3 +2555,84 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.cast("bigint").alias("common"),
         F.round(inter / union, 6).alias("jaccard"),
     )
+
+
+@register(
+    "events_seasonality_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "agg"),
+)
+def events_seasonality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day seasonality heatmap — the traffic-
+    shape fingerprint behind capacity planning and anomaly baselines.
+    One hash aggregate over (dow, hod) — 168 cells regardless of
+    event count. DOW convention trap: Spark's dayofweek() is 1=Sunday
+    while DuckDB's is 0=Sunday — normalized here to DuckDB's 0-based
+    convention (dayofweek-1) so both engines emit identical cell
+    keys."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "forecast_snaive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    with_fc AS (
+      SELECT d, n,
+             AVG(n) OVER (ORDER BY d ROWS BETWEEN 28 PRECEDING
+                                           AND 7 PRECEDING) AS naive_any,
+             (LAG(n, 7) OVER (ORDER BY d) + LAG(n, 14) OVER (ORDER BY d))
+               / 2.0 AS snaive
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n,
+           ROUND(snaive, 4) AS forecast,
+           ROUND(ABS(n - snaive), 4) AS abs_err
+    FROM with_fc WHERE snaive IS NOT NULL
+    """,
+    tags=("eventtime", "window"),
+)
+def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive FORECAST BACKTEST: each day's traffic predicted
+    as the mean of the same weekday in the 2 prior weeks (LAG 7/14
+    over the daily series; the test corpus spans ~30 days), with per-day absolute error — the
+    baseline every fancier forecaster must beat, produced as a
+    backtest table the way an evaluation pipeline consumes it. All
+    window ops run on the DAY-grain series (|days| rows after one
+    aggregate), so the global ordered window is over a tiny frame;
+    days with incomplete lag history drop out (IS NOT NULL) on both
+    engines identically."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d")
+    snaive = (F.lag("n", 7).over(w) + F.lag("n", 14).over(w)) / 2.0
+    fc = daily.select(
+        "d", "n", snaive.alias("snaive")
+    ).filter(F.col("snaive").isNotNull())
+    return fc.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("snaive", 4).alias("forecast"),
+        F.round(F.abs(F.col("n") - F.col("snaive")), 4).alias("abs_err"),
+    )
