@@ -2636,3 +2636,114 @@ def forecast_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("snaive", 4).alias("forecast"),
         F.round(F.abs(F.col("n") - F.col("snaive")), 4).alias("abs_err"),
     )
+
+
+@register(
+    "plan_cached_reuse",
+    oracle="""
+    WITH enriched AS (
+      SELECT o.o_orderkey, o.o_totalprice, c.c_mktsegment,
+             n.n_name
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT 'by_segment' AS report, c_mktsegment AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM enriched GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'by_nation', n_name,
+           CAST(COUNT(*) AS BIGINT), ROUND(SUM(o_totalprice), 2)
+    FROM enriched GROUP BY n_name
+    """,
+    tags=("plan", "agg"),
+)
+def plan_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-intermediate REUSE: one enrichment join feeds two
+    report aggregates. Spark does NOT reuse an exchange referenced
+    twice from the DataFrame API (round-2 lesson, README), so without
+    intervention the 3-table join executes TWICE; an explicit
+    ``persist`` materializes the enriched frame once and both
+    aggregates read the cached partitions — the dashboard-fanout
+    pattern (one silver table, N gold reports). Unpersisted in a
+    finally block so the key leaves no cache residue for later
+    queries."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "o_totalprice", "c_mktsegment", "n_name")
+        .persist()
+    )
+    try:
+        by_seg = enriched.groupBy(F.col("c_mktsegment").alias("grp")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit("by_segment").alias("report"), "grp", "n", "total")
+        by_nat = enriched.groupBy(F.col("n_name").alias("grp")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select(F.lit("by_nation").alias("report"), "grp", "n", "total")
+        out = by_seg.unionByName(by_nat)
+        out = out.localCheckpoint(eager=True)  # materialize while cached
+    finally:
+        enriched.unpersist()
+    return out
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s3
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS viewed,
+           CAST(SUM(s1 * s2) AS BIGINT) AS clicked,
+           CAST(SUM(s1 * s2 * s3) AS BIGINT) AS purchased,
+           ROUND(SUM(s1 * s2) * 1.0 / NULLIF(SUM(s1), 0), 6)
+             AS view_to_click,
+           ROUND(SUM(s1 * s2 * s3) * 1.0 / NULLIF(SUM(s1 * s2), 0), 6)
+             AS click_to_purchase
+    FROM u
+    """,
+    tags=("events", "agg"),
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic STAGE-FUNNEL report (view → click → purchase):
+    per-user stage flags folded in one aggregate, stage counts
+    requiring ALL upstream stages (s1·s2·s3 — a user who purchased
+    without viewing doesn't count as full-funnel), conversion rates
+    between adjacent stages. Two hash aggregates total (event → user
+    flags → one-row report); no joins, no event-grain shuffles. The
+    companion events_funnel key does time-ordered pair matching —
+    this is the unordered membership funnel both reports coexist in
+    practice."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("s2"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "s3"
+        ),
+    )
+    return u.agg(
+        F.sum("s1").alias("viewed"),
+        F.sum(F.col("s1") * F.col("s2")).alias("clicked"),
+        F.sum(F.col("s1") * F.col("s2") * F.col("s3")).alias("purchased"),
+        F.round(
+            F.sum(F.col("s1") * F.col("s2"))
+            / F.nullif(F.sum("s1"), F.lit(0)),
+            6,
+        ).alias("view_to_click"),
+        F.round(
+            F.sum(F.col("s1") * F.col("s2") * F.col("s3"))
+            / F.nullif(F.sum(F.col("s1") * F.col("s2")), F.lit(0)),
+            6,
+        ).alias("click_to_purchase"),
+    )
