@@ -2747,3 +2747,102 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("click_to_purchase"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+             FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS r FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(LN(f), LN(r)), 6) AS zipf_slope,
+           ROUND(regr_r2(LN(f), LN(r)), 6) AS r2
+    FROM ranked
+    """,
+    tags=("text", "agg"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: log-frequency
+    regressed on log-rank with the single-pass ``regr_slope`` /
+    ``regr_r2`` moment aggregates — the corpus-health statistic that
+    flags template-heavy or synthetic text (natural corpora fit slope
+    ≈ −1; word-soup flattens). Rank assignment breaks frequency ties
+    by token so both engines rank identically; everything after the
+    vocab aggregate runs on vocab-sized rows. The regression moments
+    are order-insensitive sums — no fold-order hazard."""
+    e = _t(spark, sf_dir, "documents")
+    freq = (
+        e.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("tok")))
+        .alias("r"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(F.log("f"), F.log("r")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("f"), F.log("r")), 6).alias("r2"),
+    )
+
+
+@register(
+    "orders_mix_shift",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderpriority AS seg,
+             CAST(COUNT(*) FILTER (WHERE o_orderdate <  CAST('1998-01-01' AS DATE)) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (WHERE o_orderdate >= CAST('1998-01-01' AS DATE)) AS BIGINT) AS n1,
+             SUM(o_totalprice) FILTER (WHERE o_orderdate <  CAST('1998-01-01' AS DATE)) AS rev0,
+             SUM(o_totalprice) FILTER (WHERE o_orderdate >= CAST('1998-01-01' AS DATE)) AS rev1
+      FROM orders GROUP BY 1
+    )
+    SELECT seg, n0, n1,
+           ROUND(rev1 - rev0, 2) AS delta_rev,
+           ROUND((n1 - n0) * (rev0 / n0), 2) AS volume_effect,
+           ROUND(n1 * (rev1 / n1 - rev0 / n0), 2) AS rate_effect
+    FROM p WHERE n0 > 0 AND n1 > 0
+    """,
+    tags=("agg",),
+)
+def orders_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period MIX-SHIFT decomposition (the FP&A bridge):
+    per-segment revenue change split into a VOLUME effect (count
+    change × old average price) and a RATE effect (new count × change
+    in average price) — volume + rate = delta exactly, the identity
+    pinned in both engines' arithmetic. One conditional-aggregate
+    pass builds both periods per segment (no self-join of two period
+    scans); segment-grain rows feed the decomposition."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    is0 = F.col("o_orderdate") < cut
+    is1 = F.col("o_orderdate") >= cut
+    p = o.groupBy(F.col("o_orderpriority").alias("seg")).agg(
+        F.count(F.when(is0, 1)).alias("n0"),
+        F.count(F.when(is1, 1)).alias("n1"),
+        F.sum(F.when(is0, F.col("o_totalprice"))).alias("rev0"),
+        F.sum(F.when(is1, F.col("o_totalprice"))).alias("rev1"),
+    )
+    return p.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "seg",
+        "n0",
+        "n1",
+        F.round(F.col("rev1") - F.col("rev0"), 2).alias("delta_rev"),
+        F.round(
+            (F.col("n1") - F.col("n0")) * (F.col("rev0") / F.col("n0")), 2
+        ).alias("volume_effect"),
+        F.round(
+            F.col("n1")
+            * (F.col("rev1") / F.col("n1") - F.col("rev0") / F.col("n0")),
+            2,
+        ).alias("rate_effect"),
+    )
