@@ -1818,7 +1818,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle="""
     WITH corpus AS (
-      SELECT doc_id, md5(text) AS digest FROM documents
+      SELECT DISTINCT md5(text) AS digest FROM documents
       WHERE doc_id % 4 <> 0
     ),
     batch AS (
