@@ -2846,3 +2846,52 @@ def orders_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("rate_effect"),
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS seg, n_name,
+             SUM(o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT seg, n_name, ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY seg), 6) AS share_of_seg,
+           CAST(ROW_NUMBER() OVER (PARTITION BY seg
+                                   ORDER BY rev DESC, n_name) AS INTEGER)
+             AS rnk
+    FROM seg
+    """,
+    tags=("window", "agg"),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (segment, nation) cell's share of its
+    segment total, plus the within-segment revenue rank — the
+    denominator is a partition-total window over ALREADY-AGGREGATED
+    cells (|segments|×|nations| rows), so the share computation adds
+    no data-sized work to the one fact aggregate. The full-partition
+    SUM window and the rank share one segment exchange. Share is an
+    order-insensitive single SUM per partition — no fold-order
+    hazard at 6 dp."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "n_name")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_all = Window.partitionBy("seg")
+    w_rnk = Window.partitionBy("seg").orderBy(F.col("rev").desc(), F.col("n_name"))
+    return seg.select(
+        "seg",
+        "n_name",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_all), 6).alias("share_of_seg"),
+        F.row_number().over(w_rnk).alias("rnk"),
+    )
