@@ -465,7 +465,7 @@ def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog MERGE (CDC apply): a deterministic change batch —
-    deletes (key%17), updates (key%10, +10% price, delete wins on
+    deletes (key%17), updates (key%10, price +1000.0, delete wins on
     overlap), inserts (key%23 under shifted keys) — applied to the
     orders snapshot with the canonical distributed pattern: UNION the
     keyed snapshot (seq=0) with the change rows (seq=1), shuffle once
@@ -1716,7 +1716,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_interval_overlap",
     oracle="""
     WITH sess AS (
-      SELECT user_id, event_type,
+      SELECT user_id, event_type, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS t,
              CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
@@ -1732,7 +1732,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT user_id, event_type, t,
              SUM(new_s) OVER (PARTITION BY user_id, event_type
-                              ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+                              ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
       FROM sess
     ),
     iv AS (
@@ -1769,6 +1770,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.select(
         "user_id",
         "event_type",
+        "event_id",
         t.alias("t"),
         F.when(
             F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > 21_600_000_000),
@@ -1779,7 +1781,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_s").over(
             Window.partitionBy("user_id", "event_type")
-            .orderBy("t")
+            .orderBy("t", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -2029,7 +2031,8 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT click_id,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
-           SUM(value / n_touches) AS attributed_value
+           SUM(CAST(FLOOR((value / n_touches) * 1000000) AS BIGINT))
+             / 1000000.0 AS attributed_value
     FROM touch GROUP BY click_id
     """,
     tags=("events", "join", "eventtime"),
@@ -2065,11 +2068,16 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.count(F.lit(1)).over(Window.partitionBy("event_id")).alias("n_touches"),
     )
+    # Per-click credits quantize to integer MICRO-UNITS via FLOOR before
+    # the sum: FLOOR has no halfway semantics (unlike half-up vs
+    # half-even ROUND) so identical input doubles floor identically in
+    # both engines, BIGINT sums are exact, and the single final divide
+    # is deterministic — immune to float fold-order noise, unlike
+    # post-sum ROUND which flips on .xxxx5 boundaries.
+    credit_u = F.floor((F.col("value") / F.col("n_touches")) * 1_000_000)
     return touch.groupBy("click_id").agg(
         F.count(F.lit(1)).alias("n_conversions"),
-        # raw double by design: a coarse in-query ROUND lands engine
-        # fold-order noise on .xxx5 boundaries (repo float discipline)
-        F.sum(F.col("value") / F.col("n_touches")).alias("attributed_value"),
+        (F.sum(credit_u) / 1_000_000.0).alias("attributed_value"),
     )
 
 
@@ -2080,9 +2088,9 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
-           CAST(MIN(LENGTH(text)) AS BIGINT) AS min_bytes,
-           CAST(MAX(LENGTH(text)) AS BIGINT) AS max_bytes
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MIN(strlen(text)) AS BIGINT) AS min_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
     FROM sel
     """,
     tags=("scan", "multimodal"),
@@ -2105,9 +2113,16 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _scratch_dir("binfiles")
     fdir = base + "/blobs"
     os.makedirs(fdir, exist_ok=True)
-    for r in docs.select("doc_id", "text").collect():  # tiny bounded subset
-        with open(f"{fdir}/doc_{r['doc_id']}.bin", "wb") as f:
-            f.write(r["text"].encode("utf-8"))
+
+    def _write_blobs(rows):  # executor-side: payload bytes never cross the driver
+        import os as _os
+
+        _os.makedirs(fdir, exist_ok=True)
+        for r in rows:
+            with open(f"{fdir}/doc_{r['doc_id']}.bin", "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+
+    docs.select("doc_id", "text").foreachPartition(_write_blobs)
     back = spark.read.format("binaryFile").load(fdir)
     return back.agg(
         F.count(F.lit(1)).alias("n_files"),
@@ -2321,7 +2336,7 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_metrics",
     oracle="""
     WITH s AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
              CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                        - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2333,7 +2348,7 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT user_id, t,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM s
     ),
@@ -2365,6 +2380,7 @@ def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.unix_micros("ts")
     s = e.select(
         "user_id",
+        "event_id",
         t.alias("t"),
         F.when(
             F.lag(t).over(w).isNull() | ((t - F.lag(t).over(w)) > 21_600_000_000),
@@ -2375,7 +2391,7 @@ def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_s").over(
             Window.partitionBy("user_id")
-            .orderBy("t")
+            .orderBy("t", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )

@@ -302,12 +302,12 @@ def run_foreach_batch_upsert(
     monotonically increasing ``batch_id`` for idempotent retries.
 
     Here every batch reduces to per-user partials (count, sum, latest
-    (ts, value) via ``max_by``) and APPENDS them to a staging parquet
-    keyed by batch_id — append-only staging + deterministic post-merge
-    is the replay-safe upsert recipe (a retried batch overwrites its
-    own batch_id partition; it never double-applies). The returned
-    frame is the post-drain merge: per-user totals + last-writer-wins
-    latest value across batches."""
+    (ts, value) via ``max_by``) staged to parquet PARTITIONED BY
+    batch_id under dynamic partition overwrite — a retried micro-batch
+    replaces exactly its own batch_id partition instead of appending a
+    second copy, so replays never double-apply. The returned frame is
+    the post-drain merge: per-user totals + last-writer-wins latest
+    value across batches."""
     import os
     import tempfile
 
@@ -332,7 +332,9 @@ def run_foreach_batch_upsert(
         )
         (
             partial.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(stage)
         )
 

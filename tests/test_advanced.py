@@ -112,4 +112,7 @@ def test_attribution_conserves_value(spark, sf_oracle_dir):
         cc = c[(c["user_id"] == r["user_id"]) & (c["t"] <= r["t"]) & (c["t"] > r["t"] - win)]
         if len(cc):
             touched_value += r["value"]
-    assert attr["attributed_value"].sum() == pytest.approx(touched_value, rel=1e-9)
+    # per-click credits are rounded to 4dp (driver hash discipline), so
+    # conservation holds to n_clicks * 0.5e-4 absolute slack
+    slack = 5e-5 * max(len(attr), 1)
+    assert attr["attributed_value"].sum() == pytest.approx(touched_value, abs=slack)
