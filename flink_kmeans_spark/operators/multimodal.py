@@ -2,12 +2,15 @@
 
 Images/audio/video travel as opaque ``binary`` columns with typed
 metadata structs; decode / feature-extract run as Arrow-batched
-``mapInPandas`` stages. The container ships no image/audio libs, so the
-DECODE KERNEL IS A STUB (deterministic fake features, clearly marked;
-``real_decode=True`` raises NotImplementedError) — but everything
-Spark-side is real and tested: the binary schema, the Arrow batch
-shapes, the UDF signatures, the partition behavior. Swapping the stub
-for PIL/librosa is a one-function change.
+``mapInPandas`` stages. The decode kernel is REAL as of round 3: a
+pure-stdlib PNG codec (functions/imagecodec.py — chunk walk, CRC
+verify, zlib inflate, all-five-filter un-filtering) decodes actual
+image bytes to pixels on the executors; ``to_image_table`` synthesizes
+genuine PNG payloads deterministically so a DuckDB oracle can predict
+the decoded geometry and pixel statistics by construction. The legacy
+byte-arithmetic stub survives only as ``decode_media(real_decode=
+False)`` for the text-payload media table (audio/video stand-ins,
+where no stdlib decoder exists — those kernels remain pluggable).
 """
 
 from __future__ import annotations
@@ -46,6 +49,113 @@ def to_media_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+# decoded-image schema for the REAL kernel: geometry + pixel stats
+IMAGE_DECODED_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "n_pixels long, mean_pixel double"
+)
+
+
+def to_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a media table of GENUINE PNG payloads, one per doc,
+    encoded executor-side (mapInPandas — payload bytes never touch the
+    driver). Geometry and pixels are deterministic in doc_id:
+
+        width  = 4 + doc_id % 13        height = 3 + doc_id % 11
+        pixel[i] = (doc_id*31 + i*7) % 256
+        scanline filter = (doc_id + row) % 5   (all five PNG filters)
+
+    so a SQL oracle can recompute the decoded geometry and mean pixel
+    from first principles while the bytes on the wire are real PNGs
+    (CRC-checked, zlib-compressed, filter-encoded)."""
+    from ..functions.imagecodec import encode_png_gray
+
+    enc = encode_png_gray  # closure capture → ships by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 11
+                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h))
+                payload = enc(w, h, px, filter_for_row=lambda y: (did + y) % 5)
+                rows.append((did, "image/png", payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    media = docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, media_type string, payload binary"
+    )
+    return media.select(
+        "doc_id",
+        "media_type",
+        "payload",
+        F.struct(
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("content_md5"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_media(media: DataFrame) -> DataFrame:
+    """REAL Arrow-batched decode stage: each binary payload is parsed
+    as an actual PNG — chunk walk with CRC verification, IDAT inflate,
+    per-scanline un-filtering (all five filter types) — and reduced to
+    geometry + pixel statistics. The header probe cross-checks the
+    decoded dimensions (a mismatch raises: corrupt input must fail
+    loudly, not emit plausible rows). mapInPandas keeps the work
+    partition-local — at 100 TB decode is embarrassingly parallel scan
+    work, no shuffle."""
+    from ..functions.imagecodec import decode_png, probe_image
+
+    dec, probe = decode_png, probe_image  # closures → ship by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                fmt, pw, ph = probe(data)
+                w, h, px = dec(data)
+                if (pw, ph) != (w, h):
+                    raise ValueError(
+                        f"doc {did}: header ({pw}x{ph}) != decoded ({w}x{h})"
+                    )
+                rows.append(
+                    (
+                        int(did),
+                        fmt,
+                        w,
+                        h,
+                        w * h,
+                        round(sum(px) / (w * h), 6) if w * h else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "mean_pixel",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen, IMAGE_DECODED_SCHEMA
+    )
+
+
 def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Arrow-batched decode stage over the binary column.
 
@@ -53,6 +163,11 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     and may change cardinality (e.g. video frame sampling emits N rows
     per input). Partitioning is preserved — no shuffle; at 100 TB the
     decode cost is embarrassingly parallel scan work.
+
+    ``real_decode=True`` routes to the REAL PNG kernel
+    (``decode_image_media``; payloads must be PNG — pair with
+    ``to_image_table``). The default stub path keeps the byte-
+    arithmetic fake features for non-image payload stand-ins.
 
     IMPORTANT (worker serialization): every function shipped to Python
     workers in this repo is a CLOSURE so cloudpickle serializes it by
@@ -62,10 +177,7 @@ def decode_media(media: DataFrame, real_decode: bool = False) -> DataFrame:
     plain-session full-gate replica).
     """
     if real_decode:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libs not present in "
-            "this container; the stub kernel exercises the full Spark path"
-        )
+        return decode_image_media(media)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd  # worker-side import; no repo imports here

@@ -163,16 +163,62 @@ def test_udf_surface_matches_builtins(spark, sf_dir, emb):
         assert g.mean_vec_dim == 64
 
 
-def test_multimodal_decode_stub(spark, sf_dir, docs):
-    out = specs()["multimodal_decode"].fn(spark, sf_dir).toPandas()
-    src = docs.select("doc_id", "n_chars").toPandas()
-    merged = out.merge(src, on="doc_id")
-    assert len(merged) == len(src)
-    # utf-8 payload of ascii text: byte length == char length
-    assert (merged["n_bytes"] == merged["n_chars"]).all()
-    assert (merged["fake_width"] > 0).all()
-    with pytest.raises(NotImplementedError):
-        MM.decode_media(MM.to_media_table(docs), real_decode=True)
+def test_multimodal_decode_real_kernel(spark, sf_dir, docs):
+    out = (
+        specs()["multimodal_decode"].fn(spark, sf_dir).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    src = docs.select("doc_id").toPandas()
+    assert len(out) == len(src)
+    # decoded geometry must equal the generator formula — proves the
+    # executor-side PNG parse recovered the real header
+    did = out["doc_id"]
+    assert (out["width"] == 4 + did % 13).all()
+    assert (out["height"] == 3 + did % 11).all()
+    assert (out["n_pixels"] == out["width"] * out["height"]).all()
+    assert (out["fmt"] == "png").all()
+    assert out["mean_pixel"].between(0, 255).all()
+
+
+def test_png_codec_roundtrip_all_filters():
+    import random
+
+    from flink_kmeans_spark.functions.imagecodec import (
+        decode_png,
+        encode_png_gray,
+        probe_image,
+    )
+
+    rng = random.Random(42)
+    for ft in range(5):  # force each scanline filter type in isolation
+        w, h = rng.randint(1, 33), rng.randint(1, 29)
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        data = encode_png_gray(w, h, px, filter_for_row=lambda y: ft)
+        assert probe_image(data) == ("png", w, h)
+        assert decode_png(data) == (w, h, px)
+    # corrupt CRC must fail loudly, never emit plausible pixels
+    data = bytearray(encode_png_gray(4, 4, bytes(range(16))))
+    data[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_probe_image_foreign_formats():
+    import struct
+
+    from flink_kmeans_spark.functions.imagecodec import probe_image
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 20
+    jpg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+        + b"\x00" * 10 + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x00" * 12
+    )
+    assert probe_image(gif) == ("gif", 320, 200)
+    assert probe_image(bmp) == ("bmp", 640, 480)  # abs() of top-down height
+    assert probe_image(jpg) == ("jpeg", 640, 480)
+    assert probe_image(b"not an image") == (None, -1, -1)
 
 
 def test_frame_sample_cardinality(spark, docs):
