@@ -3,14 +3,23 @@ canonicalization step: after MinHash/SimHash emit near-dup PAIRS, the
 pipeline must group transitive chains (a~b, b~c ⇒ {a,b,c}) and keep one
 canonical representative per cluster.
 
-Iterative min-label propagation, the same driver-loop shape as the
-K-Means fit (SURVEY §4.3.1): each round is one join + one map-side-
-combined min-aggregate; convergence when no label changes. Rounds
-needed = graph diameter (near-dup clusters are tiny chains, so 2–4).
-At 100 TB the classic optimization is the large-star/small-star
-variant (alternate join directions to cut shuffle volume on skewed
-hubs) — the per-round plan here is the small-star half; AQE's skew
-split covers hub nodes at test scale.
+Two algorithms, auto-dispatched:
+
+- **min-label propagation** (default fast path): one join + one
+  map-side-combined min-aggregate per round; rounds = graph diameter.
+  Near-dup clusters are tiny chains (diameter 2–4), so this wins on
+  the common case.
+- **alternating large-star/small-star** (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+  each round rewires every node toward its neighborhood minimum, so
+  path lengths square away and convergence is O(log d) rounds
+  independent of diameter. ``connected_components`` FALLS BACK to it
+  automatically when label propagation hasn't converged within
+  ``max_iter`` — the round-2 diameter ceiling is gone; a 100 TB
+  web-ish dup graph with long chains now converges instead of
+  raising. The converged star forest is validated against the
+  original pairs (one extra join) before returning, so a wrong
+  fixed point can never be emitted silently.
 """
 
 from __future__ import annotations
@@ -97,12 +106,125 @@ def connected_components(
         edges.unpersist()
     if not converged:
         # min-label propagation needs `diameter` rounds; exiting the loop
-        # with the last round still changing labels means the returned
-        # components would be silently WRONG (split chains). Fail loudly.
+        # with the last round still changing labels would return silently
+        # WRONG components (split chains). High-diameter graph: hand off
+        # to the O(log d) alternating-star algorithm instead of raising.
+        return connected_components_star(nodes, pairs, id_col=id_col)
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Alternating LARGE-STAR / SMALL-STAR connected components
+    (Kiveris et al., SoCC'14): O(log d) rounds regardless of graph
+    diameter — the 100 TB path for long-chain graphs where per-round
+    min-label propagation (rounds = diameter) is unaffordable.
+
+    Per round, both phases are one groupBy-min + one join over the
+    current edge frame — edge-sized shuffles with map-side combine,
+    nothing node-quadratic:
+
+    - large-star: every node points its LARGER neighbors at the
+      minimum of its closed neighborhood — long tails collapse onto
+      local minima, squaring away path lengths;
+    - small-star: edges orient large→small and every node plus its
+      smaller neighbors rewire to the neighborhood minimum —
+      flattening the partial trees into stars.
+
+    Terminates when the edge multiset checksum (count, Σsrc, Σdst) is
+    stable, then VALIDATES the star forest: every original pair must
+    land in one component (single edge-sized semi-join). A checksum
+    collision can therefore delay but never corrupt the result — and
+    validation failure raises loudly. ``max_rounds=40`` allows graphs
+    of diameter ~2^40 — unreachable in practice.
+    """
+    e0 = (
+        pairs.select(
+            F.col("id_a").cast("long").alias("u"),
+            F.col("id_b").cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    E = e0
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # --- large-star: symmetric neighborhoods, larger nodes rewire ---
+        sym = E.unionByName(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star: orient large->small, everyone joins the min ---
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        E = small.localCheckpoint(eager=True)
+        sig = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+        ).collect()[0]
+        sig = (sig["n"], sig["su"], sig["sv"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge within max_iter={max_iter} "
-            "rounds (graph diameter exceeds the cap) — raise max_iter, or "
-            "switch to large-star/small-star for high-diameter graphs"
+            f"connected_components_star did not stabilize in {max_rounds} "
+            "rounds — pathological input (should be impossible: rounds "
+            "needed is O(log diameter))"
+        )
+    # converged E is a star forest: u -> component root (the min). Roots
+    # and isolated nodes label themselves.
+    roots = E.groupBy("u").agg(F.min("v").alias("component"))
+    labels = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .join(roots, F.col("node") == roots.u, "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # validation: both endpoints of every ORIGINAL pair agree — a wrong
+    # fixed point (e.g. via checksum collision) can never leak out.
+    la = labels.select(
+        F.col("node").alias("u"), F.col("component").alias("ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("v"), F.col("component").alias("cb")
+    )
+    bad = (
+        e0.join(la, "u").join(lb, "v").filter(F.col("ca") != F.col("cb"))
+    )
+    if bad.limit(1).count() > 0:
+        raise RuntimeError(
+            "connected_components_star produced an invalid labeling "
+            "(endpoints of an input pair differ) — convergence checksum "
+            "collision; this should be unreachable"
         )
     return labels.select(F.col("node").alias(id_col), "component")
 

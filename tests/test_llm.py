@@ -263,19 +263,72 @@ def test_shingles_short_docs_yield_empty_not_crash(spark):
     DD.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
 
 
-def test_connected_components_raises_when_unconverged(spark):
-    # diameter-4 chain cannot converge in one round: must raise, never
-    # return silently-wrong split components (round-2 ADVICE fix)
+def test_connected_components_falls_back_to_star_when_unconverged(spark):
+    # diameter-4 chain cannot converge via label propagation in one
+    # round: instead of raising (round-2 behavior) it must hand off to
+    # the alternating-star algorithm and still return correct components
     from flink_kmeans_spark.operators.graph import connected_components
 
     nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
     chain = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, chain, max_iter=1)
+    ok = connected_components(nodes, chain, max_iter=1)
+    assert {r["component"] for r in ok.collect()} == {0}
     ok = connected_components(nodes, chain, max_iter=10)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_connected_components_star_high_diameter_chain(spark):
+    # diameter-50 chain (plus a second shifted chain and isolated
+    # nodes): min-label propagation would need 50 rounds; the star
+    # variant converges in O(log d) and must label every chain member
+    # with its minimum. The round-2 implementation raised here.
+    from flink_kmeans_spark.operators.graph import connected_components_star
+
+    n = 51
+    edges = [(i, i + 1) for i in range(n - 1)]  # component min 0
+    edges += [(100 + i, 101 + i) for i in range(20)]  # component min 100
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)]
+        + [(100 + i,) for i in range(21)]
+        + [(999,)],  # isolated node labels itself
+        "id long",
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[100 + i] == 100 for i in range(21))
+    assert got[999] == 999
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    import random
+
+    from flink_kmeans_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    ids = list(range(60))
+    edges = [
+        (rng.choice(ids), rng.choice(ids)) for _ in range(45)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, pairs, max_iter=30).collect()
+    }
+    b = {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    assert a == b
 
 
 def test_pq_topk_recall_vs_bruteforce(spark, emb):
