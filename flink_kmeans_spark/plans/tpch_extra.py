@@ -2,13 +2,18 @@
 
 With relational.py's Q3/Q4/Q5/Q6/Q10/Q14/Q17/Q18/Q19, this module
 completes ALL 22 TPC-H queries. Q1/Q7/Q8/Q13/Q15 are expressible
-verbatim against the driver's synthetic schema; Q2/Q9/Q11/Q16/Q20/Q22
-and Q12/Q21 are ADAPTED (no partsupp table, no l_shipmode /
-l_commitdate / l_receiptdate / c_phone / o_comment columns — see
-round-1 memory in SURVEY §2.0): the join/agg/subquery SHAPE of each
-query is preserved, the missing-column predicates are remapped onto
-existing columns (lateness = shipped >N days after order date, the
-same remap Q4 uses). Every key carries a DuckDB oracle.
+verbatim against the driver's synthetic schema. Q2/Q9/Q11/Q16/Q20 run
+FAITHFULLY (round 3) against a SYNTHETIC PARTSUPP derived
+deterministically from part × supplier (see ``synthetic_partsupp`` —
+the dbgen-style 4-suppliers-per-part rotation with arithmetic
+availqty/supplycost streams, identical formulas in Spark and the
+DuckDB oracle CTE), restoring the real ps_supplycost/ps_availqty
+semantics those queries lost in round 1. Q22 and Q12/Q21 remain
+ADAPTED (no c_phone / l_shipmode / l_commitdate / l_receiptdate /
+o_comment columns — see round-1 memory in SURVEY §2.0): the
+join/agg/subquery SHAPE is preserved and missing-column predicates
+remap onto existing columns (lateness = shipped >N days after order
+date, the same remap Q4 uses). Every key carries a DuckDB oracle.
 
 Scale notes per query are in the docstrings — the recurring themes:
 dimension chains broadcast, fact joins shuffle once on their key,
@@ -27,6 +32,75 @@ from .registry import register
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
+
+
+# Synthetic PARTSUPP: the driver schema ships no partsupp parquet, so we
+# derive one deterministically from part × supplier — 4 suppliers per
+# part via the dbgen-style rotation (keys here are 0-based):
+#
+#   ps_suppkey    = (p + i*(S div 4) + p div S) mod S      i ∈ 0..3
+#   ps_availqty   = (p*7 + i*13) mod 9999 + 1
+#   ps_supplycost = ((p*31 + i*17) mod 3600) / 4.0 + 100.0
+#
+# The four suppkeys are distinct for any S ≥ 4 (3·(S div 4) < S), and
+# ps_supplycost is an EXACT binary quarter (100.00–999.75), so MIN /
+# equality / threshold comparisons on it are float-safe cross-engine
+# with no rounding discipline needed. The same formulas appear verbatim
+# in the DuckDB oracle CTE below — both engines compute the identical
+# relation, which is what makes the faithful Q2/Q9/Q11/Q16/Q20 hashable.
+PARTSUPP_CTE = """
+    partsupp AS (
+      SELECT p.p_partkey AS ps_partkey,
+             (p.p_partkey + u.i * (t.s // 4) + p.p_partkey // t.s) % t.s
+               AS ps_suppkey,
+             CAST((p.p_partkey * 7 + u.i * 13) % 9999 + 1 AS INTEGER)
+               AS ps_availqty,
+             ((p.p_partkey * 31 + u.i * 17) % 3600) / 4.0 + 100.0
+               AS ps_supplycost
+      FROM part p,
+           (SELECT COUNT(*) AS s FROM supplier) t,
+           LATERAL UNNEST(generate_series(0, 3)) AS u(i)
+    )
+"""
+
+
+def synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the partsupp derivation (formulas above).
+
+    Scale shape: part × 4 with a BROADCAST one-row supplier count —
+    partsupp is |part|·4 rows of four narrow columns and never exists
+    at rest; Catalyst folds the arithmetic into the part scan
+    projection. At 100 TB the derived frame shuffles like any
+    dimension-bridge table (or is re-derived per query — cheaper than
+    storing it)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("s_cnt"))
+    return (
+        p.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "s_cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (
+                    F.col("p_partkey")
+                    + F.col("i") * F.expr("s_cnt div 4")
+                    + F.expr("p_partkey div s_cnt")
+                )
+                % F.col("s_cnt")
+            ).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1)
+            .cast("int")
+            .alias("ps_availqty"),
+            (
+                ((F.col("p_partkey") * 31 + F.col("i") * 17) % 3600) / 4.0
+                + 100.0
+            ).alias("ps_supplycost"),
+        )
+    )
 
 
 @register(
@@ -173,14 +247,18 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9",
     oracle="""
+    WITH """ + PARTSUPP_CTE + """
     SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS amount
+             l.l_extendedprice * (1 - l.l_discount)
+               - ps.ps_supplycost * l.l_quantity AS amount
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey
+                      AND ps.ps_partkey = l.l_partkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
       WHERE p.p_name LIKE '%red%'
@@ -190,12 +268,19 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "join"),
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 (product-type profit), ADAPTED: no partsupp table in the
-    synthetic schema, so profit omits the ps_supplycost·l_quantity term
-    (amount = revenue). The shape is intact: part-name LIKE filter
-    broadcasts onto lineitem, supplier+nation broadcast, the orderkey
-    join shuffles, two-level group (nation, year)."""
+    """TPC-H Q9 (product-type profit), FAITHFUL via synthetic partsupp:
+    profit = revenue − ps_supplycost·l_quantity, the spec's full
+    expression (restored from the round-1 revenue-only adaptation).
+    Shape: part-name LIKE filter broadcasts onto lineitem; partsupp
+    (a derived projection of part, |part|·4 narrow rows) broadcasts
+    onto the (partkey, suppkey) composite key; supplier+nation
+    broadcast; the only shuffle is lineitem⋈orders on orderkey, then
+    the two-level (nation, year) aggregate with map-side combine.
+    INNER join on partsupp matches the spec (every lineitem's
+    (part,supp) pair exists in true TPC-H; here it also FILTERS to the
+    synthetic 4-supplier rotation — deterministic on both engines)."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    ps = synthetic_partsupp(spark, sf_dir)
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
@@ -206,12 +291,20 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "nation")
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (F.col("l_suppkey") == F.col("ps_suppkey"))
+            & (F.col("l_partkey") == F.col("ps_partkey")),
+        )
         .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "nation",
             F.year("o_orderdate").alias("o_year"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
         )
         .groupBy("nation", "o_year")
         .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
@@ -307,27 +400,31 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q16",
     oracle="""
+    WITH """ + PARTSUPP_CTE + """
     SELECT p.p_brand, p.p_type, p.p_size,
-           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l
-    JOIN part p ON p.p_partkey = l.l_partkey
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
     WHERE p.p_brand <> 'Brand#1'
       AND p.p_type NOT IN ('PROMO', 'ECONOMY')
       AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p.p_brand, p.p_type, p.p_size
     """,
     tags=("tpch", "join"),
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q16 (supplier-count by part attributes), ADAPTED: no
-    partsupp table → lineitem is the part↔supplier bridge, and the
-    excluded-supplier predicate (complaints in the spec) maps to
-    negative account balance. Shape intact: NOT IN → anti join against
-    a broadcast-tiny exclusion list (s_suppkey is non-null here, so a
-    plain anti join ≡ null-aware), part filter broadcasts, then
-    count-distinct on the bridge key."""
-    l = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q16 (supplier-count by part attributes), FAITHFUL via
+    synthetic partsupp as the part↔supplier bridge (the spec's exact
+    FROM clause; restored from the round-1 lineitem stand-in). The
+    excluded-supplier predicate maps the spec's comment-LIKE
+    'complaints' onto negative account balance (no s_comment column —
+    the one remaining remap, documented). Shape: NOT IN → anti join
+    against a broadcast-tiny exclusion list (ps_suppkey is non-null by
+    construction, so a plain anti join ≡ null-aware), part filter
+    broadcasts, then count-distinct on the bridge key."""
+    ps = synthetic_partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").isin("PROMO", "ECONOMY"))
@@ -339,14 +436,14 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(bad_supp),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
 
 
@@ -498,33 +595,40 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q2",
     oracle="""
-    WITH eligible AS (
-      SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
-      FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WITH """ + PARTSUPP_CTE + """,
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+             s.s_acctbal, s.s_name, n.n_name
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       JOIN region r ON n.n_regionkey = r.r_regionkey
-      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN part p ON p.p_partkey = ps.ps_partkey
       WHERE r.r_name = 'EUROPE' AND p.p_size = 15 AND p.p_type = 'STANDARD'
     ),
-    mn AS (SELECT l_partkey, MIN(s_acctbal) AS min_bal
-           FROM eligible GROUP BY l_partkey)
-    SELECT e.l_partkey AS p_partkey, e.s_suppkey, e.s_name, e.n_name,
-           ROUND(e.s_acctbal, 2) AS s_acctbal
+    mn AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+           FROM eligible GROUP BY ps_partkey)
+    SELECT e.ps_partkey AS p_partkey, e.ps_suppkey AS s_suppkey,
+           e.s_name, e.n_name, ROUND(e.s_acctbal, 2) AS s_acctbal,
+           e.ps_supplycost
     FROM eligible e
-    JOIN mn ON e.l_partkey = mn.l_partkey AND e.s_acctbal = mn.min_bal
+    JOIN mn ON e.ps_partkey = mn.ps_partkey
+           AND e.ps_supplycost = mn.min_cost
     """,
     tags=("tpch", "join"),
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 (minimum-cost supplier), ADAPTED: no partsupp table →
-    lineitem is the part↔supplier bridge and min s_acctbal stands in
-    for min ps_supplycost. The signature shape survives: a correlated
-    MIN subquery decorrelated to aggregate-then-rejoin on the
-    correlation key. The equality join on the min uses STORED values
-    (no arithmetic), so float equality is engine-safe; ties keep all
-    minimal suppliers on both engines."""
-    l = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q2 (minimum-cost supplier), FAITHFUL via synthetic
+    partsupp: the correlated MIN ps_supplycost subquery decorrelates to
+    aggregate-then-rejoin on the correlation key — exactly the spec's
+    semantics (EUROPE region, size 15, STANDARD type). ps_supplycost is
+    an exact binary quarter, so the equality join on the min is
+    float-safe and ties keep all minimal suppliers on both engines.
+    Scale: region→nation→supplier chain broadcasts; partsupp is a
+    derived projection of part (never materialized at rest); the only
+    exchange is the group-by on ps_partkey over the pre-filtered
+    eligible rows."""
+    ps = synthetic_partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -542,26 +646,29 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     eligible = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
-        .distinct()
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost",
+            "s_acctbal", "s_name", "n_name",
+        )
     )
-    mn = eligible.groupBy(F.col("l_partkey").alias("mn_part")).agg(
-        F.min("s_acctbal").alias("min_bal")
+    mn = eligible.groupBy(F.col("ps_partkey").alias("mn_part")).agg(
+        F.min("ps_supplycost").alias("min_cost")
     )
     return (
         eligible.join(
             F.broadcast(mn),
-            (F.col("l_partkey") == F.col("mn_part"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
+            (F.col("ps_partkey") == F.col("mn_part"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
         )
         .select(
-            F.col("l_partkey").alias("p_partkey"),
-            "s_suppkey",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_suppkey").alias("s_suppkey"),
             "s_name",
             "n_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
+            "ps_supplycost",
         )
     )
 
@@ -569,33 +676,39 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q11",
     oracle="""
-    WITH v AS (
-      SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
-      FROM lineitem l
-      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WITH """ + PARTSUPP_CTE + """,
+    v AS (
+      SELECT ps.ps_partkey,
+             SUM(ps.ps_supplycost * ps.ps_availqty) AS val
+      FROM partsupp ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name = 'NATION_3'
-      GROUP BY l.l_partkey
+      GROUP BY ps.ps_partkey
     )
-    SELECT l_partkey AS p_partkey, val AS value
+    SELECT ps_partkey AS p_partkey, val AS value
     FROM v, (SELECT SUM(val) AS total, COUNT(*) AS np FROM v) t
-    WHERE ROUND(val, 2) > ROUND(2.0 * t.total / t.np, 2)
+    WHERE val > 2.0 * t.total / t.np
     """,
     tags=("tpch", "join"),
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 (important stock), ADAPTED: no partsupp → "value" is
-    one nation's revenue per part instead of stock value, and the spec's
-    absolute fraction becomes 2× the MEAN share (the absolute 0.001
-    cutoff returns zero rows once the part count passes 1/0.001 —
-    scale-fragile; the relative form selects heavy parts at every sf).
-    The signature shape survives: an aggregate compared against a
-    scalar function of its own total. Like tpch_q15, the total is a
-    window over the aggregated rows — ONE lineitem scan, not the two
-    the self-referencing subquery form costs."""
+    """TPC-H Q11 (important stock), FAITHFUL via synthetic partsupp:
+    value = SUM(ps_supplycost · ps_availqty) per part for one nation's
+    suppliers — the spec's true stock-value expression (restored from
+    the round-1 revenue stand-in). One deliberate deviation remains,
+    documented: the spec's ABSOLUTE fraction threshold (0.0001/SF)
+    returns zero rows as part count grows — scale-fragile — so the
+    cutoff stays RELATIVE (2× the mean per-part value), preserving the
+    signature shape of an aggregate compared against a scalar of its
+    own total. ps_supplycost·ps_availqty is an exact binary quarter
+    times an int — per-part sums are EXACT doubles on both engines, so
+    the threshold compare needs no rounding discipline at all. Like
+    tpch_q15, the total is a window over the aggregated rows — one
+    pass, no second scan."""
     from pyspark.sql.window import Window
 
-    l = _t(spark, sf_dir, "lineitem")
+    ps = synthetic_partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     sn = s.join(
@@ -603,55 +716,66 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey")
     v = (
-        l.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
-        .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"))
+        ps.join(
+            F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("val")
+        )
     )
     w = Window.partitionBy(F.lit(1))
     return (
         v.withColumn("total", F.sum("val").over(w))
         .withColumn("np", F.count(F.lit(1)).over(w))
-        # both comparison sides round to 2 dp: the sums differ across
-        # engines at ~1e-15 relative, and an unrounded > flips parts
-        # sitting exactly on the threshold (seen at sf0.1). The OUTPUT
-        # value stays raw — a part's revenue landed exactly on a .xx5
-        # 2 dp boundary where Spark and DuckDB ROUND disagree; the
-        # harness's 6 dp rounding is boundary-safe at this magnitude
-        # (registry float discipline).
-        .filter(F.round("val", 2) > F.round(2.0 * F.col("total") / F.col("np"), 2))
-        .select(F.col("l_partkey").alias("p_partkey"), F.col("val").alias("value"))
+        .filter(F.col("val") > 2.0 * F.col("total") / F.col("np"))
+        .select(F.col("ps_partkey").alias("p_partkey"), F.col("val").alias("value"))
     )
 
 
 @register(
     "tpch_q20",
     oracle="""
-    WITH shipped AS (
-      SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+    WITH """ + PARTSUPP_CTE + """,
+    shipped AS (
+      SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
       FROM lineitem l
-      JOIN part p ON p.p_partkey = l.l_partkey
-      WHERE p.p_name LIKE '%red%'
-        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
         AND l.l_shipdate < TIMESTAMP '1998-01-01'
-      GROUP BY l.l_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE p.p_name LIKE '%red%'
+        AND ps.ps_availqty > 0.5 * sh.qty
     )
     SELECT s.s_suppkey, s.s_name
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
-    JOIN shipped sh ON sh.l_suppkey = s.s_suppkey
-    WHERE n.n_name = 'NATION_2' AND sh.qty > 50
+    JOIN excess e ON e.ps_suppkey = s.s_suppkey
+    WHERE n.n_name = 'NATION_2'
     """,
     tags=("tpch", "join"),
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 (excess-stock suppliers), ADAPTED: no partsupp →
-    "suppliers holding excess red stock" becomes "NATION_2 suppliers
-    who shipped >50 units of red parts in 1997". The nested-IN
-    signature becomes what the optimizer would make of it anyway: an
-    aggregate-then-join chain with the part filter broadcast into the
-    fact scan. qty sums are integral doubles, so the >50 threshold is
-    float-exact on both engines."""
+    """TPC-H Q20 (excess-stock suppliers), FAITHFUL via synthetic
+    partsupp: suppliers in one nation whose available stock of a 'red'
+    part exceeds half the quantity they shipped of it in 1997 —
+    the spec's full nested-IN chain (ps_availqty > 0.5 · Σ l_quantity
+    correlated on BOTH partkey and suppkey), restored from the round-1
+    shipped-units stand-in. The nested INs decorrelate to what the
+    optimizer would build anyway: per-(part,supp) shipped aggregate →
+    joined against the partsupp bridge (broadcast — |part|·4 narrow
+    rows) → DISTINCT suppkeys → semi-joined to the nation-filtered
+    suppliers. 0.5·qty is float-exact (integral doubles halved), so
+    the threshold needs no rounding discipline. The only shuffle is
+    the lineitem (partkey, suppkey) aggregate."""
     l = _t(spark, sf_dir, "lineitem")
+    ps = synthetic_partsupp(spark, sf_dir)
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
@@ -660,14 +784,27 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-        .groupBy("l_suppkey")
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 50)
+    )
+    excess = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
     )
     return (
-        s.join(F.broadcast(n.select("n_nationkey")), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
-        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"))
+        s.join(
+            F.broadcast(n.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
         .select("s_suppkey", "s_name")
     )
 

@@ -362,3 +362,38 @@ def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
     only exchanges are the aggregate's own."""
     plan = plan_of(specs()["reshape_unpivot"].fn(spark, sf_dir))
     assert "Expand" in plan
+
+
+def test_synthetic_partsupp_shape(spark, sf_dir):
+    """partsupp derivation: exactly 4 DISTINCT suppliers per part, keys
+    inside the supplier range, supplycost exact binary quarters."""
+    from flink_kmeans_spark.plans.tpch_extra import synthetic_partsupp
+
+    ps = synthetic_partsupp(spark, sf_dir).toPandas()
+    n_part = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    assert len(ps) == n_part * 4
+    per = ps.groupby("ps_partkey")["ps_suppkey"].nunique()
+    assert (per == 4).all()  # dbgen-style rotation never collides
+    assert ps["ps_suppkey"].between(0, n_supp - 1).all()
+    assert ((ps["ps_supplycost"] * 4) % 1 == 0).all()  # exact quarters
+    assert ps["ps_availqty"].between(1, 9999).all()
+
+
+def test_tpch_q9_profit_includes_supplycost_term(spark, sf_dir):
+    """Faithful Q9 must charge ps_supplycost * l_quantity: total profit
+    is strictly below the revenue-only (round-1 adapted) total."""
+    q9 = specs()["tpch_q9"].fn(spark, sf_dir).toPandas()
+    import pyspark.sql.functions as F
+    from flink_kmeans_spark.sources import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    rev = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .collect()[0][0]
+    )
+    assert q9["sum_profit"].sum() < rev
