@@ -114,12 +114,13 @@ _WINDOW_PRIORITY: list[str] = [
     "udf_arrow_optimized", "udtf_surface",
     # --- pipelines / quality / misc ---
     "pipeline_curation", "data_split", "split_contamination",
-    "data_quality_checks", "sample_hash_stratified", "cdc_merge_apply",
+    "data_quality_checks", "sample_hash_stratified", "sample_stratified",
+    "cdc_merge_apply",
     "scd2_intervals", "ts_fill_forward", "mining_cooccurrence",
     "orders_backlog_curve", "orders_mix_shift", "forecast_snaive_backtest",
     # --- declared rows-only keys (driver records no_oracle; keep below
     #     the oracled tail so they never burn a hashed-window slot) ---
-    "kmeans_fit_converged", "agg_hll_sketch", "sample_stratified",
+    "kmeans_fit_converged", "agg_hll_sketch",
     "agg_percentile_approx", "streaming_late_data", "text_tfidf",
     "dedup_simhash", "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
     "sim_lsh_topk",

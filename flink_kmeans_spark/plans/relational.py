@@ -1684,21 +1684,51 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified", tags=("sampling",))
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM (
+      SELECT l_returnflag,
+             ((l_orderkey * 2654435761 + l_linenumber * 40503)
+              % 1000003) / 1000003.0 AS r
+      FROM lineitem
+    )
+    WHERE r < CASE l_returnflag WHEN 'A' THEN 0.10
+                                WHEN 'N' THEN 0.20
+                                WHEN 'R' THEN 0.05 ELSE 0.0 END
+    GROUP BY l_returnflag
+    """,
+    tags=("sampling",),
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``) — the training-data-mixture
-    primitive: downsample each stratum at its own rate in one pass, no
-    shuffle (per-partition Bernoulli filter with a seeded hash, so it
-    scales linearly and never materializes the strata). Returns
-    per-stratum kept-counts; the pytest oracle checks each rate against
-    its target fraction and the subset property."""
+    """Stratified sampling via a DETERMINISTIC key hash — the
+    training-data-mixture primitive: downsample each stratum at its own
+    rate in one pass, no shuffle (a per-row arithmetic filter, so it
+    scales linearly and never materializes the strata). The selector is
+    a Knuth-multiplicative mix of the row's primary key reduced mod a
+    prime — reproducible across engines, runs, AND repartitioning,
+    which is what makes a 100 TB sample auditable (``sampleBy``'s
+    partition-seeded Bernoulli draw changes membership whenever file
+    splits change; this never does) and lets the driver hash-verify
+    exact per-stratum counts instead of a rows-only tolerance check.
+    Returns per-stratum kept-counts; pytest additionally checks each
+    realized rate against its target fraction (binomial bound)."""
     l = _t(spark, sf_dir, "lineitem")
-    fractions = {"A": 0.10, "N": 0.20, "R": 0.05}
+    r = (
+        (F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 40503)
+        % 1000003
+    ) / 1000003.0
+    thresh = (
+        F.when(F.col("l_returnflag") == "A", 0.10)
+        .when(F.col("l_returnflag") == "N", 0.20)
+        .when(F.col("l_returnflag") == "R", 0.05)
+        .otherwise(0.0)
+    )
     return (
-        l.sampleBy("l_returnflag", fractions, seed=42)
+        l.filter(r < thresh)
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("l_returnflag")
     )
 
 

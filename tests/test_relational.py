@@ -122,9 +122,11 @@ def test_agg_hll_sketch_tolerance(spark, sf_oracle_dir):
         assert abs(got[flag] - n) <= max(2, 0.05 * n), (flag, got[flag], n)
 
 
-def test_sample_stratified_rates_and_subset(spark, sf_oracle_dir):
+def test_sample_stratified_rates_and_determinism(spark, sf_oracle_dir):
     """Each stratum's kept-count tracks its target fraction (binomial
-    4-sigma bound) and the op is deterministic for a fixed seed."""
+    4-sigma bound), and the key-hash selector is exactly reproducible —
+    including under a REPARTITIONED input, which partition-seeded
+    sampleBy cannot guarantee."""
     from pyspark.sql import functions as F
 
     l = load_table(spark, sf_oracle_dir, "lineitem")
@@ -141,7 +143,27 @@ def test_sample_stratified_rates_and_subset(spark, sf_oracle_dir):
         r["l_returnflag"]: r["n_sampled"]
         for r in specs()["sample_stratified"].fn(spark, sf_oracle_dir).collect()
     }
-    assert run1 == run2  # seeded => deterministic within a session
+    assert run1 == run2  # value-hash => deterministic, period
+    # partition-layout independence: same counts from a reshuffled input
+    r = (
+        (F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 40503)
+        % 1000003
+    ) / 1000003.0
+    thresh = (
+        F.when(F.col("l_returnflag") == "A", 0.10)
+        .when(F.col("l_returnflag") == "N", 0.20)
+        .when(F.col("l_returnflag") == "R", 0.05)
+        .otherwise(0.0)
+    )
+    rep = {
+        row["l_returnflag"]: row["n"]
+        for row in l.repartition(7)
+        .filter(r < thresh)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rep == run1
     for flag, frac in fractions.items():
         n, kept = totals[flag], run1[flag]
         mean, sigma = n * frac, (n * frac * (1 - frac)) ** 0.5
