@@ -777,6 +777,87 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_probe_formats",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(3 + doc_id % 11 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_probe_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata probe over a MIXED-FORMAT binary column:
+    each doc becomes a PNG (real encode), GIF, BMP, or JPEG payload by
+    doc_id mod 4 (geometry doc_id-deterministic), built executor-side;
+    a second Arrow stage sniffs (format, width, height) from the magic
+    bytes alone — the cheap metadata pass a lakehouse runs over raw
+    media BEFORE committing to full decode (probe never inflates pixel
+    data, so cost is O(header) per file regardless of payload size).
+    Two mapInPandas stages, zero shuffles; the oracle replays the
+    construction formulas, so a hash match proves the probe read the
+    real on-wire headers for all four container formats."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions.imagecodec import encode_png_gray, probe_image
+
+    enc, probe = encode_png_gray, probe_image  # ship by value
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def payload_for(did: int) -> bytes:
+            w, h = 4 + did % 13, 3 + did % 11
+            kind = did % 4
+            if kind == 0:
+                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h))
+                return enc(w, h, px)
+            if kind == 1:
+                return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+            if kind == 2:  # top-down BMP: negative height on the wire
+                return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h)
+            return (
+                b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + b"\x00" * 10 + b"\xff\xc0" + struct.pack(">H", 17)
+                + b"\x08" + struct.pack(">HH", h, w) + b"\x00" * 12
+            )
+
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [payload_for(int(d)) for d in pdf["doc_id"]],
+                    }
+                )
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h = probe(bytes(payload))
+                rows.append((int(did), fmt, w, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "width", "height"]
+            )
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    return media.mapInPandas(sniff, "doc_id long, fmt string, width int, height int")
+
+
+@register(
     "multimodal_framesample",
     oracle="""
     SELECT doc_id,

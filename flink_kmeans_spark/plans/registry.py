@@ -109,7 +109,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_boilerplate_ngrams", "text_collocations", "text_containment",
     "text_unigram_logprob", "text_zipf_fit", "sim_range_search",
     "sim_maxsim_topk", "multimodal_decode", "multimodal_framesample",
-    "multimodal_dedup_hash", "dedup_incremental",
+    "multimodal_probe_formats", "multimodal_dedup_hash", "dedup_incremental",
     "dedup_threshold_histogram", "embedding_quantize_int8",
     "udf_arrow_optimized", "udtf_surface",
     # --- pipelines / quality / misc ---
