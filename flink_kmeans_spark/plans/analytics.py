@@ -729,6 +729,40 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_components_star",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id // 101) * 101 AS BIGINT) AS component
+    FROM documents
+    """,
+    tags=("graph", "dedup"),
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-DIAMETER connected components via the alternating
+    large-star/small-star algorithm (operators/graph.py, Kiveris et al.
+    SoCC'14): doc ids chain i—i+1 inside blocks of 101, giving
+    diameter-100 path components — a shape per-round min-label
+    propagation needs 100 shuffle rounds for, while the star variant
+    converges in O(log 100) ≈ 7 alternations. The expected labeling has
+    a CLOSED FORM (component = floor(doc_id/101)·101), so the driver
+    hash-verifies that the iterative star rewiring reached the true
+    fixpoint on a graph whose diameter would have hit round-2's
+    max_iter ceiling. Scale: each phase is one groupBy-min plus one
+    edge-sized join — rounds grow with log(diameter), never with
+    diameter."""
+    from ..operators.graph import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    nxt = F.col("doc_id") + 1
+    pairs = (
+        docs.filter((nxt % 101 != 0))
+        .join(docs.select(F.col("doc_id").alias("nbr")), nxt == F.col("nbr"), "left_semi")
+        .select(F.col("doc_id").alias("id_a"), nxt.alias("id_b"))
+    )
+    return connected_components_star(docs, pairs, id_col="doc_id")
+
+
+@register(
     "events_streaks",
     oracle="""
     WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -74,8 +74,8 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
     "tpch_q20", "tpch_q21", "tpch_q22",
     # --- graph / analytics ---
-    "graph_pagerank", "graph_components", "graph_triangles",
-    "graph_link_prediction",
+    "graph_pagerank", "graph_components", "graph_components_star",
+    "graph_triangles", "graph_link_prediction",
     # --- events suite ---
     "events_funnel", "events_funnel_stages", "events_retention",
     "events_streaks", "events_transitions", "events_anomaly",
