@@ -2911,3 +2911,88 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") / F.sum("rev").over(w_all), 6).alias("share_of_seg"),
         F.row_number().over(w_rnk).alias("rnk"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(median(CAST(value AS DOUBLE)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS med7
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-event median of value per user — the robust
+    (outlier-immune) counterpart of window_frame's moving average.
+    Spark has no holistic aggregates over window frames, so the frame
+    materializes as a <=7-element collect_list, is array_sort'ed, and
+    the interpolated median (avg of the two middles on even counts —
+    DuckDB's semantics for DOUBLE) is picked by element_at arithmetic.
+
+    Scale shape: ONE user_id exchange + per-partition sort shared with
+    every other ordered window over events; the per-row state is bounded
+    at 7 doubles regardless of user cardinality or history length, so
+    the operator never spills frame state at 100 TB. (ts, event_id)
+    ordering makes frames engine-deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (n / 2 + 1).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2, 6).alias("med7"),
+    )
+
+
+@register(
+    "scalar_url",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=1' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+    tags=("scalar",),
+)
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction with Spark's parse_url (HOST / PATH /
+    QUERY / QUERY:key) over deterministic synthetic URLs — the
+    crawl-curation scalar surface (domain blocklists, per-site
+    dedup keys, tracking-param stripping all start here). The oracle
+    re-derives each component with regexes, proving parse_url's
+    JVM-side semantics against an engine-neutral definition.
+
+    Scale shape: pure scan-side codegen'd projection — zero shuffles,
+    zero joins; at 100 TB this runs at parquet-scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&v=1"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -980,3 +980,128 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"),
         )
     )
+
+
+@register(
+    "events_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1
+    )
+    SELECT c.user_id,
+           CAST(t.tot AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INTEGER) AS n_types,
+           ROUND(-SUM((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.tot
+    """,
+    tags=("events", "quality"),
+)
+def events_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity score (bot/spam users skew to near-zero
+    entropy; a data-curation pipeline uses the same op for source- or
+    domain-diversity weighting).
+
+    Scale shape: the raw table collapses to (user, type) grain in ONE
+    partial+final hash aggregate (<= |users| x 5 rows); the per-user
+    total is a window over that collapsed frame sharing the user_id
+    exchange, and the entropy fold runs over <= 5 rows per user. Both
+    engines sum <= 5 double terms, so 6 dp rounding absorbs fold-order
+    noise."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id")
+    p = F.col("n") / F.col("tot")
+    return (
+        c.withColumn("tot", F.sum("n").over(w))
+        .groupBy("user_id", "tot")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+        .select(
+            "user_id",
+            F.col("tot").cast("long").alias("n_events"),
+            "n_types",
+            "entropy",
+        )
+    )
+
+
+@register(
+    "events_windowed_topk",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS w_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w_start, event_type, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY w_start ORDER BY n DESC, event_type
+      ) AS rk FROM b
+    ) WHERE rk <= 3
+    """,
+    tags=("events", "eventtime"),
+)
+def events_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-3 event types per tumbling hour — the
+    windowed heavy-hitter report every event pipeline ships (same plan
+    works under readStream with a watermark because F.window is the
+    shared primitive).
+
+    Scale shape: tumbling-bucket assignment is a narrow map in the scan
+    projection; ONE hash aggregate collapses to (bucket, type) grain
+    (bounded: 720 buckets x 5 types per month); the rank window runs
+    over that collapsed frame with WindowGroupLimit pruning to 3 rows
+    per bucket before the final exchange. Integer counts + event_type
+    tiebreak make ranks engine-deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        b.select(F.unix_micros("w.start").alias("w_start"), "event_type", "n")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "graph_degree_dist",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, COUNT(*) AS degree FROM e GROUP BY 1
+    )
+    SELECT CAST(degree AS INTEGER) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+    tags=("graph",),
+)
+def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part–supplier bipartite graph (edges
+    = distinct (part, supplier) pairs shipped together): the first
+    diagnostic run on any dup/co-occurrence graph before clustering —
+    a heavy tail predicts skewed joins and drives salting decisions.
+
+    Scale shape: three cardinality-collapsing hash aggregates in a
+    straight line (distinct edges -> per-node degree -> degree
+    histogram), each strictly smaller than the last; the distinct and
+    the degree count share the l_partkey exchange. No joins, no
+    windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(F.col("degree").cast("int").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

@@ -1206,3 +1206,183 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.round(cont - 0.9, 6) >= 0)
         .select("id_a", "id_b", "shared", F.round(cont, 6).alias("containment"))
     )
+
+
+# ------------------------------------------- ranked retrieval / curation
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM p
+    ), q AS (
+      SELECT unnest(['scan', 'vector', 'dup']) AS term
+    ), tf AS (
+      SELECT p.doc_id, q.term,
+             len(list_filter(p.toks, x -> x = q.term)) AS tf,
+             len(p.toks) AS dl
+      FROM p CROSS JOIN q
+    ), df AS (
+      SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      FROM tf GROUP BY term
+    ), sc AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf t JOIN df d USING (term) CROSS JOIN s
+      WHERE t.tf > 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+    FROM sc
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    tags=("text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant, k1=1.2 b=0.75) for a
+    fixed 3-term query — the classical lexical-retrieval side of a
+    training-data pipeline (quality-biased sampling, eval-set mining).
+
+    Scale shape: doc length rides along through the explode so tf needs
+    NO doc-grain join; the per-term df table (|query| rows) and the
+    (n_docs, avgdl) scalar broadcast; the only corpus-sized shuffle is
+    the (doc_id, term) partial+final count, already filtered to query
+    terms in the scan projection. Final ranking is TakeOrderedAndProject
+    (top-20), never a global sort. Ranking happens AFTER rounding the
+    score to 6 dp in BOTH engines so float fold-order can't flip ranks;
+    ties break on doc_id."""
+    terms = ["scan", "vector", "dup"]
+    k1, b = 1.2, 0.75
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (
+        idf
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS sh
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id < 20
+    ), corp AS (
+      SELECT doc_id, unnest(sh) AS g FROM d WHERE doc_id >= 20
+    )
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM corp c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "dedup"),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by 5-gram overlap (the published
+    GPT-3/PaLM recipe: drop training docs sharing any n-gram with an
+    eval set). Docs with doc_id < 20 stand in for the benchmark;
+    output = corpus docs with >= 1 shared distinct 5-gram and the
+    shared-gram count (the decontamination filter is an anti-join on
+    this frame).
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are ~1e5 grams), so it BROADCASTS; the corpus
+    side explodes its shingles map-side and the only shuffle is the
+    final doc-grain count — the 100 TB corpus never re-partitions by
+    shingle. Shingle sets are per-doc distinct (TX.shingles), so
+    'shared' counts distinct grams in both engines."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", TX.shingles(F.col("text"), 5).alias("sh"))
+    bench = (
+        sh.where(F.col("doc_id") < 20)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corp = sh.where(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    return (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+@register(
+    "sim_filtered_topk",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM n ORDER BY vec_id LIMIT 10),
+    c AS (SELECT * FROM n WHERE label < 5)
+    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (q.nrm * c.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                                      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                        / (q.nrm * c.nrm) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN c ON c.vec_id <> q.vec_id
+    ) WHERE rk <= 5
+    """,
+    tags=("vector",),
+)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-5 restricted to
+    candidates passing a metadata predicate (label < 5) — the
+    filter-then-search pattern every production vector store needs
+    (pre-filtering, not post-filtering, so k results survive even
+    highly selective predicates).
+
+    Scale shape: the predicate applies IN the candidate scan (pushed to
+    parquet row groups, verified by the pushdown test suite's pattern)
+    BEFORE the broadcast cross join, so the pairing cost shrinks by the
+    filter's selectivity — post-filtering top-k would instead k-starve.
+    Same WindowGroupLimit per-query top-k as sim_cosine_topk."""
+    e = _emb(spark, sf_dir)
+    cand = e.where(F.col("label") < 5)
+    q = e.orderBy("vec_id").limit(10)
+    return SIM.cosine_topk_bruteforce(cand, q, k=5)
