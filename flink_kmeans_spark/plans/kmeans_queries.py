@@ -248,3 +248,98 @@ def kmeans_collection_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [(0, [0.0, 0.0]), (1, [6.0, 4.0])]
     df = from_collection(spark, points, "vec_id long, embedding array<double>")
     return km.assign(df, cents).select("vec_id", "cid")
+
+
+def _farthest_ctes(k: int) -> str:
+    """DuckDB CTE chain for k-round deterministic farthest-first
+    traversal (k-center greedy / Gonzalez init): c0 = lowest vec_id,
+    then each round picks the point maximizing its min squared distance
+    to the already-chosen set (ties -> lowest vec_id). MATERIALIZED for
+    the same reason as _lloyd_ctes (each d{i}/c{i} is referenced by the
+    next round — default inlining re-expands the chain)."""
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT vec_id, v, 0.0 AS dmin FROM e ORDER BY vec_id LIMIT 1)"""
+    ]
+    for i in range(1, k):
+        if i == 1:
+            parts.append(
+                """d1 AS MATERIALIZED (
+      SELECT e.vec_id, e.v,
+             list_aggregate(list_transform(list_zip(e.v, c0.v),
+                            p -> (p[1]-p[2])*(p[1]-p[2])), 'sum') AS dmin
+      FROM e, c0)"""
+            )
+        else:
+            parts.append(
+                f"""d{i} AS MATERIALIZED (
+      SELECT d.vec_id, d.v,
+             least(d.dmin,
+                   list_aggregate(list_transform(list_zip(d.v, c.v),
+                                  p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')) AS dmin
+      FROM d{i-1} d, c{i-1} c)"""
+            )
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT vec_id, v, dmin FROM d{i} ORDER BY dmin DESC, vec_id LIMIT 1)"""
+        )
+    return ",\n    ".join(parts)
+
+
+_FARTHEST_K = 5
+
+_FARTHEST_ORACLE = (
+    f"WITH {_farthest_ctes(_FARTHEST_K)}\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {i} AS cid, vec_id, ROUND(dmin, 6) AS sep FROM c{i}"
+        for i in range(_FARTHEST_K)
+    )
+)
+
+
+@register("kmeans_farthest_init", oracle=_FARTHEST_ORACLE, tags=("kmeans",))
+def kmeans_farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic farthest-first initialization (Gonzalez k-center
+    greedy — the deterministic cousin of k-means++; 2-approximation for
+    the k-center objective): seed with the lowest vec_id, then k-1
+    rounds of argmax-of-min-distance with lowest-vec_id tiebreak.
+    Unlike MLlib's seeded-random k-means|| this is fully reproducible
+    across engines, so the whole ITERATIVE selection is hash-verified
+    against an unrolled-CTE DuckDB replica (same discipline as
+    kmeans_fit's Lloyd's chain).
+
+    Scale shape: each round is one map-side min-distance projection
+    against the <=k chosen centers (broadcast-tiny) + a global
+    TakeOrderedAndProject(1) — only ONE row crosses to the driver per
+    round, exactly the kmeans_fit collect discipline; the corpus is
+    scanned k-1 times but never shuffled (at 100 TB you'd cache it
+    once, as fit does). Distances are sequential left folds in both
+    engines, so the argmax sees bit-identical doubles; 'sep' (each
+    center's min distance to its predecessors) rounds to 6 dp only in
+    the OUTPUT, never in the selection."""
+    from ..functions.vectors import sqdist
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(first["vec_id"], list(first["v"]))]
+    out = [(0, int(first["vec_id"]), 0.0)]
+    for i in range(1, _FARTHEST_K):
+        dists = [
+            sqdist(F.col("v"), F.array(*[F.lit(float(x)) for x in vec]))
+            for _, vec in chosen
+        ]
+        dmin = F.least(*dists) if len(dists) > 1 else dists[0]
+        row = (
+            e.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((row["vec_id"], list(row["v"])))
+        out.append((i, int(row["vec_id"]), round(float(row["dmin"]), 6)))
+    return spark.createDataFrame(out, "cid int, vec_id bigint, sep double")

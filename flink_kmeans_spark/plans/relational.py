@@ -2354,3 +2354,71 @@ def scalar_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.transform_values(m, lambda _, v: v * 2), "k").alias("doubled"),
         F.concat(st["t"], F.lit(":"), st["u"].cast("string")).alias("tagged"),
     )
+
+
+@register(
+    "join_dynamic_partition_prune",
+    oracle="""
+    WITH y AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), sel AS (
+      SELECT o_year FROM y
+      WHERE n_orders >= 0.5 * (SELECT MAX(n_orders) FROM y)
+    )
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN sel ON EXTRACT(year FROM o.o_orderdate) = sel.o_year
+    GROUP BY 1, 2
+    """,
+    tags=("join", "scan"),
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: a year-partitioned fact joined to a
+    dim whose predicate (n_orders >= half the peak year — NOT a
+    join-key predicate, so Catalyst cannot prune statically via
+    constraint inference) is only known at runtime; Spark injects
+    dynamicpruningexpression into the fact scan's PartitionFilters so
+    the broadcast result prunes fact DIRECTORIES before they're read
+    (pinned in tests/test_plans.py). At 100 TB this is the difference
+    between scanning the whole date-partitioned lake and scanning just
+    the qualifying partitions when the qualifying set is data-driven.
+
+    The threshold (ONE number, half the peak year's count) is collected
+    to the driver and applied as a literal dim filter — the bounded
+    kmeans-style collect discipline. This is load-bearing, not a
+    shortcut: Spark's PartitionPruning rule only recognizes a
+    scan+Filter chain as the filtering side, so a join-derived
+    threshold (broadcast 1-row max frame) silently defeats DPP —
+    probed both shapes; only the literal form injects the pruning
+    subquery."""
+    out = _scratch_dir("join_dpp")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    fact_dir = out + "/orders_by_year"
+    o.write.mode("overwrite").partitionBy("o_year").parquet(fact_dir)
+    dim_dir = out + "/year_dim"
+    o.groupBy("o_year").agg(F.count(F.lit(1)).alias("n_orders")).write.mode(
+        "overwrite"
+    ).parquet(dim_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir)
+    thr = dim.agg((0.5 * F.max("n_orders")).alias("t")).collect()[0]["t"]
+    sel = dim.where(F.col("n_orders") >= F.lit(float(thr))).select("o_year")
+    return (
+        fact.join(sel, "o_year")
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus", "n", "total")
+    )

@@ -397,3 +397,67 @@ def test_tpch_q9_profit_includes_supplycost_term(spark, sf_dir):
         .collect()[0][0]
     )
     assert q9["sum_profit"].sum() < rev
+
+
+def test_bm25_broadcast_stats_and_topk(spark, sf_dir):
+    """BM25: df/avgdl sides broadcast (never a shuffle join against the
+    posting list), top-20 is TakeOrderedAndProject, and nothing
+    degenerates to a CartesianProduct."""
+    p = plan_of(specs()["text_bm25_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_decontam_benchmark_broadcasts(spark, sf_dir):
+    """Decontamination: the benchmark shingle set broadcasts; the
+    CORPUS never re-partitions by shingle. The only two exchanges are
+    the tiny benchmark-side distinct (pre-broadcast) and the final
+    doc-grain count."""
+    p = plan_of(specs()["decontam_ngram_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 2
+    # the corpus side of the join is exchange-free: between the corpus
+    # FileScan and the BroadcastHashJoin there is no Exchange node
+    corpus_branch = p.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_branch
+
+
+def test_sim_filtered_topk_predicate_in_scan(spark, sf_dir):
+    """Filtered vector search must PRE-filter: the label predicate is
+    pushed into the candidate parquet scan, not applied after pairing."""
+    p = plan_of(specs()["sim_filtered_topk"].fn(spark, sf_dir))
+    assert "PushedFilters:" in p
+    assert "label" in p.split("PushedFilters:")[1][:200]
+    assert "CartesianProduct" not in p
+
+
+def test_windowed_topk_group_limit(spark, sf_dir):
+    p = plan_of(specs()["events_windowed_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_degree_dist_join_free_straight_line(spark, sf_dir):
+    """Degree distribution is three collapsing aggregates — no joins,
+    and the distinct + degree-count share the l_partkey exchange."""
+    p = plan_of(specs()["graph_degree_dist"].fn(spark, sf_dir))
+    assert "Join" not in p
+
+
+def test_rolling_median_single_user_exchange(spark, sf_dir):
+    p = plan_of(specs()["window_rolling_median"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_scalar_url_zero_shuffle(spark, sf_dir):
+    p = plan_of(specs()["scalar_url"].fn(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_join_dpp_injects_dynamic_pruning(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime directory pruning from the dim filter."""
+    p = plan_of(specs()["join_dynamic_partition_prune"].fn(spark, sf_dir))
+    assert "dynamicpruning" in p
