@@ -463,3 +463,108 @@ def cosine_radius_search(
         .select("q_id", "n_id", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine k-NN GRAPH (every vector's top-k neighbors — the
+    input to graph clustering, semantic dedup canonicalization, and
+    diversity sampling) via the same block-pair cogroup as
+    :func:`embedding_near_dups`, plus per-group PARTIAL top-k: each
+    (bi, bj) cogroup emits at most k candidates per member vector (one
+    dgemm per pair), and a global per-query window reduces the ~B·k
+    candidates per vector to the final top-k.
+
+    Scale shape: the full N×N cosine matrix never materializes as rows
+    anywhere — per block-pair only k rows per vector survive the numpy
+    top-k, so the shuffle into the final window moves ~N·B·k tiny rows
+    (not N²). Same ~B× replication floor and ~100 MB block sizing rule
+    as embedding_near_dups. Ties break (cosine desc, n_id asc) in BOTH
+    the numpy partial top-k (lexsort) and the SQL window, keeping the
+    selection engine-deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    d = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    block_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    left = (
+        d.alias("dl")
+        .join(F.broadcast(block_pairs.alias("bpl")), F.col("dl.blk") == F.col("bpl.bi"))
+        .select(
+            F.col("bpl.bi").alias("bi"), F.col("bpl.bj").alias("bj"),
+            F.col("dl.vid").alias("vid"), F.col("dl.v").alias("v"),
+        )
+    )
+    right = (
+        d.alias("dr")
+        .join(F.broadcast(block_pairs.alias("bpr")), F.col("dr.blk") == F.col("bpr.bj"))
+        .select(
+            F.col("bpr.bi").alias("bi"), F.col("bpr.bj").alias("bj"),
+            F.col("dr.vid").alias("vid"), F.col("dr.v").alias("v"),
+        )
+    )
+
+    def partial_topk(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        empty = pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
+            {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
+        )
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        same_blk = key[0] == key[1]
+        A = np.array(lpdf["v"].tolist(), dtype=np.float64)
+        B = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        ia = lpdf["vid"].to_numpy(dtype=np.int64)
+        ib = rpdf["vid"].to_numpy(dtype=np.int64)
+        cos = (A @ B.T) / (
+            np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+        )
+        if same_blk:
+            cos[ia[:, None] == ib[None, :]] = -np.inf  # never self-match
+
+        def emit(qids, nids, M):
+            # per row of M: top-k columns by (cosine desc, n_id asc)
+            out_q, out_n, out_c = [], [], []
+            for r in range(M.shape[0]):
+                order = np.lexsort((nids, -M[r]))[:k]
+                keep = M[r][order] > -np.inf
+                out_q.append(np.full(keep.sum(), qids[r]))
+                out_n.append(nids[order][keep])
+                out_c.append(M[r][order][keep])
+            if not out_q:
+                return empty
+            return pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+        frames = [emit(ia, ib, cos)]
+        if not same_blk:
+            frames.append(emit(ib, ia, cos.T))
+        return pd.concat(frames, ignore_index=True)
+
+    cands = (
+        left.groupBy("bi", "bj")
+        .cogroup(right.groupBy("bi", "bj"))
+        .applyInPandas(partial_topk, "q_id long, n_id long, cosine double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )

@@ -1386,3 +1386,36 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.where(F.col("label") < 5)
     q = e.orderBy("vec_id").limit(10)
     return SIM.cosine_topk_bruteforce(cand, q, k=5)
+
+
+@register(
+    "sim_knn_graph",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    )
+    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (a.nrm * b.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                                                      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                        / (a.nrm * b.nrm) DESC, b.vec_id
+             ) AS rk
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+    ) WHERE rk <= 3
+    """,
+    tags=("vector", "graph"),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine 3-NN graph over the WHOLE corpus (not a bounded
+    query set) — operators/similarity.py knn_graph's block-pair cogroup
+    with per-group partial top-k; the oracle is the naive all-pairs
+    rank SQL, which the blocked plan must reproduce exactly."""
+    return SIM.knn_graph(_emb(spark, sf_dir), k=3)
