@@ -2996,3 +2996,282 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "data_skew_report",
+    oracle="""
+    WITH ks AS (
+      SELECT 'lineitem.l_partkey' AS keyed, l_partkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', user_id FROM events
+    ), g AS (
+      SELECT keyed, k, COUNT(*) AS n FROM ks GROUP BY 1, 2
+    )
+    SELECT keyed,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           ROUND(AVG(n), 4) AS avg_n,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99_n,
+           ROUND(MAX(n) * 1.0 / AVG(n), 4) AS skew_ratio,
+           ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top1_share
+    FROM g GROUP BY keyed
+    """,
+    tags=("quality", "ops"),
+)
+def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key SKEW PROFILER: per candidate shuffle key, the
+    group-size distribution (key count, max, mean, exact p99, max/mean
+    skew ratio, heaviest key's row share). This is the diagnostic run
+    BEFORE choosing a 100 TB shuffle strategy — skew_ratio >> 1 says
+    salt or AQE-skew-split this key; top1_share bounds the benefit.
+
+    Scale shape: per audited key one partial+final count aggregate
+    collapses the table to key grain, then one tiny stats aggregate per
+    key name; the three audits union into a single two-stage plan. The
+    exact p99 sorts only |keys| collapsed rows per audit (the sort-based
+    percentile path), never raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        ("lineitem.l_partkey", li.select(F.col("l_partkey").alias("k"))),
+        ("lineitem.l_suppkey", li.select(F.col("l_suppkey").alias("k"))),
+        ("events.user_id", ev.select(F.col("user_id").alias("k"))),
+    ]
+    outs = []
+    for name, frame in parts:
+        g = frame.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("keyed"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n").alias("n_rows"),
+                F.max("n").alias("max_n"),
+                F.round(F.avg("n"), 4).alias("avg_n"),
+                F.round(F.percentile("n", F.lit(0.99)), 4).alias("p99_n"),
+                F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+                F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "domain_mix_rebalance",
+    oracle="""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ), t AS (
+      SELECT SUM(n_docs) AS total, COUNT(*) AS n_langs FROM g
+    )
+    SELECT g.lang,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           ROUND(g.n_docs * 1.0 / t.total, 6) AS share,
+           ROUND(least(1.0, (t.total * 1.0 / t.n_langs) / g.n_docs), 6) AS keep_prob,
+           CAST(FLOOR(g.n_docs * least(1.0, (t.total * 1.0 / t.n_langs) / g.n_docs)) AS BIGINT)
+             AS expected_kept
+    FROM g, t
+    """,
+    tags=("text", "sampling"),
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix REBALANCING plan: per language (stand-in for any
+    domain/source dimension), the downsampling probability that caps
+    every domain at the uniform target share (keep_prob = min(1,
+    target_n / n_l)) plus the expected post-sampling count — the
+    published data-mixture recipe (uniformize-or-cap) that precedes
+    weighted sampling in corpus assembly. Feed keep_prob into
+    sample_hash_stratified's deterministic per-domain downsampler to
+    EXECUTE the plan.
+
+    Scale shape: one domain-grain aggregate + a broadcast 1-row totals
+    frame; output is |domains| rows. The corpus itself is touched once
+    and never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    keep = F.least(F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n_docs"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+            F.round(keep, 6).alias("keep_prob"),
+            F.floor(F.col("n_docs") * keep).alias("expected_kept"),
+        )
+    )
+
+
+@register(
+    "scan_text_lines",
+    oracle="""
+    WITH sel AS (
+      SELECT text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+    FROM sel
+    """,
+    tags=("scan", "sink", "text"),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text SINK + SOURCE roundtrip (``df.write.text`` /
+    ``spark.read.text``): the rawest corpus interchange format (one doc
+    per line — the WebText/C4 on-disk shape before parquetization). A
+    deterministic doc subset is written as .txt part files and read
+    back; the audit (line count, byte total, distinct lines) must
+    reproduce the source rows exactly. Line order is NOT preserved
+    across the roundtrip — the audit is deliberately order-insensitive,
+    matching the format's contract.
+
+    Scale shape: both write and read are embarrassingly parallel per
+    part-file/line; the only aggregation is the final 1-row audit (the
+    distinct rides the same exchange)."""
+    from .relational import _scratch_dir
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    out = _scratch_dir("textlines") + "/docs_txt"
+    docs.select("text").write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.octet_length("value")).alias("total_bytes"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
+@register(
+    "events_outlier_mad",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m1 AS (
+      SELECT user_id, median(CAST(n AS DOUBLE)) AS med FROM c GROUP BY 1
+    ), dev AS (
+      SELECT c.user_id, c.d, c.n, m1.med, ABS(c.n - m1.med) AS adev
+      FROM c JOIN m1 USING (user_id)
+    ), m2 AS (
+      SELECT user_id, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.user_id,
+           strftime(dev.d, '%Y-%m-%d') AS d,
+           CAST(dev.n AS BIGINT) AS n,
+           ROUND((dev.n - dev.med) / m2.mad, 4) AS score
+    FROM dev JOIN m2 USING (user_id)
+    WHERE m2.mad > 0
+      AND ROUND(ABS(dev.n - dev.med) - 3 * m2.mad, 6) > 0
+    """,
+    tags=("events", "quality"),
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user daily-volume outliers via MEDIAN absolute
+    deviation (|n - median| > 3·MAD) — the breakdown-resistant
+    counterpart of events_anomaly's 2-sigma rule: one wild day inflates
+    a stddev and hides itself, but not a median. Both medians are exact
+    interpolated percentiles (identical semantics in Spark's median and
+    DuckDB's median over DOUBLE); the decision boundary compares
+    ROUNDED on both sides so float noise can't flip membership.
+
+    Scale shape: the raw table collapses to user-day grain in one
+    aggregate (everything after runs on <= |users|·31 rows); the two
+    median passes and the joins all share user_id partitioning. Exact
+    medians sort only each user's <= 31 daily counts."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m1 = c.groupBy("user_id").agg(
+        F.median(F.col("n").cast("double")).alias("med")
+    )
+    dev = c.join(m1, "user_id").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    m2 = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(m2, "user_id")
+        .where(
+            (F.col("mad") > 0)
+            & (F.round(F.abs(F.col("n") - F.col("med")) - 3 * F.col("mad"), 6) > 0)
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "n",
+            F.round((F.col("n") - F.col("med")) / F.col("mad"), 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "window_ewma",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+             ) AS vals
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(
+             list_aggregate(list_transform(list_zip(vals, generate_series(1, len(vals))),
+                            p -> CAST(p[1] AS DOUBLE) * pow(0.8, len(vals) - p[2])), 'sum')
+             / list_aggregate(list_transform(generate_series(1, len(vals)),
+                              i -> pow(0.8, len(vals) - i)), 'sum'),
+           6) AS ewma
+    FROM v
+    """,
+    tags=("window", "timeseries"),
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (decay 0.8, normalized)
+    over each user's last 10 events — the smoothing primitive behind
+    rate limiting, trend detection, and drift monitors. True infinite-
+    history EWMA is a recurrence no SQL window expresses; the BOUNDED
+    frame keeps it set-based (weights below 0.8^10 ≈ 0.11 are cut and
+    the renormalization makes the truncation exact, not approximate).
+
+    Scale shape: same single user_id exchange + shared sort as every
+    ordered events window; per-row state is <= 10 doubles. Both engines
+    build the IDENTICAL frame-ordered list and fold it sequentially, so
+    the quotient is bit-stable before the 6 dp output rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vals = F.collect_list(F.col("value").cast("double")).over(w)
+    n = F.size(vals)
+    a = F.lit(0.8)
+    num = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), n),
+            lambda x, i: x * F.pow(a, (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.pow(a, (n - i).cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
