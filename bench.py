@@ -93,6 +93,17 @@ HEADLINE = [
     "join_point_in_time",
     "mining_cooccurrence",
     "embedding_quantize_int8",
+    # round-3 additions
+    "text_bm25_topk",
+    "decontam_ngram_overlap",
+    "sim_knn_graph",
+    "sim_filtered_topk",
+    "window_rolling_median",
+    "window_ewma",
+    "events_entropy",
+    "data_skew_report",
+    "kmeans_farthest_init",
+    "join_dynamic_partition_prune",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

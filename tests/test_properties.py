@@ -279,3 +279,79 @@ def test_asof_joins_match_pandas_merge_asof_random(spark):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_knn_graph_matches_bruteforce(spark, sf_dir):
+    """The blocked k-NN graph must equal brute force exactly for every
+    query (not just the bounded query set the topk key uses)."""
+    from flink_kmeans_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        knn_graph,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    blocked = {
+        (r["q_id"], r["rk"]): r["n_id"]
+        for r in knn_graph(e, k=3, n_blocks=4).collect()
+    }
+    brute = {
+        (r["q_id"], r["rk"]): r["n_id"]
+        for r in cosine_topk_bruteforce(e, e, k=3).collect()
+    }
+    assert blocked == brute
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    rows = specs()["text_bm25_topk"].fn(spark, sf_dir).collect()
+    assert rows, "bm25 returned no hits"
+    scores = [r["score"] for r in sorted(rows, key=lambda r: r["rk"])]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ewma_bounded_by_frame_extremes(spark, sf_dir):
+    """A normalized weighted average can never leave [min, max] of its
+    frame — catches weight/renormalization bugs."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    frame = e.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    ew = specs()["window_ewma"].fn(spark, sf_dir)
+    bad = (
+        ew.join(frame, "event_id")
+        .where((F.col("ewma") < F.round(F.col("lo"), 6) - 1e-6)
+               | (F.col("ewma") > F.round(F.col("hi"), 6) + 1e-6))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_mix_rebalance_caps_at_uniform_target(spark, sf_dir):
+    rows = specs()["domain_mix_rebalance"].fn(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    target = total / len(rows)
+    for r in rows:
+        assert 0 < r["keep_prob"] <= 1
+        # expected_kept never exceeds the uniform target (cap semantics)
+        assert r["expected_kept"] <= int(target) + 1
+        if r["n_docs"] <= target:
+            assert r["keep_prob"] == 1.0
+
+
+def test_farthest_init_separation_monotone_nonincreasing(spark, sf_dir):
+    """Gonzalez greedy: each new center's min-distance-to-chosen is
+    <= the previous one's (the selection is always the argmax of a
+    shrinking function)."""
+    rows = sorted(
+        specs()["kmeans_farthest_init"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["cid"],
+    )
+    seps = [r["sep"] for r in rows[1:]]  # c0's sep is defined 0
+    assert all(a >= b for a, b in zip(seps, seps[1:]))
