@@ -2422,3 +2422,34 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_year").cast("int").alias("o_year"), "o_orderstatus", "n", "total")
     )
+
+
+@register(
+    "scalar_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_30d,
+           CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS due_2mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week
+    FROM orders
+    """,
+    tags=("scalar",),
+)
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic (due dates, month ends, fiscal
+    buckets): day and month interval addition — month addition is NOT a
+    fixed duration, both engines clamp month-end overflow — plus
+    last_day / quarter / ISO week. Pure scan-side codegen projection,
+    zero shuffles."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_30d"),
+        F.add_months(d.cast("date"), 2).cast("timestamp").alias("due_2mo"),
+        F.last_day(d.cast("date")).cast("timestamp").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d.cast("date")).alias("iso_week"),
+    )
