@@ -2453,3 +2453,53 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).alias("qtr"),
         F.weekofyear(d.cast("date")).alias("iso_week"),
     )
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT 'fragmented' AS stage,
+           CAST(64 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    UNION ALL
+    SELECT 'compacted', CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+    tags=("sink", "ops"),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the lake-maintenance op every streaming
+    ingest needs: a deliberately fragmented table (64 part files) is
+    rewritten into 2 right-sized files, and the audit proves (a) the
+    file counts hit the target layout and (b) the content survived
+    byte-for-byte (row count + key checksum per stage). The oracle
+    encodes the layout contract; at 100 TB the same two-liner
+    (repartition(target).write) is the nightly compaction job, with
+    target = table_bytes / 128 MB.
+
+    Scale shape: compaction is one round-robin exchange (no key
+    skew possible); the audits are 1-row aggregates whose file counts
+    come from distinct input_file_name(), not a filesystem listing —
+    the check itself is distributed."""
+    out = _scratch_dir("compaction")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    frag_dir = out + "/fragmented"
+    o.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    comp_dir = out + "/compacted"
+    spark.read.parquet(frag_dir).repartition(2).write.mode("overwrite").parquet(comp_dir)
+
+    def audit(path: str, stage: str) -> DataFrame:
+        # input_file_name() is non-deterministic to the analyzer — it
+        # must be projected into a column before any aggregate sees it
+        df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.countDistinct("__f").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+
+    return audit(frag_dir, "fragmented").unionByName(audit(comp_dir, "compacted"))
