@@ -1419,3 +1419,43 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-group partial top-k; the oracle is the naive all-pairs
     rank SQL, which the blocked plan must reproduce exactly."""
     return SIM.knn_graph(_emb(spark, sf_dir), k=3)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 11 AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 5), t ->
+               (doc_id * 31
+                + (((t // 3) * h // 2) * w + ((t % 3) * w // 3)) * 7
+               ) % 256) AS rs
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_w,
+           CAST(h AS INTEGER) AS src_h,
+           CAST(3 AS INTEGER) AS out_w,
+           CAST(2 AS INTEGER) AS out_h,
+           array_to_string(rs, ',') AS resized,
+           ROUND(list_aggregate(rs, 'sum') / 6.0, 6) AS mean_resized
+    FROM r
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize (3×2 thumbnails) over
+    executor-encoded PNG payloads — completes the decode /
+    feature-extract / RESIZE / frame-sample multimodal quartet. The
+    payloads are genuine PNGs (CRC-checked, zlib, all five scanline
+    filters); the oracle recomputes every resampled pixel from the
+    generation formulas, so a hash match proves the byte → pixel →
+    resample pipeline end to end (operators/multimodal.py
+    resize_image_media; codec functions/imagecodec.py)."""
+    media = MM.to_image_table(_docs(spark, sf_dir))
+    return MM.resize_image_media(media, out_w=3, out_h=2)
