@@ -3275,3 +3275,100 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://www.example.com/page/' || (doc_id % 97)
+               || '?utm_source=s' || doc_id || '&sid=' || (doc_id * 7 % 1000) AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             regexp_extract(url, 'https?://([^/]+)', 1)
+               || regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS canonical
+      FROM u
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM c GROUP BY canonical
+    """,
+    tags=("dedup", "scalar"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup — the cheapest dedup tier in a crawl
+    pipeline, run BEFORE any content hashing: strip tracking params
+    (utm_*, session ids) by canonicalizing to host+path via parse_url,
+    then keep-first per canonical with the dup count. Synthetic crawl
+    URLs collide on doc_id % 97 so real dup groups exist; the oracle
+    re-derives canonicals with regexes (engine-neutral definition of
+    the same canonicalization).
+
+    Scale shape: canonicalization is scan-side codegen; ONE hash
+    aggregate on the canonical key does keep-first + counting — at
+    crawl scale this is the groupBy that replaces a quadratic URL
+    compare."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www.example.com/page/"), F.col("doc_id") % 97,
+        F.lit("?utm_source=s"), F.col("doc_id"),
+        F.lit("&sid="), (F.col("doc_id") * 7) % 1000,
+    )
+    canonical = F.concat(
+        F.parse_url(url, F.lit("HOST")), F.parse_url(url, F.lit("PATH"))
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+@register(
+    "sink_parquet_codecs",
+    oracle="""
+    SELECT 'snappy' AS codec, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    UNION ALL
+    SELECT 'zstd', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'gzip', CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+    tags=("sink", "scan"),
+)
+def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec roundtrips (snappy / zstd / gzip): the same
+    table written under each codec and read back with a content
+    checksum per codec — the lake's storage-tiering decision (zstd for
+    cold archives ~2× smaller, snappy for hot scan paths) verified as
+    lossless. All three rewrites are narrow scan→write jobs; the
+    audits are 1-row aggregates."""
+    from .relational import _scratch_dir, _t
+
+    base = _scratch_dir("codecs")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    outs = []
+    for codec in ("snappy", "zstd", "gzip"):
+        path = f"{base}/orders_{codec}"
+        o.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
