@@ -1105,3 +1105,54 @@ def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.groupBy(F.col("degree").cast("int").alias("degree"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * (t_next - t)) / SUM(t_next - t), 6) AS twavg,
+           ROUND(SUM(value) / COUNT(*), 6) AS plain_avg,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM s
+    WHERE t_next IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("events", "timeseries"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average per user (each reading weighted by how
+    long it was the current value — the TWAP/IoT-sensor aggregation):
+    irregular sampling makes the plain mean lie; the time-weighted mean
+    is reported next to it so the bias is visible. Last reading per
+    user has no holding interval and is excluded (standard left-closed
+    convention, identical in both engines).
+
+    Scale shape: one user_id exchange shared by the LEAD window and the
+    final aggregate (prefix-compatible partitioning — no re-shuffle);
+    weights are µs BIGINTs so the weighted sum is exact until the final
+    double division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    s = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return s.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twavg"),
+        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("plain_avg"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -461,3 +461,24 @@ def test_join_dpp_injects_dynamic_pruning(spark, sf_dir):
     PartitionFilters — runtime directory pruning from the dim filter."""
     p = plan_of(specs()["join_dynamic_partition_prune"].fn(spark, sf_dir))
     assert "dynamicpruning" in p
+
+
+def test_twavg_single_user_exchange(spark, sf_dir):
+    """LEAD window and the final user aggregate share ONE user_id
+    exchange (prefix-compatible partitionings)."""
+    p = plan_of(specs()["events_time_weighted_avg"].fn(spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_url_canonical_single_aggregate(spark, sf_dir):
+    p = plan_of(specs()["dedup_url_canonical"].fn(spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_mix_rebalance_totals_broadcast(spark, sf_dir):
+    """The 1-row totals frame must come back as a broadcast nested-loop
+    (single build row), never a shuffle join."""
+    p = plan_of(specs()["domain_mix_rebalance"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
