@@ -1156,3 +1156,49 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("plain_avg"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@register(
+    "events_gap_detection",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t_prev
+      FROM events
+    )
+    SELECT user_id,
+           t_prev AS gap_start_us,
+           t AS gap_end_us,
+           CAST((t - t_prev) // 1000000 AS BIGINT) AS gap_sec
+    FROM s
+    WHERE t_prev IS NOT NULL
+      AND t - t_prev > CAST(12 AS BIGINT) * 3600 * 1000000
+    """,
+    tags=("events", "quality"),
+)
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/downtime detection: per-user inter-event gaps longer
+    than 12 h, reported as (start, end, duration) intervals — the
+    monitoring primitive for sensor dropout, pipeline stalls, and
+    churn-risk inactivity (the dual of sessionization: it keeps the
+    gaps, not the bursts).
+
+    Scale shape: one LAG window over the shared user_id exchange +
+    ordered sort, then a scan-side filter; output is only the gap rows.
+    Gap arithmetic is exact µs BIGINTs."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    s = e.select(
+        "user_id", t.alias("t"), F.lag(t).over(w).alias("t_prev")
+    ).where(F.col("t_prev").isNotNull())
+    gap = F.col("t") - F.col("t_prev")
+    return s.where(gap > F.lit(12 * 3600 * 1000000)).select(
+        "user_id",
+        F.col("t_prev").alias("gap_start_us"),
+        F.col("t").alias("gap_end_us"),
+        F.floor(gap / 1000000).cast("long").alias("gap_sec"),
+    )
