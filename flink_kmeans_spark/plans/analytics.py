@@ -1202,3 +1202,18 @@ def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("gap_end_us"),
         F.floor(gap / 1000000).cast("long").alias("gap_sec"),
     )
+
+
+@register("recsys_als", tags=("mllib", "recsys"))
+def recsys_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS recommendations (operators/recsys.py):
+    customer×part demand triples from orders⋈lineitem, factorized at
+    rank 8, top-5 items per customer. Rows-only (distributed ALS
+    solves are seeded but not bit-reproducible cross-engine); pytest
+    pins top-k shape invariants and that the factorization beats the
+    popularity baseline at reconstructing demand."""
+    from ..operators.recsys import als_recommend, purchase_matrix
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return als_recommend(purchase_matrix(o, li), k=5)
