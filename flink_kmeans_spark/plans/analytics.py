@@ -1217,3 +1217,52 @@ def recsys_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     return als_recommend(purchase_matrix(o, li), k=5)
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT AVG(n) AS mu FROM d
+    ), p AS (
+      SELECT day, n, SUM(n - mu) OVER (ORDER BY day) AS pref
+      FROM d, m
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n,
+           ROUND(pref - MIN(pref) OVER (ORDER BY day), 4) AS cusum_up
+    FROM p
+    """,
+    tags=("events", "timeseries", "quality"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upward-drift CUSUM over the daily event-volume series — the
+    classical changepoint monitor. The textbook recurrence
+    S_i = max(0, S_{i-1} + x_i - mu) is not a SQL window, but it
+    REWRITES exactly to prefix-sum minus running-minimum
+    (S_i = P_i - min_{j<=i} P_j), so both engines compute it with two
+    ordered windows and zero recursion.
+
+    Scale shape: the raw table collapses to day grain first (|days|
+    rows — at 100 TB still just the calendar), so the unpartitioned
+    ordered windows run over a frame that CANNOT grow with data volume;
+    the daily aggregate is the only full-data pass. Sequential running
+    sums are fold-order-fixed by the window sort → bit-stable before
+    the 4 dp rounding."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = d.agg(F.avg("n").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = d.crossJoin(F.broadcast(m)).withColumn(
+        "pref", F.sum(F.col("n") - F.col("mu")).over(w)
+    )
+    return p.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(F.col("pref") - F.min("pref").over(w), 4).alias("cusum_up"),
+    )
