@@ -1266,3 +1266,84 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("pref") - F.min("pref").over(w), 4).alias("cusum_up"),
     )
+
+
+@register(
+    "events_ab_test",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS grp,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 200 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT grp,
+             COUNT(*) AS n_users,
+             SUM(converted) AS n_conv
+      FROM u GROUP BY 1
+    ), s AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN grp = 0 THEN n_conv END) AS c0,
+        MAX(CASE WHEN grp = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN n_conv END) AS c1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           ROUND(c0 * 1.0 / n0, 6) AS p_control,
+           ROUND(c1 * 1.0 / n1, 6) AS p_treat,
+           ROUND((c1 * 1.0 / n1) - (c0 * 1.0 / n0), 6) AS lift,
+           ROUND(((c1 * 1.0 / n1) - (c0 * 1.0 / n0))
+                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                        * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+    FROM s
+    """,
+    tags=("events", "stats"),
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the two-proportion z-test on big-ticket
+    conversion (a purchase over 200: ~20%% of users — plain purchase
+    saturates at 100%% over 30 days, making z degenerate 0/0) between
+    user_id-parity arms (the deterministic stand-in for an assignment
+    table): arm sizes, conversion rates, absolute lift, and the
+    pooled-variance z-score. This is the decision-making
+    query every experimentation platform runs on event logs.
+
+    Scale shape: user-grain conversion flags collapse in one aggregate
+    (MAX of a CASE — no distinct needed), arm totals in a second tiny
+    one; the z arithmetic runs on a single row. The raw table is
+    touched exactly once."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("grp")
+    ).agg(
+        F.max(F.when((F.col("event_type") == "purchase") & (F.col("value") > 200), 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    g = u.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    s = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    return s.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        F.round(p0, 6).alias("p_control"),
+        F.round(p1, 6).alias("p_treat"),
+        F.round(p1 - p0, 6).alias("lift"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
+            4,
+        ).alias("z_score"),
+    )
