@@ -1304,8 +1304,8 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout — the two-proportion z-test on big-ticket
-    conversion (a purchase over 200: ~20%% of users — plain purchase
-    saturates at 100%% over 30 days, making z degenerate 0/0) between
+    conversion (a purchase over 200: ~20% of users — plain purchase
+    saturates at 100% over 30 days, making z degenerate 0/0) between
     user_id-parity arms (the deterministic stand-in for an assignment
     table): arm sizes, conversion rates, absolute lift, and the
     pooled-variance z-score. This is the decision-making
