@@ -3115,7 +3115,8 @@ def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_text_lines",
     oracle="""
     WITH sel AS (
-      SELECT text FROM documents WHERE doc_id % 10 = 0
+      SELECT replace(text, chr(10), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
            CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
@@ -3141,7 +3142,12 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     out = _scratch_dir("textlines") + "/docs_txt"
-    docs.select("text").write.mode("overwrite").text(out)
+    # newline-proof the one-doc-per-line contract: embedded newlines in
+    # a regenerated corpus would otherwise split docs across lines and
+    # silently break the audit (same discipline on the oracle side)
+    docs.select(
+        F.regexp_replace("text", "\n", " ").alias("text")
+    ).write.mode("overwrite").text(out)
     back = spark.read.text(out)
     return back.agg(
         F.count(F.lit(1)).alias("n_lines"),

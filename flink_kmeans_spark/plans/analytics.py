@@ -1295,9 +1295,9 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(c1 * 1.0 / n1, 6) AS p_treat,
            ROUND((c1 * 1.0 / n1) - (c0 * 1.0 / n0), 6) AS lift,
            ROUND(((c1 * 1.0 / n1) - (c0 * 1.0 / n0))
-                 / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                 / NULLIF(sqrt(((c0 + c1) * 1.0 / (n0 + n1))
                         * (1 - (c0 + c1) * 1.0 / (n0 + n1))
-                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+                        * (1.0 / n0 + 1.0 / n1)), 0), 4) AS z_score
     FROM s
     """,
     tags=("events", "stats"),
@@ -1308,7 +1308,9 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturates at 100% over 30 days, making z degenerate 0/0) between
     user_id-parity arms (the deterministic stand-in for an assignment
     table): arm sizes, conversion rates, absolute lift, and the
-    pooled-variance z-score. This is the decision-making
+    pooled-variance z-score (NULL, not a crash, if a regenerated
+    dataset ever makes conversion degenerate at 0% or 100% —
+    try_divide / NULLIF guard on both engines). This is the decision-making
     query every experimentation platform runs on event logs.
 
     Scale shape: user-grain conversion flags collapse in one aggregate
@@ -1342,8 +1344,13 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("p_treat"),
         F.round(p1 - p0, 6).alias("lift"),
         F.round(
-            (p1 - p0)
-            / F.sqrt(pp * (1 - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))),
+            F.try_divide(
+                p1 - p0,
+                F.sqrt(
+                    pp * (1 - pp)
+                    * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+                ),
+            ),
             4,
         ).alias("z_score"),
     )
