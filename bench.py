@@ -104,6 +104,12 @@ HEADLINE = [
     "data_skew_report",
     "kmeans_farthest_init",
     "join_dynamic_partition_prune",
+    "events_cusum_drift",
+    "events_ab_test",
+    "events_time_weighted_avg",
+    "multimodal_resize",
+    "dedup_url_canonical",
+    "sink_compaction",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2
