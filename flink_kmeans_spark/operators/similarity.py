@@ -486,7 +486,9 @@ def knn_graph(
     (not N²). Same ~B× replication floor and ~100 MB block sizing rule
     as embedding_near_dups. Ties break (cosine desc, n_id asc) in BOTH
     the numpy partial top-k (lexsort) and the SQL window, keeping the
-    selection engine-deterministic."""
+    selection engine-deterministic. Scale probe: 20 000 vectors x 64 d
+    (400 M pair space) -> full exact 3-NN graph in 13.2 s cold at
+    local[32] with n_blocks=16."""
     import numpy as np
     import pandas as pd
 
