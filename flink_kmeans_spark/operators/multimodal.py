@@ -290,3 +290,86 @@ def resize_image_media(media: DataFrame, out_w: int = 3, out_h: int = 2) -> Data
         "doc_id long, src_w int, src_h int, out_w int, out_h int, "
         "resized string, mean_resized double",
     )
+
+
+def to_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a media table of GENUINE RIFF/WAVE payloads (PCM16
+    mono, 8 kHz), one clip per doc, encoded executor-side. Length and
+    samples are deterministic in doc_id:
+
+        n_samples  = 800 + (doc_id % 7) * 160      (100-220 ms)
+        samples[i] = (doc_id*131 + i*17) % 2003 - 1001
+
+    so a SQL oracle can recompute duration/RMS/peak from first
+    principles while the wire bytes are real WAV files (proper RIFF
+    chunk structure, fmt validation on decode)."""
+    from ..functions.audiocodec import encode_wav_pcm16
+
+    enc = encode_wav_pcm16  # closure qualname → ships by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + (did % 7) * 160
+                samples = [((did * 131 + i * 17) % 2003) - 1001 for i in range(n)]
+                rows.append((did, "audio/wav", enc(8000, samples)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, media_type string, payload binary"
+    )
+
+
+def decode_audio_media(media: DataFrame) -> DataFrame:
+    """REAL Arrow-batched audio decode: each binary payload is parsed
+    as an actual RIFF/WAVE stream (magic + chunk walk + fmt
+    validation, loud failure on corruption) and reduced to the
+    clip-level features every audio curation pipeline starts from —
+    duration, RMS energy, peak amplitude. mapInPandas keeps decode
+    partition-local: at 100 TB it is embarrassingly parallel scan
+    work, no shuffle."""
+    import math
+
+    from ..functions.audiocodec import decode_wav
+
+    dec = decode_wav  # closure qualname → ships by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, smp = dec(bytes(payload))
+                n = len(smp)
+                rows.append(
+                    (
+                        int(did),
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        round(math.sqrt(sum(x * x for x in smp) / n), 4),
+                        max(abs(x) for x in smp),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, n_samples int, "
+        "duration_ms int, rms double, peak int",
+    )

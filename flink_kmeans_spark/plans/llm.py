@@ -1459,3 +1459,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize_image_media; codec functions/imagecodec.py)."""
     media = MM.to_image_table(_docs(spark, sf_dir))
     return MM.resize_image_media(media, out_w=3, out_h=2)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 800 + (doc_id % 7) * 160 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n,
+             list_transform(generate_series(0, n - 1),
+                            i -> (doc_id * 131 + i * 17) % 2003 - 1001) AS smp
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n * 1000 // 8000 AS INTEGER) AS duration_ms,
+           ROUND(sqrt(list_aggregate(list_transform(smp, x -> CAST(x AS DOUBLE) * x), 'sum') / n), 4) AS rms,
+           CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'max') AS INTEGER) AS peak
+    FROM s
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: executor-encoded RIFF/WAVE PCM16 clips
+    (functions/audiocodec.py — proper chunk walk, fmt validation,
+    loud failure on corruption) decoded back to samples and reduced to
+    duration / RMS energy / peak amplitude — with the PNG kernel this
+    makes BOTH image and audio decode real, no stub kernels on either
+    path (video remains the documented pluggable stand-in). The oracle
+    recomputes every feature from the generation formulas, so a hash
+    match proves the byte → sample → feature pipeline end to end.
+    Sums of squares stay < 2^53, so the double fold is exact in any
+    order."""
+    media = MM.to_audio_table(_docs(spark, sf_dir))
+    return MM.decode_audio_media(media)
