@@ -373,3 +373,98 @@ def decode_audio_media(media: DataFrame) -> DataFrame:
         "doc_id long, sample_rate int, n_samples int, "
         "duration_ms int, rms double, peak int",
     )
+
+
+def to_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a media table of frame-archive 'videos': each doc
+    becomes a STORED zip of genuine PNG frames (the WebDataset-shard
+    shape real pipelines ship frame sequences in — a standard
+    container, stdlib-parseable, seekable via its central directory).
+    Deterministic in doc_id:
+
+        n_frames    = 2 + doc_id % 4
+        frame f px  = (doc_id*31 + f*97 + i*7) % 256   (w,h as images)
+
+    Encoded executor-side; bytes never cross the driver."""
+    import io
+    import zipfile
+
+    from ..functions.imagecodec import encode_png_gray
+
+    enc = encode_png_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 11
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                    for f in range(2 + did % 4):
+                        px = bytes(
+                            (did * 31 + f * 97 + i * 7) % 256 for i in range(w * h)
+                        )
+                        zf.writestr(f"frame_{f:03d}.png", enc(w, h, px))
+                rows.append((did, "video/frames+zip", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        gen, "doc_id long, media_type string, payload binary"
+    )
+
+
+def framesample_video_media(media: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL frame sampling over frame-archive videos: parse the zip
+    central directory (metadata-only — the container equivalent of a
+    video keyframe index), select every ``stride``-th frame, and
+    fully PNG-decode ONLY the selected frames — the seek-then-decode
+    economics of real video sampling (unsampled frames' bytes are
+    never inflated). 1→N cardinality change, partition-local.
+    Loud failure on corrupt containers/frames (zipfile + PNG CRC)."""
+    import io
+    import zipfile
+
+    from ..functions.imagecodec import decode_png
+
+    dec = decode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(payload))) as zf:
+                    names = sorted(zf.namelist())
+                    for f in range(0, len(names), stride):
+                        w, h, px = dec(zf.read(names[f]))
+                        rows.append(
+                            (
+                                int(did),
+                                len(names),
+                                f,
+                                w,
+                                h,
+                                round(sum(px) / (w * h), 6),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx",
+                    "width", "height", "mean_pixel",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id long, n_frames int, frame_idx int, "
+        "width int, height int, mean_pixel double",
+    )

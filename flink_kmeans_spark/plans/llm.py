@@ -1495,3 +1495,43 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     order."""
     media = MM.to_audio_table(_docs(spark, sf_dir))
     return MM.decode_audio_media(media)
+
+
+@register(
+    "multimodal_video_framesample",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 11 AS h,
+             2 + doc_id % 4 AS n_frames
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(n_frames AS INTEGER) AS n_frames,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           ROUND(list_aggregate(list_transform(
+                   generate_series(0, w * h - 1),
+                   i -> (doc_id * 31 + frame_idx * 97 + i * 7) % 256), 'sum') * 1.0
+                 / (w * h), 6) AS mean_pixel
+    FROM f
+    """,
+    tags=("multimodal",),
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: each doc's 'video' is a STORED zip
+    of genuine PNG frames (the WebDataset frame-shard shape); sampling
+    parses the central directory (metadata-only seek index), extracts
+    every 2nd frame, and fully PNG-decodes ONLY those — unsampled
+    frames are never inflated, mirroring keyframe-seek economics. The
+    oracle recomputes each sampled frame's geometry and mean pixel
+    from the generation formulas, proving container walk + selective
+    decode end to end. With the PNG and WAV kernels, all three media
+    paths (image / audio / video-frame) now run REAL decode kernels."""
+    media = MM.to_video_table(_docs(spark, sf_dir))
+    return MM.framesample_video_media(media, stride=2)
