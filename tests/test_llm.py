@@ -343,3 +343,51 @@ def test_pq_topk_recall_vs_bruteforce(spark, emb):
     recalls = [len(es[q_] & asets.get(q_, set())) / 5 for q_ in es]
     # measured 0.78 mean at m=16, nc=256 (16-byte codes); floor with margin
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_wav_codec_roundtrip_and_guards():
+    import random
+    import struct
+
+    from flink_kmeans_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    rng = random.Random(7)
+    for _ in range(5):
+        rate = rng.choice([8000, 16000, 44100])
+        samples = [rng.randint(-32768, 32767) for _ in range(rng.randint(1, 500))]
+        data = encode_wav_pcm16(rate, samples)
+        assert decode_wav(data) == (rate, samples)
+    # decoder must skip unknown chunks (word-aligned) and still find data
+    base = encode_wav_pcm16(8000, [1, -2, 3])
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad
+    patched = bytearray(base[:12] + extra + base[12:])
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    assert decode_wav(bytes(patched)) == (8000, [1, -2, 3])
+    # corruption fails loudly, never plausible samples
+    for bad in (b"xx", base[:30], base.replace(b"WAVE", b"AIFF")):
+        with pytest.raises(ValueError):
+            decode_wav(bytes(bad))
+    # stereo/non-PCM rejected (we only claim PCM16 mono)
+    stereo = bytearray(base)
+    i = stereo.index(b"fmt ") + 8
+    stereo[i + 2 : i + 4] = struct.pack("<H", 2)  # channels=2
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_wav(bytes(stereo))
+
+
+def test_video_frame_archive_selective_decode(spark, sf_dir):
+    """Sampled frames only: stride-2 over n_frames yields
+    ceil(n_frames/2) rows per doc, and each sampled frame's pixels
+    decode to the deterministic generation values."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.plans.registry import specs
+
+    out = specs()["multimodal_video_framesample"].fn(spark, sf_dir).toPandas()
+    per = out.groupby("doc_id").agg(n=("frame_idx", "size"), nf=("n_frames", "max"))
+    assert (per["n"] == (per["nf"] + 1) // 2).all()
+    assert (out["frame_idx"] % 2 == 0).all()
+    assert out["mean_pixel"].between(0, 255).all()
