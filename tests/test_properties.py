@@ -355,3 +355,50 @@ def test_farthest_init_separation_monotone_nonincreasing(spark, sf_dir):
     )
     seps = [r["sep"] for r in rows[1:]]  # c0's sep is defined 0
     assert all(a >= b for a, b in zip(seps, seps[1:]))
+
+
+def test_cusum_nonnegative_and_day_preserving(spark, sf_dir):
+    """CUSUM via prefix-minus-running-min is provably >= 0 everywhere,
+    and the day grain is preserved 1:1."""
+    out = specs()["events_cusum_drift"].fn(spark, sf_dir).toPandas()
+    assert (out["cusum_up"] >= 0).all()
+    assert out["day"].is_unique
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(out) == days
+
+
+def test_ab_test_probabilities_and_lift_consistent(spark, sf_dir):
+    r = specs()["events_ab_test"].fn(spark, sf_dir).collect()[0]
+    for p in (r["p_control"], r["p_treat"]):
+        assert 0.0 <= p <= 1.0
+    assert abs(r["lift"] - round(r["p_treat"] - r["p_control"], 6)) <= 1e-6
+    assert r["n_control"] > 0 and r["n_treat"] > 0
+
+
+def test_audio_rms_bounded_by_peak(spark, sf_dir):
+    out = specs()["multimodal_audio_decode"].fn(spark, sf_dir).toPandas()
+    assert (out["rms"] <= out["peak"] + 1e-9).all()
+    assert (out["peak"] <= 32767).all()
+    assert (out["duration_ms"] * out["sample_rate"] <= out["n_samples"] * 1000).all()
+
+
+def test_twavg_bounded_by_user_extremes(spark, sf_dir):
+    """A weighted average of a user's values cannot leave their
+    [min, max] — catches weight-sign and interval bugs."""
+    tw = specs()["events_time_weighted_avg"].fn(spark, sf_dir)
+    ext = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        tw.join(ext, "user_id")
+        .where((F.col("twavg") < F.col("lo") - 1e-6) | (F.col("twavg") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
