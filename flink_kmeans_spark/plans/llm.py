@@ -1535,3 +1535,128 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths (image / audio / video-frame) now run REAL decode kernels."""
     media = MM.to_video_table(_docs(spark, sf_dir))
     return MM.framesample_video_media(media, stride=2)
+
+
+@register(
+    "text_encode_ids",
+    oracle="""
+    WITH v AS (
+      SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, w) AS INTEGER) AS wid
+      FROM (
+        SELECT w, COUNT(*) AS df FROM (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+          FROM documents
+        ) GROUP BY w
+      )
+    ), tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS w,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+      WHERE doc_id < 30
+    )
+    SELECT tok.doc_id,
+           array_to_string(list(COALESCE(v.wid, 0) ORDER BY tok.pos), ',') AS ids,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens
+    FROM tok LEFT JOIN v ON tok.w = v.w
+    GROUP BY tok.doc_id
+    """,
+    tags=("text",),
+)
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE step: corpus-derived vocabulary (ranked by
+    document frequency, ties alphabetical — deterministic ids) maps
+    each token to an integer id, OOV → 0; the id sequences are what a
+    training pipeline actually materializes to disk. Emitted as
+    comma-joined strings (array cells defeat the driver hash).
+
+    Scale shape: the vocab is df-ranked via one aggregate and
+    BROADCASTS (vocabularies are ~10⁵ rows — tiny next to the corpus);
+    encoding is a map-side explode + broadcast hash join + one
+    doc-grain re-assembly aggregate (array_agg ordered by position).
+    The corpus text never shuffles — only (doc, pos, wid) triples of
+    the bounded demo slice."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    df_t = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = df_t.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("df").desc(), "w"))
+        .cast("int")
+        .alias("wid"),
+    )
+    tok = d.where(F.col("doc_id") < 30).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.coalesce("wid", F.lit(0)).alias("wid")))
+                    ),
+                    lambda s: s["wid"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    WITH post AS (
+      SELECT w, doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+      )
+    )
+    SELECT w AS term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id)[:20], ',') AS postings_head
+    FROM post
+    GROUP BY w
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("text", "retrieval"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index CONSTRUCTION (the structure behind text_bm25_topk
+    and text_containment's df-capped index): term → document frequency
+    + the first 20 postings in doc order. The postings head is emitted
+    as a string (bounded cell, hash-friendly); production would sink
+    the full postings column partitioned by term range.
+
+    Scale shape: explode per-doc DISTINCT terms map-side, ONE term-key
+    aggregate builds df and the sorted postings list together —
+    posting lists assemble where the term's rows land, the classic
+    MapReduce index build. slice() bounds the emitted cell so a
+    stop-word's postings can't blow a row."""
+    d = _docs(spark, sf_dir)
+    post = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    return (
+        post.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= 5)
+    )
