@@ -3378,3 +3378,61 @@ def sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+@register(
+    "table_fingerprint",
+    oracle="""
+    WITH f AS (
+      SELECT 'documents' AS tbl,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(list_aggregate(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substr(md5(doc_id || '|' || text || '|' || lang || '|' || source), i, 1)) - 1) * CAST(pow(16, 12 - i) AS BIGINT)), 'sum') % 1000000007) AS BIGINT) AS fp
+      FROM documents
+      UNION ALL
+      SELECT 'orders',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(list_aggregate(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substr(md5(o_orderkey || '|' || o_orderstatus || '|' || o_orderpriority), i, 1)) - 1) * CAST(pow(16, 12 - i) AS BIGINT)), 'sum') % 1000000007) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'region',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(list_aggregate(list_transform(generate_series(1, 12), i -> (strpos('0123456789abcdef', substr(md5(r_regionkey || '|' || r_name), i, 1)) - 1) * CAST(pow(16, 12 - i) AS BIGINT)), 'sum') % 1000000007) AS BIGINT)
+      FROM region
+    )
+    SELECT tbl, n_rows, fp FROM f
+    """,
+    tags=("quality", "ops"),
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed DATASET FINGERPRINT — the data-versioning
+    primitive (detect silent upstream drift, pin exactly-this-corpus
+    in a model card, verify a replica): per table, an ORDER-INSENSITIVE
+    digest = sum over rows of (first 48 bits of md5(canonical row
+    string) mod p). Commutative addition makes it partitioning- and
+    order-independent; 48-bit summands mod 1e9+7 keep the BIGINT sum
+    exact under ANSI overflow checking at any row count below ~9e9.
+
+    Scale shape: pure map-side hashing + ONE 1-row aggregate per
+    table; no shuffle of data, only partial sums. The same digest
+    computed by any engine over any row order must match — which is
+    exactly what the DuckDB oracle proves."""
+    parts = []
+    for tbl, cols in (
+        ("documents", ["doc_id", "text", "lang", "source"]),
+        ("orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+        ("region", ["r_regionkey", "r_name"]),
+    ):
+        t = load_table(spark, sf_dir, tbl)
+        canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        row48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        parts.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row48 % 1000000007).alias("fp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
