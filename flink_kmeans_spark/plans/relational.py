@@ -2503,3 +2503,54 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit(frag_dir, "fragmented").unionByName(audit(comp_dir, "compacted"))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id,
+           CASE WHEN epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+                     <= CAST(3600 AS BIGINT) * 1000000
+                THEN epoch_us(CAST(c.ts AS TIMESTAMP)) END AS last_click_us,
+           CASE WHEN epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+                     <= CAST(3600 AS BIGINT) * 1000000
+                THEN ROUND(c.value, 4) END AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    tags=("join", "events"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=
+    1h) semantics): the latest click at-or-before each purchase counts
+    only if it is within the window; staler matches become NULL, not a
+    farther-back fallback — correct because the backward as-of match
+    is already the CLOSEST candidate, so if it misses the tolerance
+    every other candidate does too. Implemented as the same
+    single-shuffle union+window as join_asof plus a null-out
+    projection — the tolerance costs ZERO extra joins or shuffles."""
+    from ..operators.joins import asof_join_backward
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join_backward(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["click_ts", "click_value"],
+        tiebreak=["event_id"],
+    )
+    within = (
+        F.unix_micros("ts") - F.unix_micros("click_ts")
+    ) <= F.lit(3600 * 1000000)
+    return out.select(
+        "event_id",
+        F.when(within, F.unix_micros("click_ts")).alias("last_click_us"),
+        F.when(within, F.round("click_value", 4)).alias("last_click_value"),
+    )
