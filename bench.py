@@ -110,6 +110,11 @@ HEADLINE = [
     "multimodal_resize",
     "dedup_url_canonical",
     "sink_compaction",
+    "multimodal_audio_decode",
+    "multimodal_video_framesample",
+    "table_fingerprint",
+    "text_inverted_index",
+    "join_asof_tolerance",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2
