@@ -1660,3 +1660,63 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 5)
     )
+
+
+@register(
+    "pipeline_media_curation",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 11 AS h
+      FROM documents
+    ), dec AS (
+      SELECT doc_id, w, h, w * h AS n_pixels,
+             list_aggregate(list_transform(
+               generate_series(0, w * h - 1),
+               i -> (doc_id * 31 + i * 7) % 256), 'sum') * 1.0 / (w * h) AS mean_pixel
+      FROM g
+    ), filt AS (
+      SELECT * FROM dec
+      WHERE n_pixels >= 30 AND mean_pixel BETWEEN 80 AND 180
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(f.n_pixels) AS BIGINT) AS total_pixels,
+           ROUND(AVG(f.mean_pixel), 4) AS avg_brightness
+    FROM filt f JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+    tags=("multimodal", "pipeline"),
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END media curation composite: encode real PNGs
+    (executor-side) → REAL decode (CRC/inflate/un-filter) → quality
+    gate (min resolution + brightness band — the deterministic
+    stand-in for blur/NSFW scoring) → metadata join back to the doc
+    table → per-language corpus report. The DuckDB replica recomputes
+    the whole composition from the generation formulas, so the hash
+    match certifies every stage INCLUDING the byte → pixel kernel.
+
+    Scale shape: decode and filter are partition-local mapInPandas +
+    scan-side predicates (the gate drops rows BEFORE the join moves
+    them); the doc join is key-partitioned on doc_id; the report is a
+    cardinality-collapsing lang aggregate. The only full-data shuffle
+    is the join of the SURVIVING images."""
+    docs = _docs(spark, sf_dir)
+    media = MM.to_image_table(docs)
+    dec = MM.decode_image_media(media)
+    filt = dec.where(
+        (F.col("n_pixels") >= 30)
+        & (F.col("mean_pixel") >= 80)
+        & (F.col("mean_pixel") <= 180)
+    )
+    return (
+        filt.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.round(F.avg("mean_pixel"), 4).alias("avg_brightness"),
+        )
+    )
