@@ -1674,16 +1674,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w, h, w * h AS n_pixels,
              list_aggregate(list_transform(
                generate_series(0, w * h - 1),
-               i -> (doc_id * 31 + i * 7) % 256), 'sum') * 1.0 / (w * h) AS mean_pixel
+               i -> (doc_id * 31 + i * 7) % 256), 'sum') AS px_sum
       FROM g
     ), filt AS (
       SELECT * FROM dec
-      WHERE n_pixels >= 30 AND mean_pixel BETWEEN 80 AND 180
+      WHERE n_pixels >= 30 AND px_sum * 1.0 / n_pixels BETWEEN 80 AND 180
     )
     SELECT d.lang,
            CAST(COUNT(*) AS BIGINT) AS n_images,
            CAST(SUM(f.n_pixels) AS BIGINT) AS total_pixels,
-           ROUND(AVG(f.mean_pixel), 4) AS avg_brightness
+           ROUND(SUM(f.px_sum) * 1.0 / SUM(f.n_pixels), 4) AS avg_brightness
     FROM filt f JOIN documents d USING (doc_id)
     GROUP BY d.lang
     """,
@@ -1706,7 +1706,10 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     media = MM.to_image_table(docs)
     dec = MM.decode_image_media(media)
-    filt = dec.where(
+    # recover the exact integer pixel sum from the 6 dp-rounded mean:
+    # n_pixels <= 200, so |round(mean*n) - true_sum| <= 200*5e-7 << 0.5
+    px_sum = F.round(F.col("mean_pixel") * F.col("n_pixels"), 0).cast("long")
+    filt = dec.withColumn("px_sum", px_sum).where(
         (F.col("n_pixels") >= 30)
         & (F.col("mean_pixel") >= 80)
         & (F.col("mean_pixel") <= 180)
@@ -1717,6 +1720,6 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.sum("n_pixels").alias("total_pixels"),
-            F.round(F.avg("mean_pixel"), 4).alias("avg_brightness"),
+            F.round(F.sum("px_sum") / F.sum("n_pixels"), 4).alias("avg_brightness"),
         )
     )
