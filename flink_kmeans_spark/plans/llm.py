@@ -1723,3 +1723,40 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("px_sum") / F.sum("n_pixels"), 4).alias("avg_brightness"),
         )
     )
+
+
+@register(
+    "streaming_media_decode",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           ROUND(list_aggregate(list_transform(
+                   generate_series(0, w * h - 1),
+                   i -> (doc_id * 31 + i * 7) % 256), 'sum') * 1.0
+                 / (w * h), 6) AS mean_pixel
+    FROM g
+    """,
+    tags=("streaming", "multimodal"),
+)
+def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of multimodal_decode: the identical Arrow
+    encode/decode kernels over a readStream file source, drained with
+    availableNow — streamed decode must hash-equal the batch formulas
+    (stateless Python stages are engine-verified to compose under
+    Structured Streaming)."""
+    from ..streaming import jobs as SJ
+    from .eventtime import _STREAM_RUN
+
+    _STREAM_RUN[0] += 1
+    return SJ.run_available_now(
+        SJ.streaming_media_decode(spark, sf_dir),
+        f"q_media_decode_{_STREAM_RUN[0]}",
+        output_mode="append",  # stateless map pipeline — no aggregation state
+    )

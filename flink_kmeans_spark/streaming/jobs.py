@@ -423,3 +423,28 @@ def run_checkpoint_resume(
     return spark.read.parquet(sink).select(
         "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (same glob-select
+    pattern as stream_events) — the landing-directory shape for an
+    incremental media-ingest pipeline."""
+    ensure_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING media decode: the same executor-side PNG encode +
+    REAL decode Arrow kernels (operators/multimodal.py) run unchanged
+    over a file-source stream — stateless mapInPandas stages compose
+    under Structured Streaming exactly as in batch, so incremental
+    media ingest is a source swap, not a rewrite."""
+    from ..operators.multimodal import decode_image_media, to_image_table
+
+    docs = stream_documents(spark, sf_dir)
+    return decode_image_media(to_image_table(docs))
