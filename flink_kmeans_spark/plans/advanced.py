@@ -3436,3 +3436,55 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "gdpr_user_erasure",
+    oracle="""
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    ), kept AS (
+      SELECT e.* FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.user_id = e.user_id)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rows_before,
+           CAST(COUNT(*) AS BIGINT) AS rows_after,
+           CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS users_erased,
+           CAST((SELECT COUNT(*) FROM events) - COUNT(*) AS BIGINT) AS rows_erased,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_after
+    FROM kept
+    """,
+    tags=("ops", "quality"),
+)
+def gdpr_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten REWRITE: drop every event belonging to a
+    deletion list (user_id % 37 — the deterministic stand-in for the
+    DSAR queue) via a broadcast ANTI join, plus the compliance audit
+    every erasure job must emit (rows before/after, users erased, rows
+    erased, surviving users). In production the `kept` frame is
+    rewritten over the partitioned table — the erase is this exact
+    anti join at scan speed.
+
+    Scale shape: the deletion list is tiny and BROADCASTS (anti join
+    is a map-side filter — the fact table never shuffles); the audits
+    are 1-row aggregates sharing the same scans."""
+    e = load_table(spark, sf_dir, "events")
+    delete_list = e.where(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    kept = e.join(F.broadcast(delete_list), "user_id", "left_anti")
+    audit = kept.agg(
+        F.count(F.lit(1)).alias("rows_after"),
+        F.countDistinct("user_id").alias("users_after"),
+    )
+    totals = e.agg(F.count(F.lit(1)).alias("rows_before"))
+    dl = delete_list.agg(F.count(F.lit(1)).alias("users_erased"))
+    return (
+        audit.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(dl))
+        .select(
+            "rows_before",
+            "rows_after",
+            "users_erased",
+            (F.col("rows_before") - F.col("rows_after")).alias("rows_erased"),
+            "users_after",
+        )
+    )
