@@ -482,3 +482,26 @@ def test_mix_rebalance_totals_broadcast(spark, sf_dir):
     p = plan_of(specs()["domain_mix_rebalance"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_gdpr_erasure_is_broadcast_anti(spark, sf_dir):
+    """The deletion list must broadcast; the fact table never shuffles
+    for the erase itself (anti join is a map-side filter)."""
+    p = plan_of(specs()["gdpr_user_erasure"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_table_fingerprint_no_data_shuffle(spark, sf_dir):
+    """Fingerprinting is map-side hashing + 1-row partial aggregates:
+    no hash-partition exchange of data anywhere in the plan."""
+    p = plan_of(specs()["table_fingerprint"].fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_inverted_index_single_term_aggregate(spark, sf_dir):
+    """df and the sorted postings assemble in ONE term-keyed aggregate
+    (one exchange), never a join."""
+    p = plan_of(specs()["text_inverted_index"].fn(spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
