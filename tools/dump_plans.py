@@ -52,6 +52,11 @@ SHOWCASE = [
     ("sim_knn_graph", "block-pair cogroup emits per-vector partial top-k; N^2 never materializes as rows"),
     ("window_rolling_median", "holistic rolling median as bounded collect_list frame; one user exchange"),
     ("data_skew_report", "per-key collapse then tiny stats agg; exact p99 sorts keys, not rows"),
+    ("gdpr_user_erasure", "broadcast anti-join erase at scan speed; audits share the scans"),
+    ("table_fingerprint", "map-side hashing + 1-row partials; zero data shuffle"),
+    ("text_inverted_index", "postings assemble in ONE term-keyed aggregate; no join"),
+    ("events_cusum_drift", "day-grain collapse first; CUSUM = prefix-sum minus running-min windows"),
+    ("events_time_weighted_avg", "LEAD window and final aggregate share one user exchange"),
 ]
 
 
