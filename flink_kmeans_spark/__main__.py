@@ -9,6 +9,14 @@ sources are whitespace-delimited (x, y) / (id, x, y); with no --points/
 --centroids the embedded default collection is used (KMeansData
 fallback); with no --output the result prints to stdout. Output rows
 are ``clusterId x y`` CSV, the reference's writeAsCsv shape.
+
+Engine front door beyond the reference:
+
+    python -m flink_kmeans_spark --query agg_hash \
+        [--sf-dir /root/testdata/sf0.01] [--output out_dir] [--limit 20]
+
+runs ANY of the registry's query keys against the test tables and
+prints (or sinks) the result — `--query list` enumerates all keys.
 """
 
 from __future__ import annotations
@@ -34,7 +42,37 @@ def main() -> None:
     ap.add_argument("--centroids", default=None, help="whitespace CSV of id x y")
     ap.add_argument("--output", default=None, help="output dir (CSV); prints if absent")
     ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--query", default=None,
+                    help="run a registry query key instead of the k-means "
+                         "pipeline ('list' enumerates keys)")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="test-table directory for --query")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="max rows printed for --query without --output")
     args = ap.parse_args()
+
+    if args.query:
+        from .plans.registry import QUERIES
+        from .session import get_spark
+
+        queries = QUERIES()
+        if args.query == "list":
+            for name in sorted(queries):
+                print(name)
+            return
+        if args.query not in queries:
+            raise SystemExit(
+                f"unknown query {args.query!r} — run --query list to enumerate"
+            )
+        spark = get_spark("query-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = queries[args.query](spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").option("header", True).csv(args.output)
+            print(f"wrote {args.output}")
+        else:
+            df.show(args.limit, truncate=False)
+        return
 
     from .operators import kmeans as km
     from .session import get_spark

@@ -93,3 +93,24 @@ def test_cli_end_to_end(tmp_path, csv_inputs):
         rows += [ln.split(" ") for ln in f.read_text().splitlines()]
     assert len(rows) == 90
     assert {int(r[0]) for r in rows} <= {0, 1, 2}
+
+
+def test_cli_query_front_door(spark, sf_dir, capsys):
+    """--query runs any registry key; 'list' enumerates them."""
+    import sys
+    from unittest import mock
+
+    from flink_kmeans_spark.__main__ import main
+
+    with mock.patch.object(sys, "argv", ["flink_kmeans_spark", "--query", "list"]):
+        main()
+    listed = capsys.readouterr().out.strip().splitlines()
+    assert "agg_hash" in listed and len(listed) >= 200
+
+    with mock.patch.object(
+        sys, "argv",
+        ["flink_kmeans_spark", "--query", "sort_limit", "--sf-dir", sf_dir],
+    ):
+        main()
+    out = capsys.readouterr().out
+    assert "o_orderkey" in out or "revenue" in out or "|" in out
