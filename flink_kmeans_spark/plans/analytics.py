@@ -1354,3 +1354,74 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@register(
+    "events_next_event_baseline",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS prev_t,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_t
+      FROM events
+    ), pairs AS (
+      SELECT prev_t, next_t, COUNT(*) AS n
+      FROM seq WHERE next_t IS NOT NULL
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT prev_t, next_t AS predicted, n AS n_pred,
+             ROW_NUMBER() OVER (PARTITION BY prev_t ORDER BY n DESC, next_t) AS rk
+      FROM pairs
+    )
+    SELECT p.prev_t,
+           pr.predicted,
+           CAST(SUM(p.n) AS BIGINT) AS n_instances,
+           CAST(SUM(CASE WHEN p.next_t = pr.predicted THEN p.n ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(SUM(CASE WHEN p.next_t = pr.predicted THEN p.n ELSE 0 END) * 1.0 / SUM(p.n), 6) AS accuracy
+    FROM pairs p JOIN (SELECT prev_t, predicted FROM pred WHERE rk = 1) pr USING (prev_t)
+    GROUP BY p.prev_t, pr.predicted
+    """,
+    tags=("events", "stats"),
+)
+def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-transition NEXT-EVENT predictor and its training
+    accuracy — the Markov baseline every sequence model must beat
+    (the events_transitions matrix turned into an evaluated model).
+    Per prior state: the argmax next event (count desc, type asc — 
+    deterministic) and the fraction of transition instances it gets
+    right.
+
+    Scale shape: the LEAD pass shares the standard user_id exchange;
+    everything after runs on the COLLAPSED 5×5 transition matrix —
+    model fitting and evaluation both happen at matrix grain, never
+    re-touching raw events. Integer counts end-to-end; the single
+    division happens on exact sums."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev_t"),
+        F.lead("event_type").over(w).alias("next_t"),
+    ).where(F.col("next_t").isNotNull())
+    pairs = seq.groupBy("prev_t", "next_t").agg(F.count(F.lit(1)).alias("n"))
+    rk = Window.partitionBy("prev_t").orderBy(F.col("n").desc(), "next_t")
+    pred = (
+        pairs.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .select("prev_t", F.col("next_t").alias("predicted"))
+    )
+    return (
+        pairs.join(F.broadcast(pred), "prev_t")
+        .groupBy("prev_t", "predicted")
+        .agg(
+            F.sum("n").alias("n_instances"),
+            F.sum(F.when(F.col("next_t") == F.col("predicted"), F.col("n")).otherwise(0)).alias("n_correct"),
+        )
+        .select(
+            "prev_t",
+            "predicted",
+            "n_instances",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_instances"), 6).alias("accuracy"),
+        )
+    )

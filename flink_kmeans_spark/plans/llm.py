@@ -1760,3 +1760,83 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_media_decode_{_STREAM_RUN[0]}",
         output_mode="append",  # stateless map pipeline — no aggregation state
     )
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), unic AS (
+      SELECT w, COUNT(*) AS cu FROM uni GROUP BY 1
+    ), vsize AS (
+      SELECT COUNT(*) AS v FROM unic
+    ), big AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ), bigc AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+           ROUND(AVG(ln((bigc.cb + 1.0) / (unic.cu + vsize.v))), 6) AS avg_logprob
+    FROM big b
+    JOIN bigc ON b.w1 = bigc.w1 AND b.w2 = bigc.w2
+    JOIN unic ON b.w1 = unic.w
+    CROSS JOIN vsize
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score with add-one smoothing —
+    the CONTEXT-aware upgrade of text_unigram_logprob (CCNet-style
+    quality filtering scores docs by corpus-LM likelihood; a bigram LM
+    additionally penalizes improbable word ORDER, not just rare
+    words). Per doc: mean ln P(w_i | w_{i-1}) under the corpus bigram
+    counts.
+
+    Scale shape: bigram pairs come from a positional self-zip of the
+    token array (map-side, join-free — same trick as text_ngram_freq);
+    the bigram-count and unigram-count tables collapse to vocab² /
+    vocab grain and BROADCAST back onto the exploded pairs; the only
+    corpus-sized exchange is the final doc-grain average. AVG folds
+    ~50 doubles per doc → 6 dp rounding absorbs order noise."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    unic = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vsize = unic.agg(F.count(F.lit(1)).alias("v"))
+    logp = F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v")))
+    return (
+        big.join(F.broadcast(bigc), ["w1", "w2"])
+        .join(F.broadcast(unic.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
