@@ -402,3 +402,31 @@ def test_twavg_bounded_by_user_extremes(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_next_event_baseline_accuracy_bounds(spark, sf_dir):
+    """The majority-class predictor's per-state accuracy is >= 1/k for
+    k observed next-states (it picks the mode) and <= 1."""
+    rows = specs()["events_next_event_baseline"].fn(spark, sf_dir).collect()
+    assert rows
+    types = {"click", "view", "purchase", "signup", "error"}
+    for r in rows:
+        assert r["prev_t"] in types and r["predicted"] in types
+        assert 1 / len(types) <= r["accuracy"] <= 1.0
+        assert 0 < r["n_correct"] <= r["n_instances"]
+
+
+def test_bigram_lm_logprobs_negative_and_complete(spark, sf_dir):
+    """Smoothed probabilities are < 1 so mean log-probs are negative;
+    every doc with >= 2 tokens scores exactly size-1 bigrams."""
+    out = specs()["text_bigram_lm"].fn(spark, sf_dir)
+    pdf = out.toPandas()
+    assert (pdf["avg_logprob"] < 0).all()
+    n_tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    joined = pdf.set_index("doc_id").join(n_tok)
+    assert (joined["n_bigrams"] == joined["n"] - 1).all()
