@@ -62,7 +62,15 @@ def _load_all() -> None:
 # ~50 queries() entries per round. Rounds 1+2 verified 92 distinct keys;
 # this round-3 rotation leads with the 106 DuckDB-oracled keys that have
 # ZERO driver evidence so far (VERDICT r2 item 1), so every window slot
-# yields a brand-new hashable row. Declared rows-only keys (no_oracle in
+# yields a brand-new hashable row.
+#
+# ROUND-4 ROTATION RECIPE: read CORRECTNESS_r03.json, drop every key
+# with a green row there from this list's head, and promote (a) the
+# remaining never-driver-verified oracled keys (the tail of this list
+# beyond position ~50) and (b) the ~45 round-3 session keys that are
+# registered AFTER this list (they currently sort behind all priority
+# keys — grep SURVEY §2.0 'Round-3 late additions' for the names).
+# Keep rows-only keys last, as here. Declared rows-only keys (no_oracle in
 # the driver) sort BELOW the oracled tail so they never burn a window
 # slot. Previously-green keys follow in registration order and stay
 # regression-guarded by tools/check_oracles.py. Ordering only; results
