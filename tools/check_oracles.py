@@ -76,14 +76,24 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--plain", action="store_true",
+                    help="use a stock SparkSession with NONE of our confs "
+                         "(the driver's environment; run from a cwd outside "
+                         "the repo to also catch pickle-by-reference bugs)")
     args = ap.parse_args()
 
     from flink_kmeans_spark.plans.registry import specs
-    from flink_kmeans_spark.session import get_spark
 
     all_specs = specs()
     keys = args.keys or sorted(all_specs)
-    spark = get_spark("check-oracles")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from flink_kmeans_spark.session import get_spark
+
+        spark = get_spark("check-oracles")
     con = duckdb_conn(args.sf_dir)
 
     failures = 0
