@@ -163,18 +163,31 @@ def main() -> None:
         print(f"[bench] {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # The driver records only a TAIL of the output: BENCH_r03.json came
+    # back with "parsed": null and the early headline keys scrolled off.
+    # Defenses: (a) persist the full JSON to BENCH_full.json next to
+    # this file so the artifact survives any tail truncation, (b) emit
+    # the line on BOTH streams as the final output so whichever stream
+    # the tail captures ends with one intact parseable line.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line, file=sys.stderr, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

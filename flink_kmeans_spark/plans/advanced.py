@@ -965,7 +965,8 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_nearest",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    c AS (SELECT user_id, ts, MAX(value) AS value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2),
     back AS (
       SELECT p.event_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS b_ts,
              ROUND(c.value, 4) AS b_val
@@ -1010,16 +1011,17 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the left key with the |Δt| argmin decided per row — still a
     constant number of shuffles, no time-pair blowup. The oracle
     composes DuckDB's two native ASOF directions with the identical
-    pick rule."""
+    pick rule. Click side pre-collapsed per (user_id, ts) as in
+    join_asof (ADVICE r3: DuckDB ASOF boundary-tie arbitrariness)."""
     from ..operators.joins import asof_join_backward, asof_join_forward
 
     e = _t(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase")
-    c = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_val"),
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("c_val"))
+        .select("user_id", "ts", F.col("ts").alias("c_ts"), "c_val")
     )
     back = asof_join_backward(
         p, c, on=["user_id"], left_ts="ts", right_ts="ts",
@@ -1361,11 +1363,14 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary + NTILE
     quartiles) — the standard customer-scoring composite: one hash
     aggregate to user grain, a one-row MAX broadcast as "now", then
-    three global NTILEs over the user-sized frame. The NTILEs are
-    single-partition windows BY DESIGN: they run on aggregate-grain
-    rows (|users| ≪ |events|), the one place a global sort is
-    affordable; user_id tiebreaks make quartile boundaries
-    deterministic. Floor-div for day buckets on both engines."""
+    three exact NTILEs over the user-sized frame. The NTILEs run
+    DISTRIBUTED (operators/ranking.py): repartitionByRange on each
+    sort key + per-partition row_number + broadcast partition-offset
+    table — identical integer output to the single-partition window,
+    but the sort scales past the 10⁹-user grain where one sorted
+    partition becomes the bottleneck (VERDICT r3 plan item). user_id
+    tiebreaks make quartile boundaries deterministic. Floor-div for
+    day buckets on both engines."""
     e = _t(spark, sf_dir, "events")
     ts_us = F.unix_micros("ts")
     now = e.agg(F.max(ts_us).alias("now_us"))
@@ -1392,17 +1397,25 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
-    return base.select(
+    from ..operators.ranking import with_global_ntile
+
+    out = with_global_ntile(
+        base, [F.col("recency_days").asc(), F.col("user_id")], 4, "r_quartile"
+    )
+    out = with_global_ntile(
+        out, [F.col("frequency").desc(), F.col("user_id")], 4, "f_quartile"
+    )
+    out = with_global_ntile(
+        out, [F.col("monetary").desc(), F.col("user_id")], 4, "m_quartile"
+    )
+    return out.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )
 
 
@@ -2303,11 +2316,16 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto revenue concentration: users ranked by purchase revenue
     with the cumulative share of total — the 80/20 curve (how many
-    users until 80% of revenue). The running share is a sequential
-    fold over identically-ordered rows on both engines (rank ties
-    broken by user_id), so the division is bit-stable at 6 dp; the
-    window runs on user-grain aggregates, not raw events. The total
-    rides in as a one-row broadcast cross join."""
+    users until 80% of revenue). Rank and running sum run DISTRIBUTED
+    (operators/ranking.py): repartitionByRange on (revenue desc,
+    user_id) + per-partition window + broadcast partition-offset
+    table — no single-partition sort at the 10⁹-user grain (VERDICT
+    r3 plan item). The offset fold differs from a strictly-sequential
+    global fold only below double-noise level — far inside the 6 dp
+    rounding, pinned by the tri-scale gate. The total rides in as a
+    one-row broadcast cross join."""
+    from ..operators.ranking import with_global_rank_and_running_sum
+
     e = _t(spark, sf_dir, "events")
     rev = (
         e.filter(F.col("event_type") == "purchase")
@@ -2315,19 +2333,16 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("value").alias("revenue"))
     )
     tot = rev.agg(F.sum("revenue").alias("t"))
-    w = Window.orderBy(F.col("revenue").desc(), F.col("user_id"))
+    cum = with_global_rank_and_running_sum(
+        rev, [F.col("revenue").desc(), F.col("user_id")], "revenue", "rnk", "__cum"
+    )
     return (
-        rev.join(F.broadcast(tot))
+        cum.join(F.broadcast(tot))
         .select(
             "user_id",
             F.round("revenue", 4).alias("revenue"),
-            F.row_number().over(w).cast("bigint").alias("rnk"),
-            F.round(
-                F.sum("revenue")
-                .over(w.rowsBetween(Window.unboundedPreceding, 0))
-                / F.col("t"),
-                6,
-            ).alias("cum_share"),
+            "rnk",
+            F.round(F.col("__cum") / F.col("t"), 6).alias("cum_share"),
         )
     )
 
@@ -2789,20 +2804,21 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regr_r2`` moment aggregates — the corpus-health statistic that
     flags template-heavy or synthetic text (natural corpora fit slope
     ≈ −1; word-soup flattens). Rank assignment breaks frequency ties
-    by token so both engines rank identically; everything after the
-    vocab aggregate runs on vocab-sized rows. The regression moments
-    are order-insensitive sums — no fold-order hazard."""
+    by token so both engines rank identically; the rank runs
+    DISTRIBUTED (operators/ranking.py range-partition + offset table)
+    so a 10⁸-token vocabulary never funnels through one sorted
+    partition (VERDICT r3 plan item). The regression moments are
+    order-insensitive sums — no fold-order hazard."""
+    from ..operators.ranking import with_global_row_number
+
     e = _t(spark, sf_dir, "documents")
     freq = (
         e.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.select(
-        "f",
-        F.row_number()
-        .over(Window.orderBy(F.col("f").desc(), F.col("tok")))
-        .alias("r"),
+    ranked, _n = with_global_row_number(
+        freq, [F.col("f").desc(), F.col("tok")], "r"
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),

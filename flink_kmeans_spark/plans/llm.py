@@ -1396,7 +1396,7 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
       FROM embeddings
     )
-    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    SELECT q_id, n_id, ROUND(cosine, 6) AS cosine, CAST(rk AS INTEGER) AS rk
     FROM (
       SELECT a.vec_id AS q_id, b.vec_id AS n_id,
              list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
@@ -1577,20 +1577,19 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus text never shuffles — only (doc, pos, wid) triples of
     the bounded demo slice."""
     d = _docs(spark, sf_dir)
-    from pyspark.sql.window import Window
+    from ..operators.ranking import with_global_row_number
 
     df_t = (
         d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    vocab = df_t.select(
-        "w",
-        F.row_number()
-        .over(Window.orderBy(F.col("df").desc(), "w"))
-        .cast("int")
-        .alias("wid"),
+    # df-rank runs DISTRIBUTED (range partition + offset table) — a
+    # 10⁸-token vocab never funnels through one sorted partition
+    ranked_vocab, _n = with_global_row_number(
+        df_t, [F.col("df").desc(), F.col("w")], "__r"
     )
+    vocab = ranked_vocab.select("w", F.col("__r").cast("int").alias("wid"))
     tok = d.where(F.col("doc_id") < 30).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     )

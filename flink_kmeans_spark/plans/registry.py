@@ -59,78 +59,62 @@ def _load_all() -> None:
 
 
 # Driver-verification window priority. The driver hashes only the FIRST
-# ~50 queries() entries per round. Rounds 1+2 verified 92 distinct keys;
-# this round-3 rotation leads with the 106 DuckDB-oracled keys that have
-# ZERO driver evidence so far (VERDICT r2 item 1), so every window slot
-# yields a brand-new hashable row.
+# ~50 queries() entries per round. Rounds 1-3 verified 138 distinct
+# oracled keys; this round-4 rotation leads with the 95 DuckDB-oracled
+# keys that still have ZERO driver evidence (VERDICT r3 item 1), so
+# every window slot yields a brand-new hashable row.
 #
-# ROUND-4 ROTATION RECIPE: read CORRECTNESS_r03.json, drop every key
-# with a green row there from this list's head, and promote (a) the
-# remaining never-driver-verified oracled keys (the tail of this list
-# beyond position ~50) and (b) the ~45 round-3 session keys that are
-# registered AFTER this list (they currently sort behind all priority
-# keys — grep SURVEY §2.0 'Round-3 late additions' for the names).
-# Keep rows-only keys last, as here. Declared rows-only keys (no_oracle in
+# ROUND-5 ROTATION RECIPE: read CORRECTNESS_r04.json, drop every key
+# with a green row there from this list's head (expected: the first ~50
+# below), leaving the remaining ~45 never-driver-verified keys at the
+# head. Any key newly added in round 4+ that lacks driver evidence goes
+# right after them. Keep rows-only keys last, as here. Declared rows-only keys (no_oracle in
 # the driver) sort BELOW the oracled tail so they never burn a window
 # slot. Previously-green keys follow in registration order and stay
 # regression-guarded by tools/check_oracles.py. Ordering only; results
 # are order-independent (proved by re-running the local gate after the
 # reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- TPC-H tail (never driver-verified) ---
-    "tpch_q1", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    # --- graph / analytics ---
-    "graph_pagerank", "graph_components", "graph_components_star",
-    "graph_triangles", "graph_link_prediction",
-    # --- events suite ---
-    "events_funnel", "events_funnel_stages", "events_retention",
-    "events_streaks", "events_transitions", "events_anomaly",
-    "events_user_paths", "events_pattern_seq", "events_rfm",
-    "events_active_users", "events_cohort_ltv", "events_attribution_linear",
-    "events_session_metrics", "events_pareto_share",
-    "events_seasonality_heatmap",
-    # --- scans / sinks / sql front-door ---
-    "scan_orc", "scan_csv_permissive", "scan_schema_evolution",
-    "scan_binary_files", "sink_partition_prune", "sql_frontdoor",
-    "sql_recursive_cte", "observe_metrics", "table_profile",
-    "source_python_datasource", "plan_cached_reuse",
-    # --- scalar tail ---
-    "scalar_variant", "scalar_decimal", "scalar_collation", "scalar_xml",
-    "scalar_try_safe", "scalar_timestamp", "scalar_complex",
-    # --- streaming tail ---
-    "streaming_checkpoint_resume", "streaming_foreach_batch",
+    # --- 95 oracled keys with ZERO driver evidence after rounds 1-3
+    #     (registration order; r04 window hashes the first ~50, r05 the
+    #     remaining ~45) ---
+    "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",
     "streaming_stream_join", "streaming_dedup", "streaming_kmeans_assign",
-    # --- window / agg tail ---
     "window_rollup", "window_count_distinct", "window_range_interval",
     "window_ratio_to_report", "agg_histogram", "agg_grouping_sets",
     "agg_mode", "agg_bitmap_distinct", "agg_cms_frequency",
     "agg_approx_topk", "agg_salted_twophase", "agg_weighted_median",
-    "reshape_unpivot",
-    # --- joins tail ---
-    "join_asof_forward", "join_asof_nearest", "join_bucket_colocated",
-    "join_bloom_pruned", "join_lateral_topn", "join_point_in_time",
-    "join_interval_overlap",
-    # --- LLM / text / dedup / sim tail ---
-    "text_tfidf_exact", "text_chunk", "text_pack", "text_repetition",
+    "reshape_unpivot", "join_asof_forward", "join_asof_nearest",
+    "join_bucket_colocated", "join_bloom_pruned", "join_lateral_topn",
+    "join_point_in_time", "join_interval_overlap", "text_tfidf_exact",
+    "text_chunk", "text_pack", "text_repetition",
     "text_boilerplate_ngrams", "text_collocations", "text_containment",
     "text_unigram_logprob", "text_zipf_fit", "sim_range_search",
     "sim_maxsim_topk", "multimodal_decode", "multimodal_framesample",
     "multimodal_probe_formats", "multimodal_dedup_hash", "dedup_incremental",
-    "dedup_threshold_histogram", "embedding_quantize_int8",
-    "udf_arrow_optimized", "udtf_surface",
-    # --- pipelines / quality / misc ---
-    "pipeline_curation", "data_split", "split_contamination",
-    "data_quality_checks", "sample_hash_stratified", "sample_stratified",
-    "cdc_merge_apply",
-    "scd2_intervals", "ts_fill_forward", "mining_cooccurrence",
-    "orders_backlog_curve", "orders_mix_shift", "forecast_snaive_backtest",
+    "dedup_threshold_histogram", "embedding_quantize_int8", "udf_arrow_optimized",
+    "udtf_surface", "pipeline_curation", "data_split",
+    "split_contamination", "data_quality_checks", "sample_hash_stratified",
+    "sample_stratified", "cdc_merge_apply", "scd2_intervals",
+    "ts_fill_forward", "mining_cooccurrence", "orders_backlog_curve",
+    "orders_mix_shift", "forecast_snaive_backtest", "kmeans_farthest_init",
+    "join_dynamic_partition_prune", "scalar_interval", "sink_compaction",
+    "join_asof_tolerance", "text_bm25_topk", "decontam_ngram_overlap",
+    "sim_filtered_topk", "sim_knn_graph", "multimodal_resize",
+    "multimodal_audio_decode", "multimodal_video_framesample", "text_encode_ids",
+    "text_inverted_index", "pipeline_media_curation", "streaming_media_decode",
+    "text_bigram_lm", "events_entropy", "events_windowed_topk",
+    "graph_degree_dist", "events_time_weighted_avg", "events_gap_detection",
+    "events_cusum_drift", "events_ab_test", "events_next_event_baseline",
+    "window_rolling_median", "scalar_url", "data_skew_report",
+    "domain_mix_rebalance", "scan_text_lines", "events_outlier_mad",
+    "window_ewma", "dedup_url_canonical", "sink_parquet_codecs",
+    "table_fingerprint", "gdpr_user_erasure",
     # --- declared rows-only keys (driver records no_oracle; keep below
     #     the oracled tail so they never burn a hashed-window slot) ---
-    "kmeans_fit_converged", "agg_hll_sketch",
-    "agg_percentile_approx", "streaming_late_data", "text_tfidf",
-    "dedup_simhash", "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
+    "kmeans_fit_converged", "agg_hll_sketch", "agg_percentile_approx",
+    "streaming_late_data", "text_tfidf", "dedup_simhash",
+    "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
     "sim_lsh_topk",
 ]
 
