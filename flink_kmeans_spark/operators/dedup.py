@@ -32,23 +32,29 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures, engine-native: h_i(S) = min over shingles of
-    xxhash64(shingle, seed_i). Pure JVM expressions (xxhash64 is a
-    built-in with a seed parameter) — no UDF, no MLlib vector types, so
-    it composes with any downstream DataFrame op.
+    """MinHash signatures, engine-native AND cross-engine portable:
+    each shingle hashes once to a 60-bit md5-prefix integer
+    (functions/hashing.py — DuckDB computes the identical value), then
+    the classical universal-hash family h_i(x) = (a_i·x + b_i) mod
+    (2^31−1) derives all num_hashes values with exact 64-bit integer
+    arithmetic. That makes the whole signature stage SQL-oracle-able
+    bit-for-bit (VERDICT r3 item 2) at the cost of one md5 per shingle
+    (still a JVM built-in — no UDF, no MLlib vector types).
 
-    Shape: posexplode shingles → num_hashes min-aggregates grouped by
-    doc. ONE pass over the shingle stream with map-side partial mins
-    (the naive per-row ``array(array_min(transform(sh, h_i)) …)`` form
+    Shape: explode shingles → hash once → num_hashes min-aggregates
+    grouped by doc. ONE pass over the shingle stream with map-side
+    partial mins (the naive per-row ``array(array_min(...))`` form
     re-inlines the shingle construction num_hashes times via
     CollapseProject — measured 3× slower at sf0.1)."""
+    from ..functions.hashing import MINHASH_P, minhash_coeffs, portable_hash60
+
     sh = shingles(F.col(text_col), shingle_n)
-    exploded = docs.select(
-        F.col(id_col), F.explode(sh).alias("shingle")
+    exploded = docs.select(F.col(id_col), F.explode(sh).alias("shingle")).withColumn(
+        "x", portable_hash60(F.col("shingle")) % F.lit(MINHASH_P)
     )
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     per_doc = exploded.groupBy(id_col).agg(*mins)
     sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
@@ -75,6 +81,10 @@ def minhash_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    # bucket key = the band's VALUE SLICE itself (arrays hash-shuffle
+    # fine): exact equal-iff-equal semantics with no secondary hash, so
+    # the DuckDB oracle's tuple-match join is the same relation —
+    # a bucket-hash collision can't fabricate a candidate pair
     banded = sigs.select(
         F.col(id_col),
         F.col("minhash"),
@@ -83,8 +93,8 @@ def minhash_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                    F.slice(
+                        F.col("minhash"), b * rows_per_band + 1, rows_per_band
                     ).alias("bucket"),
                 ),
             )
@@ -124,29 +134,37 @@ def minhash_candidate_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 60-bit portable md5-prefix hash (functions/hashing.py)
+
+
 def simhash_df(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc, JVM-side: token → xxhash64 → per-bit ±1
-    vote aggregated across tokens → sign-bit array (``array<int>`` of
-    0/1; bit index b is unrolled as a Python int because shiftright's
-    bit-count argument must be a literal, not a lambda variable).
-    Near-dups have small hamming distance between sign vectors."""
+    """60-bit SimHash per doc, JVM-side: token → portable 60-bit
+    md5-prefix hash (functions/hashing.py — DuckDB computes the
+    identical integer, making the whole sketch SQL-oracle-able;
+    VERDICT r3 item 2) → per-bit ±1 vote aggregated across tokens →
+    sign-bit array (``array<int>`` of 0/1; bit index b is unrolled as
+    a Python int because shiftright's bit-count argument must be a
+    literal, not a lambda variable). Near-dups have small hamming
+    distance between sign vectors."""
+    from ..functions.hashing import portable_hash60
+
     exploded = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_hash60(F.col("tok")))
     votes = [
         F.sum(
             F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     per_doc = exploded.groupBy(id_col).agg(*votes)
-    # explode → 64 ±1-vote sums with map-side combine: one pass over the
+    # explode → 60 ±1-vote sums with map-side combine: one pass over the
     # token stream (the nested per-row zip_with/aggregate fold was 3×
     # slower at sf0.1 — same lesson as minhash_signatures)
     signs = F.array(
-        *[F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(64)]
+        *[F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(SIMHASH_BITS)]
     )
     return per_doc.select(
         F.col(id_col),
@@ -162,11 +180,13 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Banded SimHash dedup: 4×16-bit bands — any pair within hamming
+    """Banded SimHash dedup: 4×15-bit bands — any pair within hamming
     distance 3 shares at least one exact band (pigeonhole), so the
-    bucket-join finds all of them without N² compares."""
+    bucket-join finds all of them without N² compares. Bucket key =
+    the band's bit-slice VALUE (exact equal-iff-equal, matches the
+    DuckDB oracle's tuple join)."""
     sh = simhash_df(docs, id_col, text_col)
-    width = 64 // bands
+    width = SIMHASH_BITS // bands
     banded = sh.select(
         id_col,
         "simhash_bits",
@@ -175,8 +195,8 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("simhash_bits"), b * width + 1, width)
+                        F.slice(
+                            F.col("simhash_bits"), b * width + 1, width
                         ).alias("bucket"),
                     )
                     for b in range(bands)

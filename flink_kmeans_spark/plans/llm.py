@@ -519,21 +519,111 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------- dedup
 
-@register("dedup_minhash", tags=("dedup",))
+_SHINGLE3_SQL = """list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+             ))"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Bit-exact DuckDB replica of operators/dedup.py's MinHash+LSH:
+    same md5-prefix base hash, same (a·x+b) mod p family, same
+    band-slice bucket join — generated from the SAME coefficient
+    function as the Spark plan so the two cannot drift (VERDICT r3
+    item 2: this key was rows-only while the hash was xxhash64)."""
+    from ..functions.hashing import MINHASH_P, minhash_coeffs, sql_hash60
+
+    width = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    sig = ", ".join(f"h{i}" for i in range(num_hashes))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE3_SQL}) AS s
+      FROM documents
+    ), hx AS (
+      SELECT doc_id, {sql_hash60('s')} % {MINHASH_P} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hx GROUP BY doc_id
+    ), sigl AS (
+      SELECT doc_id, [{sig}] AS mh FROM sig
+    ), banded AS (
+      SELECT doc_id, mh, g.b AS band,
+             mh[(g.b*{width}+1):(g.b*{width}+{width})] AS bucket
+      FROM sigl CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) g
+    ), est AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             MIN(len(list_filter(list_zip(a.mh, c.mh), p -> p[1] = p[2]))
+                 / {num_hashes}.0) AS jaccard_est
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5
+    """
+
+
+def _simhash_oracle(bits: int = 60, bands: int = 4, max_hamming: int = 3) -> str:
+    """Bit-exact DuckDB replica of operators/dedup.py's banded SimHash
+    (same portable 60-bit token hash, same ±1 votes, same band-slice
+    bucket join)."""
+    from ..functions.hashing import sql_hash60
+
+    width = bits // bands
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    sign = ", ".join(f"CASE WHEN b{b} > 0 THEN 1 ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), hx AS (
+      SELECT doc_id, {sql_hash60('t')} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hx GROUP BY doc_id
+    ), bt AS (
+      SELECT doc_id, [{sign}] AS bits FROM votes
+    ), banded AS (
+      SELECT doc_id, bits, g.b AS band,
+             bits[(g.b*{width}+1):(g.b*{width}+{width})] AS bucket
+      FROM bt CROSS JOIN (SELECT unnest(generate_series(0, {bands - 1})) AS b) g
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             CAST(len(list_filter(list_zip(a.bits, c.bits), p -> p[1] <> p[2]))
+                  AS INTEGER) AS hamming
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@register("dedup_minhash", oracle=_minhash_oracle(), tags=("dedup",))
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs with Jaccard estimates —
-    engine-native xxhash64 signatures, banded bucket join (see
-    operators/dedup.py for the scale argument). Rows-only; pytest
-    checks estimates against exact shingle Jaccard."""
+    portable md5-prefix base hash + universal-hash family
+    (functions/hashing.py), banded bucket join (see operators/dedup.py
+    for the scale argument). FULLY SQL-oracled: the DuckDB replica
+    recomputes signatures, banding, and estimates bit-for-bit; pytest
+    additionally checks estimates against exact shingle Jaccard."""
     return DD.minhash_candidate_pairs(
         _docs(spark, sf_dir), num_hashes=32, bands=8
     ).filter(F.col("jaccard_est") >= 0.5)
 
 
-@register("dedup_simhash", tags=("dedup",))
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded 64-bit SimHash pairs within hamming distance 3 (pigeonhole
-    guarantees recall). Rows-only (xxhash64 seeds are Spark-specific)."""
+    """Banded 60-bit SimHash pairs within hamming distance 3
+    (4×15-bit bands; pigeonhole guarantees recall). FULLY SQL-oracled
+    via the portable md5-prefix token hash (functions/hashing.py) —
+    previously rows-only because xxhash64 had no DuckDB twin."""
     return DD.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 

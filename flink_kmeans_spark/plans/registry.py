@@ -110,10 +110,13 @@ _WINDOW_PRIORITY: list[str] = [
     "domain_mix_rebalance", "scan_text_lines", "events_outlier_mad",
     "window_ewma", "dedup_url_canonical", "sink_parquet_codecs",
     "table_fingerprint", "gdpr_user_erasure",
+    # --- newly oracled in round 4 (portable md5 hash family) — no
+    #     driver evidence yet; next in line after the 95 above ---
+    "dedup_minhash", "dedup_simhash", "agg_percentile_approx",
     # --- declared rows-only keys (driver records no_oracle; keep below
     #     the oracled tail so they never burn a hashed-window slot) ---
-    "kmeans_fit_converged", "agg_hll_sketch", "agg_percentile_approx",
-    "streaming_late_data", "text_tfidf", "dedup_simhash",
+    "kmeans_fit_converged", "agg_hll_sketch",
+    "streaming_late_data", "text_tfidf",
     "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
     "sim_lsh_topk",
 ]

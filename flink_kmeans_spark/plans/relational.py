@@ -1797,16 +1797,43 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(key).agg(*aggs)
 
 
-@register("agg_percentile_approx", tags=("agg", "sketch"))
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS p50_in_corridor,
+           TRUE AS p95_in_corridor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "sketch"),
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (t-digest-style sketch) per group — the 100 TB
     path: fixed-size mergeable sketch instead of a per-group sort.
-    Rows-only (sketch results are engine-specific); pytest bounds it
-    against the exact ``agg_percentile`` within 2%."""
+
+    Sketch values are engine-specific, so the DRIVER-HASHED surface is
+    the tolerance corridor (VERDICT r3 item 2): per group, the exact
+    interpolated percentile (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, probed equal to float noise) plus booleans
+    asserting the sketch lands within 2% of it — the oracle emits the
+    same exact values and TRUE, so a drifting sketch or broken exact
+    path both hash-mismatch. pytest keeps the raw-value bound test."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.95).alias("p95_approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    corridor = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.02 * F.abs(F.col(e)))  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50_exact"),
+        F.round("p95", 4).alias("p95_exact"),
+        corridor("p50_approx", "p50").alias("p50_in_corridor"),
+        corridor("p95_approx", "p95").alias("p95_in_corridor"),
     )
 
 
