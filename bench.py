@@ -119,6 +119,14 @@ HEADLINE = [
     "text_bigram_lm",
     "pipeline_media_curation",
     "gdpr_user_erasure",
+    # round-4 additions
+    "join_skew_aqe",
+    "dedup_minhash",
+    "dedup_simhash",
+    "events_rfm",
+    "events_pareto_share",
+    "text_encode_ids",
+    "text_zipf_fit",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -3504,3 +3504,108 @@ def gdpr_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_after",
         )
     )
+
+
+@register(
+    "join_skew_aqe",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN user_id % 10 <> 0 THEN 0
+                  ELSE CAST(user_id / 10 AS BIGINT) % 49 + 1 END AS k,
+             value
+      FROM events
+    ),
+    d AS (SELECT range AS k, range * 3 + 7 AS dim_val FROM range(50))
+    SELECT f.k,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(f.value * d.dim_val), 4) AS weighted
+    FROM f JOIN d ON f.k = d.k
+    GROUP BY f.k
+    """,
+    tags=("join", "aqe", "skew"),
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join splitting — the NO-CODE-CHANGE answer to
+    hot keys (join_skew_salted is the manual twin): ~90% of the fact
+    rows share join key 0, the join is forced to sort-merge, and AQE's
+    OptimizeSkewedJoin carves the hot reduce partition into map-output
+    ranges at runtime (``SortMergeJoin(skew=true)``), duplicating the
+    matching dim rows per split. The callable EXECUTES the join,
+    asserts the final adaptive plan actually took the skew path (a
+    silent fallback to a straggler plan raises instead of passing),
+    then returns the 50-row aggregate as a literal frame.
+
+    Toy-scale enablement, discovered empirically this round: skew
+    splits are map-output-granular, so a single-mapper toy scan can
+    NEVER split (createSkewPartitionSpecs returns None — this exact
+    probe failed silently until the fact side was repartitioned to 32
+    maps); thresholds are runtime-set low and RESTORED in a finally,
+    and forceOptimizeSkewedJoin covers the downstream agg's
+    distribution requirement. On a real cluster none of that is
+    needed: thousands of mappers and 256 MB partitions are the
+    defaults' native regime — the demonstrated plan shape is exactly
+    the 100 TB one.
+
+    Driver-side collect is the 50-row AGGREGATE (bounded by the dim
+    key space), never the fact table."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    # get(k, None) distinguishes "unset (engine default)" from an
+    # explicit setting — restore must UNSET what was unset, not pin the
+    # resolved default string into the session
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k, None)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        e = load_table(spark, sf_dir, "events")
+        fact = e.select(
+            F.when(F.col("user_id") % 10 != 0, F.lit(0))
+            .otherwise((F.col("user_id") / F.lit(10)).cast("long") % 49 + 1)
+            .cast("long")
+            .alias("k"),
+            "value",
+        ).repartition(32)  # multi-mapper stand-in for the 100 TB scan
+        dim = spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") * 3 + 7).alias("dim_val")
+        )
+        out = (
+            fact.join(dim.hint("MERGE"), "k")
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value") * F.col("dim_val")), 4).alias(
+                    "weighted"
+                ),
+            )
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "skew=true" not in plan:
+            raise RuntimeError(
+                "join_skew_aqe: AQE did not take the skew-join path "
+                "(no 'skew=true' in the final adaptive plan) — the key "
+                "exists to PIN that plan shape, so this is a failure, "
+                "not a silent fallback"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, "k bigint, n bigint, weighted double")

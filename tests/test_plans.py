@@ -505,3 +505,38 @@ def test_inverted_index_single_term_aggregate(spark, sf_dir):
     p = plan_of(specs()["text_inverted_index"].fn(spark, sf_dir))
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_join_skew_aqe_takes_skew_path_and_restores_confs(spark, sf_dir):
+    """The AQE skew key must (a) actually take the skew-join path (the
+    callable raises if 'skew=true' is absent from the final adaptive
+    plan — executed here), (b) restore every conf it touched, and
+    (c) produce one row per dim key present in the fact."""
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    out = specs()["join_skew_aqe"].fn(spark, sf_dir).collect()
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert before == after, f"confs leaked: {before} vs {after}"
+    from flink_kmeans_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    n_keys = (
+        e.select(
+            F.when(F.col("user_id") % 10 != 0, F.lit(0))
+            .otherwise((F.col("user_id") / F.lit(10)).cast("long") % 49 + 1)
+            .alias("k")
+        )
+        .distinct()
+        .count()
+    )
+    assert len(out) == n_keys
+    hot = {r["k"]: r["n"] for r in out}
+    assert hot[0] > sum(v for k, v in hot.items() if k != 0)  # skew is real
