@@ -121,6 +121,9 @@ HEADLINE = [
     "gdpr_user_erasure",
     # round-4 additions
     "join_skew_aqe",
+    "events_survival_curve",
+    "agg_kmv_distinct",
+    "sql_pipe_syntax",
     "dedup_minhash",
     "dedup_simhash",
     "events_rfm",

@@ -3609,3 +3609,81 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, "k bigint, n bigint, weighted double")
+
+
+@register(
+    "agg_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS exact_distinct,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS hk
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, exact_distinct,
+           ROUND(CASE WHEN exact_distinct < 64 THEN CAST(exact_distinct AS DOUBLE)
+                      ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS est_distinct,
+           ABS(CASE WHEN exact_distinct < 64 THEN CAST(exact_distinct AS DOUBLE)
+                    ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+               END - exact_distinct) / exact_distinct <= 0.35 AS in_corridor
+    FROM s
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64 — the
+    MERGEABLE cardinality sketch family HLL belongs to, but built from
+    engine-portable arithmetic: the k smallest 60-bit md5-prefix
+    hashes per group estimate |D| ≈ (k−1)/x_(k) with x_(k) the k-th
+    smallest hash normalized to [0,1). Unlike agg_approx /
+    agg_hll_sketch (engine-specific sketch internals → rows-only),
+    BOTH engines compute the identical hash set, so the ESTIMATE
+    itself is hash-verified bit-for-bit, alongside the exact count and
+    a ±35% corridor verdict (k=64 → SE ≈ 12.7%; the corridor is
+    deterministic because the hash set is).
+
+    Scale shape: one distinct-collapse shuffle on (group, hash) — at
+    100 TB the production form keeps only the k smallest per group via
+    partial top-k (min-heap per partition, merge in the combiner);
+    here the rank window runs on the already-distinct grain. Groups
+    with fewer than k hashes fall back to the exact count (standard
+    KMV rule)."""
+    from ..functions.hashing import portable_hash60
+
+    TWO60 = float(1 << 60)
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        portable_hash60(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    s = (
+        h.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_distinct"),
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("hk"),
+        )
+    )
+    est = F.when(
+        F.col("exact_distinct") < 64, F.col("exact_distinct").cast("double")
+    ).otherwise(63.0 / (F.col("hk").cast("double") / F.lit(TWO60)))
+    return s.select(
+        "event_type",
+        "exact_distinct",
+        F.round(est, 4).alias("est_distinct"),
+        (F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct") <= 0.35).alias(
+            "in_corridor"
+        ),
+    )

@@ -1431,3 +1431,101 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_correct") / F.col("n_instances"), 6).alias("accuracy"),
         )
     )
+
+
+@register(
+    "events_survival_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS birth,
+             MAX(CAST(ts AS DATE)) AS last_d
+      FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT MAX(CAST(ts AS DATE)) AS corpus_end FROM events),
+    lif AS (
+      SELECT CAST(last_d - birth AS BIGINT) AS t,
+             CASE WHEN corpus_end - last_d < 1 THEN 1 ELSE 0 END AS censored
+      FROM u, bounds
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM lif),
+    g AS (
+      SELECT t,
+             CAST(SUM(1 - censored) AS BIGINT) AS deaths,
+             CAST(SUM(censored) AS BIGINT) AS censored
+      FROM lif GROUP BY t
+    ),
+    r AS (
+      SELECT t, deaths, censored,
+             CAST(tot.n_users
+               - COALESCE(SUM(deaths + censored) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_at_risk
+      FROM g, tot
+    )
+    SELECT t, n_at_risk, deaths, censored,
+           ROUND(EXP(SUM(LN(1.0 - CAST(deaths AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS surv
+    FROM r
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over user lifetimes — the churn
+    statistic: lifetime = days between first and last activity; users
+    still active on the final observed day are CENSORED (their death
+    is unobserved), which is exactly what the KM estimator handles
+    and a naive retention ratio does not; earlier drop-offs count as
+    churn events. S(t) multiplies
+    (1 − deaths_t / at_risk_t) over event times; the running product
+    is computed as exp∘cumsum∘ln on both engines (1 ulp of libm noise,
+    far inside the 6 dp rounding).
+
+    Scale shape: one user-grain aggregate (the only full-data pass),
+    then LIFETIME-grain rows (≤ observation days — the calendar, not
+    the data) carry the windows; the global ordered window runs on
+    that bounded grain, same argument as events_cusum_drift."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("birth"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    bounds = e.agg(F.max(F.to_date("ts")).alias("corpus_end"))
+    lif = u.crossJoin(F.broadcast(bounds)).select(
+        F.datediff("last_d", "birth").cast("bigint").alias("t"),
+        F.when(F.datediff("corpus_end", "last_d") < 1, 1)
+        .otherwise(0)
+        .alias("censored"),
+    )
+    tot = lif.agg(F.count(F.lit(1)).alias("n_users"))
+    g = lif.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("deaths"),
+        F.sum("censored").alias("censored"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "deaths",
+        "censored",
+        (
+            F.col("n_users")
+            - F.coalesce(
+                F.sum(F.col("deaths") + F.col("censored")).over(w_prev), F.lit(0)
+            )
+        ).alias("n_at_risk"),
+    )
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return r.select(
+        "t",
+        "n_at_risk",
+        "deaths",
+        "censored",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("deaths").cast("double") / F.col("n_at_risk"))
+                ).over(w_run)
+            ),
+            6,
+        ).alias("surv"),
+    )
