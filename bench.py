@@ -123,6 +123,7 @@ HEADLINE = [
     "join_skew_aqe",
     "events_survival_curve",
     "agg_kmv_distinct",
+    "events_funnel_ttc",
     "sql_pipe_syntax",
     "dedup_minhash",
     "dedup_simhash",

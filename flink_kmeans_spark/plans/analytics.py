@@ -1529,3 +1529,74 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("surv"),
     )
+
+
+@register(
+    "events_funnel_ttc",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, CAST(s.s_ts AS DATE) AS cohort_day,
+             MIN(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(s.s_ts)) AS ttc_us
+      FROM s LEFT JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND CAST(p.ts AS TIMESTAMP) >= s.s_ts
+      GROUP BY 1, 2
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(ttc_us) AS BIGINT) AS n_converted,
+           ROUND(quantile_cont(ttc_us / 1000000.0, 0.5), 2) AS median_ttc_sec,
+           ROUND(quantile_cont(ttc_us / 1000000.0, 0.9), 2) AS p90_ttc_sec
+    FROM conv GROUP BY cohort_day
+    """,
+    tags=("events", "funnel", "stats"),
+)
+def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT funnel (the latency dimension events_funnel's
+    counts lack): per signup cohort day, how many users converted and
+    the median / p90 seconds from FIRST signup to FIRST subsequent
+    purchase. Exact interpolated percentiles on both engines (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, probed equal);
+    non-converters count in n_signups and are excluded from the
+    latency percentiles (LEFT join keeps them as NULL ttc).
+
+    Scale shape: the signup side collapses to user grain before the
+    time-bounded join keyed on user EQUALITY (per-user fan-out only);
+    the percentile aggregate runs at cohort-day grain."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("user_id")) & (F.col("p_ts") >= F.col("s_ts")),
+            "left",
+        )
+        .groupBy("user_id", F.to_date("s_ts").alias("cohort_day"))
+        .agg(
+            F.min(F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("ttc_us")
+        )
+    )
+    return conv.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("ttc_us").alias("n_converted"),
+        F.round(
+            F.percentile(F.col("ttc_us") / 1_000_000.0, F.lit(0.5)), 2
+        ).alias("median_ttc_sec"),
+        F.round(
+            F.percentile(F.col("ttc_us") / 1_000_000.0, F.lit(0.9)), 2
+        ).alias("p90_ttc_sec"),
+    )
