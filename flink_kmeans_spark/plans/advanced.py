@@ -3687,3 +3687,43 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_corridor"
         ),
     )
+
+
+@register(
+    "udf_arrow_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``applyInArrow`` grouped-map — the zero-pandas Arrow
+    extension point (each group arrives as a ``pyarrow.Table``, no
+    pandas conversion overhead; the native-columnar sibling of
+    applyInPandas for custom per-group logic the built-ins can't
+    express). Oracled against the built-in GROUP BY it reimplements —
+    same discipline as udf_surface/udf_arrow_optimized: the UDF surface
+    is exercised and verified, but hot paths stay on built-ins.
+
+    The worker fn is a CLOSURE (pickles by value — survives driver
+    sessions without the repo on worker sys.path)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def per_flag(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "l_returnflag": [t["l_returnflag"][0].as_py()],
+                "n": [t.num_rows],
+                "total_price": [round(pc.sum(t["l_extendedprice"]).as_py(), 2)],
+            }
+        )
+
+    return l.groupBy("l_returnflag").applyInArrow(
+        per_flag, "l_returnflag string, n bigint, total_price double"
+    )

@@ -13,6 +13,8 @@ for dimension tables, single-shuffle aggregations, no collect().
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2645,4 +2647,37 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n > 10
         |> EXTEND ROUND(rev / n, 2) AS avg_rev
         """
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS rev
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderdate >= CAST('1995-01-01' AS DATE)
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql",),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (``spark.sql(text, args={...})``, SPARK-41271):
+    named-marker binding is the injection-safe front door every SQL
+    service layer needs — parameters bind as typed literals in the
+    parser, never string-spliced. The oracle inlines the same literals;
+    plans are identical (Catalyst folds the bound constants, so filter
+    pushdown still reaches the scan)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE o_orderstatus = :status AND o_orderdate >= :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "cutoff": _dt.date(1995, 1, 1)},
     )
