@@ -57,6 +57,12 @@ SHOWCASE = [
     ("text_inverted_index", "postings assemble in ONE term-keyed aggregate; no join"),
     ("events_cusum_drift", "day-grain collapse first; CUSUM = prefix-sum minus running-min windows"),
     ("events_time_weighted_avg", "LEAD window and final aggregate share one user exchange"),
+    # round-4 additions
+    ("events_rfm", "three exact NTILEs via range-partitioned windows + broadcast offset tables; NO single-partition WindowExec"),
+    ("events_pareto_share", "fused global rank + running share over one range stage; offset table broadcast"),
+    ("events_survival_curve", "lifetime-grain KM curve; at-risk = suffix sum window, no total-users pass"),
+    ("agg_kmv_distinct", "distinct-collapse shuffle then per-group rank; sketch estimate from k-th smallest hash"),
+    ("udf_arrow_grouped", "FlatMapGroupsInArrow grouped-map: Arrow batches, no pandas conversion"),
 ]
 
 
