@@ -91,3 +91,24 @@ def test_no_single_partition_window_in_rewritten_keys(spark):
                 body = line[m.end() - len("Window ") + len("Window") :]
                 groups = re.findall(r"\[(?:[^\[\]]|\[[^\[\]]*\])*\]", body)
                 assert len(groups) >= 3, f"{key}: global window -> {line.strip()}"
+
+
+def test_ntile_property_random_sizes(spark):
+    """Hypothesis-style sweep across awkward (n, tiles, partitions)
+    combinations — NTILE boundaries are exactly the single-partition
+    window's for every shape (the q=0, r=0, and r>0 regimes)."""
+    from pyspark.sql import Window
+
+    for n, tiles, parts in [
+        (2, 5, 3),      # n < tiles, tiles > partitions
+        (7, 7, 2),      # n == tiles
+        (13, 4, 16),    # more partitions than fill
+        (96, 5, 8),     # r = 1
+        (100, 4, 8),    # r = 0 exact
+        (101, 4, 1),    # single partition degenerate
+    ]:
+        df = _frame(spark, n, seed=n * 31 + tiles)
+        order = [F.col("v").desc(), F.col("id")]
+        got = with_global_ntile(df, order, tiles, "t", num_partitions=parts)
+        expect = df.withColumn("t", F.ntile(tiles).over(Window.orderBy(*order)))
+        assert sorted(got.collect()) == sorted(expect.collect()), (n, tiles, parts)
