@@ -124,6 +124,7 @@ HEADLINE = [
     "events_survival_curve",
     "agg_kmv_distinct",
     "events_funnel_ttc",
+    "dedup_line_level",
     "sql_pipe_syntax",
     "dedup_minhash",
     "dedup_simhash",

@@ -1929,3 +1929,95 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 6).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "dedup_line_level",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, t.i AS line_no,
+             array_to_string(w[(t.i*5+1):(t.i*5+5)], ' ') AS line
+      FROM toks, unnest(generate_series(0,
+             CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS t(i)
+    ),
+    dup AS (
+      SELECT line,
+             CAST(MIN(doc_id) AS BIGINT) AS owner
+      FROM lines GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT l.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN d.line IS NULL OR d.owner = l.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(array_to_string(
+             list(CASE WHEN d.line IS NULL OR d.owner = l.doc_id
+                       THEN l.line END ORDER BY l.line_no), ' '), '')
+             AS cleaned_text
+    FROM lines l LEFT JOIN dup d ON l.line = d.line
+    GROUP BY l.doc_id
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-LEVEL dedup with keep-first reassembly — the RefinedWeb /
+    CCNet pipeline stage exact-doc dedup misses: repeated LINES
+    (boilerplate headers, templates, near-dup spans) are removed from
+    every document except the lowest-doc_id owner, and the surviving
+    lines re-assemble IN ORDER into the cleaned text. Lines here are
+    non-overlapping 5-token windows (the corpus has no newline
+    structure; 211 such lines repeat across ≥2 docs at sf0.01, so the
+    op does real work, verified by the n_kept < n_lines rows).
+
+    Scale shape: the duplicate-line table is HAVING-filtered to only
+    repeated lines BEFORE the join (at 100 TB boilerplate is ≪ corpus,
+    and the table broadcasts); the corpus shuffles once by doc_id for
+    reassembly. The line-stats aggregate is the only line-grain
+    shuffle, with map-side combine."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    n_lines = F.ceil(F.size("w") / F.lit(5.0)).cast("int")
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice("w", i * 5 + 1, 5), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+    dup = (
+        lines.groupBy("line")
+        .agg(
+            F.min("doc_id").alias("owner"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("line", "owner")
+    )
+    keep = F.col("owner").isNull() | (F.col("owner") == F.col("doc_id"))
+    return (
+        lines.join(F.broadcast(dup), "line", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                keep,
+                                F.struct("line_no", F.col("line").alias("l")),
+                            )
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
