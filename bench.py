@@ -125,6 +125,7 @@ HEADLINE = [
     "agg_kmv_distinct",
     "events_funnel_ttc",
     "dedup_line_level",
+    "multimodal_phash",
     "sql_pipe_syntax",
     "dedup_minhash",
     "dedup_simhash",

@@ -292,6 +292,54 @@ def resize_image_media(media: DataFrame, out_w: int = 3, out_h: int = 2) -> Data
     )
 
 
+def dhash_image_media(media: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """PERCEPTUAL difference-hash (dHash) over decoded PNG pixels —
+    the image near-dedup sketch byte-exact md5 can't provide (re-saves
+    and resamples change bytes, not gradients): decode → NN-resample
+    to (hash_w+1)×hash_h → per-row left<right gradient bits, emitted
+    as a 64-char '0'/'1' string (portable — no 64-bit sign games in
+    either engine) plus the popcount. Near-dup images differ in a few
+    bits; banding the bit string then reuses the exact SimHash
+    machinery (operators/dedup.py).
+
+    Scale shape: mapInPandas, partition-local, zero shuffle — decode,
+    resample, and hash run in ONE Python worker pass per batch."""
+    from ..functions.imagecodec import decode_png
+
+    dec = decode_png  # closure → ships by value
+    HW, HH = hash_w, hash_h
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = dec(bytes(payload))
+                grid = [
+                    int(px[((y * h) // HH) * w + (x * w) // (HW + 1)])
+                    for y in range(HH)
+                    for x in range(HW + 1)
+                ]
+                bits = [
+                    1 if grid[y * (HW + 1) + x] < grid[y * (HW + 1) + x + 1] else 0
+                    for y in range(HH)
+                    for x in range(HW)
+                ]
+                rows.append(
+                    (int(did), w, h, "".join(map(str, bits)), sum(bits))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_w", "src_h", "dhash", "n_ones"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen, "doc_id long, src_w int, src_h int, dhash string, n_ones int"
+    )
+
+
 def to_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a media table of GENUINE RIFF/WAVE payloads (PCM16
     mono, 8 kHz), one clip per doc, encoded executor-side. Length and

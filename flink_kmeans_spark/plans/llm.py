@@ -2021,3 +2021,47 @@ def dedup_line_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+@register(
+    "multimodal_phash",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 11 AS h
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 71), t ->
+               (doc_id * 31
+                + (((t // 9) * h // 8) * w + ((t % 9) * w // 9)) * 7
+               ) % 256) AS p
+      FROM g
+    ), bits AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 63), t ->
+               CASE WHEN p[(t // 8) * 9 + (t % 8) + 1]
+                         < p[(t // 8) * 9 + (t % 8) + 2]
+                    THEN 1 ELSE 0 END) AS b
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS src_w,
+           CAST(h AS INTEGER) AS src_h,
+           array_to_string(b, '') AS dhash,
+           CAST(list_aggregate(b, 'sum') AS INTEGER) AS n_ones
+    FROM bits
+    """,
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image hash (dHash 8×8) over REAL decoded PNG pixels —
+    the near-dup sketch for re-encoded/resampled images that byte-md5
+    dedup (multimodal_dedup_hash) cannot catch. The whole
+    byte → pixel → 9×8 resample → gradient-bit pipeline is verified:
+    the oracle recomputes every grid pixel from the fixture generation
+    formulas and derives the identical 64-bit gradient string
+    (operators/multimodal.py dhash_image_media)."""
+    media = MM.to_image_table(_docs(spark, sf_dir))
+    return MM.dhash_image_media(media, hash_w=8, hash_h=8)

@@ -115,7 +115,7 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_minhash", "dedup_simhash", "agg_percentile_approx",
     "join_skew_aqe", "sql_pipe_syntax", "events_survival_curve",
     "agg_kmv_distinct", "events_funnel_ttc", "udf_arrow_grouped",
-    "sql_parameterized", "dedup_line_level",
+    "sql_parameterized", "dedup_line_level", "multimodal_phash",
     # --- declared rows-only keys (driver records no_oracle; keep below
     #     the oracled tail so they never burn a hashed-window slot) ---
     "kmeans_fit_converged", "agg_hll_sketch",
