@@ -391,3 +391,53 @@ def test_video_frame_archive_selective_decode(spark, sf_dir):
     assert (per["n"] == (per["nf"] + 1) // 2).all()
     assert (out["frame_idx"] % 2 == 0).all()
     assert out["mean_pixel"].between(0, 255).all()
+
+
+def test_dedup_line_level_conservation(spark, sf_dir):
+    """Line-level dedup invariants: kept-line counts bound by totals,
+    owners keep everything, and cleaned_text token count == 5*kept-ish
+    (last line may be short); total kept lines == total lines minus
+    non-owner copies of duplicated lines."""
+    out = {r["doc_id"]: r for r in specs()["dedup_line_level"].fn(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, sf_dir, "documents").collect()}
+    import math
+
+    # recompute expected with plain python
+    lines = {}
+    for did, text in docs.items():
+        w = text.split(" ")
+        ls = [" ".join(w[i * 5 : i * 5 + 5]) for i in range(math.ceil(len(w) / 5))]
+        lines[did] = ls
+    owner, ndocs = {}, {}
+    for did, ls in lines.items():
+        for l in set(ls):
+            owner[l] = min(owner.get(l, did), did)
+            ndocs[l] = ndocs.get(l, 0) + 1
+    for did, ls in lines.items():
+        kept = [l for l in ls if ndocs[l] < 2 or owner[l] == did]
+        r = out[did]
+        assert r["n_lines"] == len(ls)
+        assert r["n_kept"] == len(kept), did
+        assert r["cleaned_text"] == " ".join(kept), did
+
+
+def test_multimodal_phash_identical_images_collide(spark, sf_dir):
+    """dHash must be invariant to the PAYLOAD bytes given equal pixels:
+    re-encoding the same pixel grid with different scanline filters
+    yields identical hashes (the property that makes it a perceptual
+    near-dup key rather than a byte hash)."""
+    import pandas as pd
+
+    from flink_kmeans_spark.functions.imagecodec import encode_png_gray
+    from flink_kmeans_spark.operators import multimodal as MM
+
+    w, h = 9, 8
+    px = bytes((i * 37) % 256 for i in range(w * h))
+    pay_a = encode_png_gray(w, h, px, filter_for_row=lambda y: 0)
+    pay_b = encode_png_gray(w, h, px, filter_for_row=lambda y: (y + 1) % 5)
+    assert pay_a != pay_b  # different bytes on the wire
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [pay_a, pay_b]})
+    )
+    got = {r["doc_id"]: r["dhash"] for r in MM.dhash_image_media(media).collect()}
+    assert got[1] == got[2] and len(got[1]) == 64 and set(got[1]) <= {"0", "1"}
