@@ -126,6 +126,7 @@ HEADLINE = [
     "events_funnel_ttc",
     "dedup_line_level",
     "multimodal_phash",
+    "ts_interpolate_linear",
     "sql_pipe_syntax",
     "dedup_minhash",
     "dedup_simhash",

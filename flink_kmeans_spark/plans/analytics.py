@@ -1595,3 +1595,112 @@ def events_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.col("ttc_us") / 1_000_000.0, F.lit(0.9)), 2
         ).alias("p90_ttc_sec"),
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, v FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id, CAST(gs.g AS DATE) AS day
+      FROM span, UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                        CAST(d1 AS TIMESTAMP),
+                                        INTERVAL 1 DAY)) AS gs(g)
+    ), j AS (
+      SELECT g.user_id, g.day, d.v,
+             LAST_VALUE(d.v IGNORE NULLS) OVER w_prev AS pv,
+             LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             FIRST_VALUE(d.v IGNORE NULLS) OVER w_next AS nv,
+             FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+      WINDOW w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+                        ROWS UNBOUNDED PRECEDING),
+             w_next AS (PARTITION BY g.user_id ORDER BY g.day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (day - pd) / (nd - pd)
+           END, 6) AS v_interp,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INTEGER) AS gap
+    FROM j
+    """,
+    tags=("eventtime", "events", "timeseries"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR interpolation — ts_fill_forward's
+    smooth sibling (pandas ``interpolate(method='time')`` semantics on
+    a daily grid): gaps take the straight line between the bracketing
+    known values, weighted by day distance; grid edges degrade to
+    nearest-known (the span is bounded by known days, so pure-edge
+    gaps cannot occur — the guards are for robustness). Exact same
+    single-exchange shape as ts_fill_forward: closing-value window,
+    grid explode, and BOTH direction windows all partition by user_id.
+
+    The interpolation arithmetic is (pv + (nv-pv)·Δ/Δtot) with integer
+    day deltas on both engines — one multiply/divide per cell, bit-
+    stable far inside the 6 dp rounding."""
+    e = _t(spark, sf_dir, "events")
+    w_last = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        e.select(
+            "user_id", F.to_date("ts").alias("day"), F.col("value").alias("v"),
+            "ts", "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "v")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    kd = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("pv", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("pd", F.last(kd, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("nd", F.first(kd, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(interp, 6).alias("v_interp"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("gap"),
+    )
