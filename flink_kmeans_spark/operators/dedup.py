@@ -249,44 +249,91 @@ def ngram_jaccard_pairs(
     measured >6 min at sf0.1's 5 000 docs) and (b) was quietly lossy
     (J = 0.8 allows a 20% length gap > ±1 bucket). Prefix filtering is
     both complete for J ≥ t and bucket-bounded at scale; candidate
-    buckets key on a shingle string, so AQE's skew split applies."""
-    d = docs.select(
-        F.col(id_col), F.array_sort(shingles(F.col(text_col), n)).alias("sh")
+    buckets key on a shingle string, so AQE's skew split applies.
+
+    EXACT-COLLAPSE FIRST (r4 scale fix): byte-identical texts collapse
+    to one representative per md5 group before any shingling; the
+    prefix join and Jaccard verify run on DISTINCT texts only, and the
+    result expands back to all member pairs (within-group pairs carry
+    J = 1.0 exactly — x/x — so output is identical to pairing the raw
+    corpus). Real corpora are exact-dup-heavy, and without the
+    collapse the candidate space grows QUADRATICALLY in copies: the
+    10× scale probe (tools/scale_probe.py, every text ×10) measured
+    graph_components at 29× wall time before this fix because dup
+    groups of 10 contribute 45 pairs each."""
+    base = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    grp = base.withColumn("__gid", F.md5("__text"))
+    members = grp.select("__gid", "__id")
+    reps = grp.groupBy("__gid").agg(
+        F.min("__id").alias("__rid"),
+        F.first("__text").alias("__text"),
+        F.count(F.lit(1)).alias("__m"),
     )
-    # the shingle table is referenced three times (prefix explode + two
-    # verify re-joins); persist so the shingling runs once
+    d = reps.select(
+        "__gid", "__m", F.array_sort(shingles(F.col("__text"), n)).alias("sh")
+    )
+    # the shingle table is referenced four times (prefix explode, two
+    # verify re-joins, within-group guard); persist so the shingling
+    # runs once
     d = d.persist()
     prefix_len = F.floor(F.size("sh") * (1.0 - threshold)).cast("int") + 1
-    # candidate generation moves ONLY (id, prefix-shingle) rows — the
+    # candidate generation moves ONLY (gid, prefix-shingle) rows — the
     # full shingle arrays never ride through the exploded self-join or
     # the pair dedup (measured 3× on sf0.1: arrays-through-join shuffles
     # ~30× more bytes than the id pairs)
     pref = d.select(
-        id_col, F.explode(F.slice("sh", 1, prefix_len)).alias("p")
+        "__gid", F.explode(F.slice("sh", 1, prefix_len)).alias("p")
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand_ids = (
         a.join(
             b,
             (F.col("a.p") == F.col("b.p"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__gid") < F.col("b.__gid")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.__gid").alias("g_a"), F.col("b.__gid").alias("g_b"))
+        .dropDuplicates(["g_a", "g_b"])
     )
-    # verify: re-attach the two shingle sets by id (doc-grain joins) and
-    # run the exact intersect/union math only on surviving candidates
+    # verify: re-attach the two shingle sets by gid (group-grain joins)
+    # and run the exact intersect/union math only on surviving candidates
     cand = cand_ids.join(
-        d.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        d.select(F.col("__gid").alias("g_a"), F.col("sh").alias("sh_a")), "g_a"
     ).join(
-        d.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        d.select(F.col("__gid").alias("g_b"), F.col("sh").alias("sh_b")), "g_b"
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
-    return (
-        cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    near_groups = (
+        cand.select("g_a", "g_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # expand group pairs to ALL member pairs (canonical id_a < id_b)
+    ma = members.select(F.col("__gid").alias("g_a"), F.col("__id").alias("m_a"))
+    mb = members.select(F.col("__gid").alias("g_b"), F.col("__id").alias("m_b"))
+    cross = near_groups.join(ma, "g_a").join(mb, "g_b").select(
+        F.least("m_a", "m_b").alias("id_a"),
+        F.greatest("m_a", "m_b").alias("id_b"),
+        "jaccard",
+    )
+    # within-group pairs: identical non-empty shingle sets → J = 1.0
+    # exactly (empty-shingle docs can never pair — mirrors the raw
+    # formulation where they produce no prefix rows)
+    dup_groups = d.filter((F.col("__m") >= 2) & (F.size("sh") >= 1)).select("__gid")
+    wa = members.join(dup_groups, "__gid").select(
+        "__gid", F.col("__id").alias("m_a")
+    )
+    wb = members.join(dup_groups, "__gid").select(
+        "__gid", F.col("__id").alias("m_b")
+    )
+    within = (
+        wa.join(wb, "__gid")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("id_a"),
+            F.col("m_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if 1.0 < threshold:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)

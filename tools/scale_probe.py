@@ -1,0 +1,112 @@
+"""Scale-curve probe: replicate the sf0.1 tables 10× with key shifting
+(a synthetic ~sf1) and measure how the headline plan shapes scale.
+
+The brief's question is not "is it fast at sf0.1" but "would the plan
+survive 100 TB" — this probe supplies the measured first decade of
+that curve. Replication shifts every join/group key by a disjoint
+offset per copy, so group counts, join fan-outs, and dup-pair
+densities scale the way real data growth would (NOT 10 identical
+copies of the same keyspace, which would inflate skew):
+
+    events:    user_id += c·10⁶,  event_id += c·10⁹
+    lineitem:  l_orderkey += c·10⁹ (and orders o_orderkey likewise)
+    documents: doc_id += c·10⁶ (texts unchanged — dup density scales)
+    embeddings: vec_id += c·10⁶
+
+Run:  python tools/scale_probe.py      (writes .scratch/sf1x, ~200 MB)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/root/repo/.scratch/sf1x"
+COPIES = 10
+
+SHIFTS = {
+    "events": [("user_id", 1_000_000), ("event_id", 1_000_000_000)],
+    "lineitem": [("l_orderkey", 1_000_000_000)],
+    "orders": [("o_orderkey", 1_000_000_000), ("o_custkey", 1_000_000)],
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("vec_id", 1_000_000)],
+}
+# dims copied unshifted (joins against them must keep matching)
+PLAIN = ["customer", "supplier", "part", "nation", "region"]
+
+PROBES = [
+    # (key, tables it reads — for documentation only)
+    ("agg_hash", "lineitem"),
+    ("join_shuffle", "orders+lineitem"),
+    ("window_rank", "events"),
+    ("dedup_minhash", "documents"),
+    ("dedup_exact", "documents"),
+    ("kmeans_fit", "embeddings"),
+    ("graph_components", "documents"),
+    ("window_session", "events"),
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT, exist_ok=True)
+    for t, shifts in SHIFTS.items():
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for c in range(COPIES):
+            d = src
+            for col, step in shifts:
+                d = d.withColumn(col, F.col(col) + F.lit(c * step))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT}/{t}.parquet")
+    for t in PLAIN:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT}/{t}.parquet")
+
+
+def main() -> None:
+    from flink_kmeans_spark.plans.registry import QUERIES
+    from flink_kmeans_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{OUT}/events.parquet"):
+        t0 = time.time()
+        build(spark)
+        print(f"[build] 10x replica written in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    queries = QUERIES()
+    results = {}
+    avail = {k for k, _ in PROBES if k in queries}
+    for key, tables in PROBES:
+        if key not in avail:
+            continue
+        times = {}
+        for label, sf_dir in (("sf0.1", BASE), ("sf1x", OUT)):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                queries[key](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        ratio = round(times["sf1x"] / times["sf0.1"], 2)
+        results[key] = {**times, "ratio_at_10x_data": ratio, "tables": tables}
+        print(f"[probe] {key}: {times['sf0.1']}s -> {times['sf1x']}s "
+              f"({ratio}x at 10x data)", file=sys.stderr, flush=True)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
