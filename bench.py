@@ -127,6 +127,7 @@ HEADLINE = [
     "dedup_line_level",
     "multimodal_phash",
     "ts_interpolate_linear",
+    "text_js_divergence",
     "sql_pipe_syntax",
     "dedup_minhash",
     "dedup_simhash",

@@ -2065,3 +2065,78 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py dhash_image_media)."""
     media = MM.to_image_table(_docs(spark, sf_dir))
     return MM.dhash_image_media(media, hash_w=8, hash_h=8)
+
+
+@register(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM tok GROUP BY w
+    ),
+    tot AS (
+      SELECT SUM(c0) AS n0, SUM(c1) AS n1, COUNT(*) AS v FROM cnt
+    ),
+    p AS (
+      SELECT (c0 + 1.0) / (n0 + v) AS p0,
+             (c1 + 1.0) / (n1 + v) AS p1
+      FROM cnt, tot
+    )
+    SELECT CAST(tot.v AS BIGINT) AS vocab_size,
+           CAST(tot.n0 AS BIGINT) AS n_tokens_a,
+           CAST(tot.n1 AS BIGINT) AS n_tokens_b,
+           ROUND(SUM(0.5 * p0 * LN(p0 / ((p0 + p1) / 2))
+                   + 0.5 * p1 * LN(p1 / ((p0 + p1) / 2))), 6) AS jsd_nats
+    FROM p, tot
+    GROUP BY tot.v, tot.n0, tot.n1
+    """,
+    tags=("text", "quality", "stats"),
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DRIFT via Jensen–Shannon divergence between two corpus
+    snapshots (here: doc_id parity halves — in production, yesterday's
+    crawl vs today's): add-one-smoothed unigram distributions over the
+    JOINT vocabulary, JSD = ½KL(P‖M) + ½KL(Q‖M) in nats — the bounded,
+    symmetric distribution-shift alarm a training-mix dashboard
+    watches (0 = identical, ln 2 = disjoint). Same-corpus halves score
+    near 0, which the pytest pins along with the ln 2 bound.
+
+    Scale shape: ONE token-grain aggregate with map-side combine
+    builds both counts (no per-half scans); totals ride in as a 1-row
+    broadcast; the JSD sum is vocab-grain and order-insensitive
+    (rounded 6 dp; LN libm noise is ~1 ulp)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = cnt.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1"), F.count(F.lit(1)).alias("v")
+    )
+    p = cnt.crossJoin(F.broadcast(tot)).select(
+        ((F.col("c0") + 1.0) / (F.col("n0") + F.col("v"))).alias("p0"),
+        ((F.col("c1") + 1.0) / (F.col("n1") + F.col("v"))).alias("p1"),
+        "n0", "n1", "v",
+    )
+    m = (F.col("p0") + F.col("p1")) / 2
+    term = 0.5 * F.col("p0") * F.log(F.col("p0") / m) + 0.5 * F.col("p1") * F.log(
+        F.col("p1") / m
+    )
+    return p.groupBy("v", "n0", "n1").agg(
+        F.round(F.sum(term), 6).alias("jsd_nats")
+    ).select(
+        F.col("v").alias("vocab_size"),
+        F.col("n0").alias("n_tokens_a"),
+        F.col("n1").alias("n_tokens_b"),
+        "jsd_nats",
+    )

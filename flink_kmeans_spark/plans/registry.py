@@ -116,7 +116,7 @@ _WINDOW_PRIORITY: list[str] = [
     "join_skew_aqe", "sql_pipe_syntax", "events_survival_curve",
     "agg_kmv_distinct", "events_funnel_ttc", "udf_arrow_grouped",
     "sql_parameterized", "dedup_line_level", "multimodal_phash",
-    "ts_interpolate_linear",
+    "ts_interpolate_linear", "text_js_divergence",
     # --- declared rows-only keys (driver records no_oracle; keep below
     #     the oracled tail so they never burn a hashed-window slot) ---
     "kmeans_fit_converged", "agg_hll_sketch",
