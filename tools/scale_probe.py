@@ -49,6 +49,10 @@ PROBES = [
     ("kmeans_fit", "embeddings"),
     ("graph_components", "documents"),
     ("window_session", "events"),
+    ("decontam_ngram_overlap", "documents"),
+    ("events_rfm", "events"),
+    ("text_inverted_index", "documents"),
+    ("dedup_line_level", "documents"),
 ]
 
 
