@@ -59,42 +59,27 @@ def _load_all() -> None:
 
 
 # Driver-verification window priority. The driver hashes only the FIRST
-# ~50 queries() entries per round. Rounds 1-3 verified 138 distinct
-# oracled keys; this round-4 rotation leads with the 95 DuckDB-oracled
-# keys that still have ZERO driver evidence (VERDICT r3 item 1), so
-# every window slot yields a brand-new hashable row.
+# ~50 queries() entries per round. Rounds 1-4 verified 188 distinct
+# oracled keys green; this round-5 rotation (the recipe VERDICT r4
+# item 1 asked for) leads with the 59 DuckDB-oracled keys that still
+# have ZERO driver evidence: the 45 head-of-list leftovers from the
+# round-4 window, then the 14 keys newly oracled in round 4 (with
+# dedup_minhash first — VERDICT item 2's stale-no_oracle conversion).
 #
-# ROUND-5 ROTATION RECIPE: read CORRECTNESS_r04.json, drop every key
-# with a green row there from this list's head (expected: the first ~50
-# below), leaving the remaining ~45 never-driver-verified keys at the
-# head. Any key newly added in round 4+ that lacks driver evidence goes
-# right after them. Keep rows-only keys last, as here. Declared rows-only keys (no_oracle in
-# the driver) sort BELOW the oracled tail so they never burn a window
-# slot. Previously-green keys follow in registration order and stay
+# ROUND-6 ROTATION RECIPE: read CORRECTNESS_r05.json, drop every key
+# with a green row there from this list's head (expected: the first
+# ~50), leaving the ~9 remaining never-driver-verified oracled keys at
+# the head, followed by any key newly added in round 5+ without driver
+# evidence. Declared rows-only keys (no_oracle in the driver) sort
+# BELOW the oracled tail so they never burn a hashed-window slot.
+# Previously-green keys follow in registration order and stay
 # regression-guarded by tools/check_oracles.py. Ordering only; results
 # are order-independent (proved by re-running the local gate after the
 # reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- 95 oracled keys with ZERO driver evidence after rounds 1-3
-    #     (registration order; r04 window hashes the first ~50, r05 the
-    #     remaining ~45) ---
-    "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",
-    "streaming_stream_join", "streaming_dedup", "streaming_kmeans_assign",
-    "window_rollup", "window_count_distinct", "window_range_interval",
-    "window_ratio_to_report", "agg_histogram", "agg_grouping_sets",
-    "agg_mode", "agg_bitmap_distinct", "agg_cms_frequency",
-    "agg_approx_topk", "agg_salted_twophase", "agg_weighted_median",
-    "reshape_unpivot", "join_asof_forward", "join_asof_nearest",
-    "join_bucket_colocated", "join_bloom_pruned", "join_lateral_topn",
-    "join_point_in_time", "join_interval_overlap", "text_tfidf_exact",
-    "text_chunk", "text_pack", "text_repetition",
-    "text_boilerplate_ngrams", "text_collocations", "text_containment",
-    "text_unigram_logprob", "text_zipf_fit", "sim_range_search",
-    "sim_maxsim_topk", "multimodal_decode", "multimodal_framesample",
-    "multimodal_probe_formats", "multimodal_dedup_hash", "dedup_incremental",
-    "dedup_threshold_histogram", "embedding_quantize_int8", "udf_arrow_optimized",
-    "udtf_surface", "pipeline_curation", "data_split",
-    "split_contamination", "data_quality_checks", "sample_hash_stratified",
+    # --- 45 oracled keys with ZERO driver evidence after rounds 1-4
+    #     (registration order, carried over from the r04 list tail) ---
+    "sample_hash_stratified",
     "sample_stratified", "cdc_merge_apply", "scd2_intervals",
     "ts_fill_forward", "mining_cooccurrence", "orders_backlog_curve",
     "orders_mix_shift", "forecast_snaive_backtest", "kmeans_farthest_init",
@@ -111,12 +96,32 @@ _WINDOW_PRIORITY: list[str] = [
     "window_ewma", "dedup_url_canonical", "sink_parquet_codecs",
     "table_fingerprint", "gdpr_user_erasure",
     # --- newly oracled in round 4 (portable md5 hash family) — no
-    #     driver evidence yet; next in line after the 95 above ---
+    #     driver evidence yet; dedup_minhash first to convert its stale
+    #     r2 no_oracle row (VERDICT r4 item 2) ---
     "dedup_minhash", "dedup_simhash", "agg_percentile_approx",
     "join_skew_aqe", "sql_pipe_syntax", "events_survival_curve",
     "agg_kmv_distinct", "events_funnel_ttc", "udf_arrow_grouped",
     "sql_parameterized", "dedup_line_level", "multimodal_phash",
     "ts_interpolate_linear", "text_js_divergence",
+    # --- r04-window keys, all driver-green in CORRECTNESS_r04.json
+    #     (kept next so any wider-than-50 window re-confirms them) ---
+    "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",
+    "streaming_stream_join", "streaming_dedup", "streaming_kmeans_assign",
+    "window_rollup", "window_count_distinct", "window_range_interval",
+    "window_ratio_to_report", "agg_histogram", "agg_grouping_sets",
+    "agg_mode", "agg_bitmap_distinct", "agg_cms_frequency",
+    "agg_approx_topk", "agg_salted_twophase", "agg_weighted_median",
+    "reshape_unpivot", "join_asof_forward", "join_asof_nearest",
+    "join_bucket_colocated", "join_bloom_pruned", "join_lateral_topn",
+    "join_point_in_time", "join_interval_overlap", "text_tfidf_exact",
+    "text_chunk", "text_pack", "text_repetition",
+    "text_boilerplate_ngrams", "text_collocations", "text_containment",
+    "text_unigram_logprob", "text_zipf_fit", "sim_range_search",
+    "sim_maxsim_topk", "multimodal_decode", "multimodal_framesample",
+    "multimodal_probe_formats", "multimodal_dedup_hash", "dedup_incremental",
+    "dedup_threshold_histogram", "embedding_quantize_int8", "udf_arrow_optimized",
+    "udtf_surface", "pipeline_curation", "data_split",
+    "split_contamination", "data_quality_checks",
     # --- declared rows-only keys (driver records no_oracle; keep below
     #     the oracled tail so they never burn a hashed-window slot) ---
     "kmeans_fit_converged", "agg_hll_sketch",
