@@ -273,9 +273,17 @@ def ngram_jaccard_pairs(
         "__gid", "__m", F.array_sort(shingles(F.col("__text"), n)).alias("sh")
     )
     # the shingle table is referenced four times (prefix explode, two
-    # verify re-joins, within-group guard); persist so the shingling
-    # runs once
-    d = d.persist()
+    # verify re-joins, within-group guard); lazy localCheckpoint makes
+    # the shingling run once WITHOUT registering in the session cache
+    # manager — a plain persist() here leaked one cached frame per
+    # invocation for the session's lifetime (ADVICE r4), since a
+    # function returning a lazy plan has no post-consumption hook to
+    # unpersist. Checkpoint blocks are dropped by the ContextCleaner
+    # as soon as the returned plan is garbage-collected. Tradeoff:
+    # localCheckpoint is not executor-loss-tolerant — on a real
+    # cluster a lost executor fails the job (retry) instead of
+    # recomputing lineage; acceptable for a deterministic batch stage.
+    d = d.localCheckpoint(eager=False)
     prefix_len = F.floor(F.size("sh") * (1.0 - threshold)).cast("int") + 1
     # candidate generation moves ONLY (gid, prefix-shingle) rows — the
     # full shingle arrays never ride through the exploded self-join or

@@ -46,13 +46,24 @@ _OFF = "__rk_off"
 
 
 def _staged(df: DataFrame, order_exprs: list[Column], num_partitions: int | None):
+    # LAZY checkpoint (ADVICE r4): the helper's offset collect() is the
+    # first action, so it doubles as the materialization job (one fewer
+    # eager job than localCheckpoint(eager=True)) and still pins the
+    # placement before any second pass reads it. Lazy also means the
+    # checkpointed blocks are released by the ContextCleaner once the
+    # returned plan is garbage-collected, instead of accumulating
+    # executor storage across repeated bench/gate invocations the way
+    # an eager never-unpersisted checkpoint did. Note the helpers are
+    # still EAGER at plan-construction time (the offset table requires
+    # a collect) — callers building ranking-based plans run 1-2 staging
+    # jobs before the plan's own action.
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
         df.repartitionByRange(num_partitions, *order_exprs)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
 
@@ -107,14 +118,18 @@ def with_global_ntile(
     rn_col = "__rk_rn"
     ranked, total = with_global_row_number(df, order_exprs, rn_col, num_partitions)
     q, r = divmod(total, n)
-    rn0 = F.col(rn_col) - F.lit(1)
     if q == 0:  # fewer rows than tiles: row i is tile i
         tile = F.col(rn_col)
     else:
+        # BIGINT `div`, not F.floor(double /) — exact for all row
+        # counts, including beyond 2^53 (ADVICE r4)
         cut = r * (q + 1)
         tile = (
-            F.when(F.col(rn_col) <= F.lit(cut), F.floor(rn0 / F.lit(q + 1)))
-            .otherwise(F.lit(r) + F.floor((rn0 - F.lit(cut)) / F.lit(q)))
+            F.when(
+                F.col(rn_col) <= F.lit(cut),
+                F.expr(f"({rn_col} - 1) div {q + 1}"),
+            )
+            .otherwise(F.lit(r) + F.expr(f"({rn_col} - 1 - {cut}) div {q}"))
             + F.lit(1)
         )
     return ranked.withColumn(out, tile.cast("int")).drop(rn_col)

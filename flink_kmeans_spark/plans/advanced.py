@@ -3539,16 +3539,22 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits are map-output-granular, so a single-mapper toy scan can
     NEVER split (createSkewPartitionSpecs returns None — this exact
     probe failed silently until the fact side was repartitioned to 32
-    maps); thresholds are runtime-set low and RESTORED in a finally,
-    and forceOptimizeSkewedJoin covers the downstream agg's
-    distribution requirement. On a real cluster none of that is
-    needed: thousands of mappers and 256 MB partitions are the
-    defaults' native regime — the demonstrated plan shape is exactly
-    the 100 TB one.
+    maps); thresholds are set low, and forceOptimizeSkewedJoin covers
+    the downstream agg's distribution requirement. On a real cluster
+    none of that is needed: thousands of mappers and 256 MB partitions
+    are the defaults' native regime — the demonstrated plan shape is
+    exactly the 100 TB one.
+
+    Conf isolation (ADVICE r4): the tuned AQE confs are set on a
+    CLONED session (``spark.newSession()`` — own SQLConf, shared
+    SparkContext), so a concurrent query on the caller's session never
+    observes them and no restore path is needed; the clone is
+    discarded after the eager collect.
 
     Driver-side collect is the 50-row AGGREGATE (bounded by the dim
     key space), never the fact table."""
-    confs = {
+    s2 = spark.newSession()
+    for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
@@ -3556,58 +3562,38 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
-    }
-    # get(k, None) distinguishes "unset (engine default)" from an
-    # explicit setting — restore must UNSET what was unset, not pin the
-    # resolved default string into the session
-    saved = {}
-    for k in confs:
-        try:
-            saved[k] = spark.conf.get(k, None)
-        except Exception:
-            saved[k] = None
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        e = load_table(spark, sf_dir, "events")
-        fact = e.select(
-            F.when(F.col("user_id") % 10 != 0, F.lit(0))
-            .otherwise((F.col("user_id") / F.lit(10)).cast("long") % 49 + 1)
-            .cast("long")
-            .alias("k"),
-            "value",
-        ).repartition(32)  # multi-mapper stand-in for the 100 TB scan
-        dim = spark.range(50).select(
-            F.col("id").alias("k"), (F.col("id") * 3 + 7).alias("dim_val")
+    }.items():
+        s2.conf.set(k, v)
+    e = load_table(s2, sf_dir, "events")
+    fact = e.select(
+        F.when(F.col("user_id") % 10 != 0, F.lit(0))
+        .otherwise((F.col("user_id") / F.lit(10)).cast("long") % 49 + 1)
+        .cast("long")
+        .alias("k"),
+        "value",
+    ).repartition(32)  # multi-mapper stand-in for the 100 TB scan
+    dim = s2.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 3 + 7).alias("dim_val")
+    )
+    out = (
+        fact.join(dim.hint("MERGE"), "k")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("dim_val")), 4).alias(
+                "weighted"
+            ),
         )
-        out = (
-            fact.join(dim.hint("MERGE"), "k")
-            .groupBy("k")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.round(F.sum(F.col("value") * F.col("dim_val")), 4).alias(
-                    "weighted"
-                ),
-            )
+    )
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "skew=true" not in plan:
+        raise RuntimeError(
+            "join_skew_aqe: AQE did not take the skew-join path "
+            "(no 'skew=true' in the final adaptive plan) — the key "
+            "exists to PIN that plan shape, so this is a failure, "
+            "not a silent fallback"
         )
-        rows = out.collect()
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        if "skew=true" not in plan:
-            raise RuntimeError(
-                "join_skew_aqe: AQE did not take the skew-join path "
-                "(no 'skew=true' in the final adaptive plan) — the key "
-                "exists to PIN that plan shape, so this is a failure, "
-                "not a silent fallback"
-            )
-    finally:
-        for k, v in saved.items():
-            if v is None:
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, v)
     return spark.createDataFrame(rows, "k bigint, n bigint, weighted double")
 
 

@@ -1462,8 +1462,14 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT t, n_at_risk, deaths, censored,
-           ROUND(EXP(SUM(LN(1.0 - CAST(deaths AS DOUBLE) / n_at_risk))
-                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS surv
+           ROUND(CASE WHEN MAX(CASE WHEN deaths >= n_at_risk THEN 1 ELSE 0 END)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                 THEN 0.0
+                 ELSE EXP(SUM(CASE WHEN deaths < n_at_risk
+                                   THEN LN(1.0 - CAST(deaths AS DOUBLE) / n_at_risk)
+                              END)
+                          OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+                 END, 6) AS surv
     FROM r
     """,
     tags=("events", "timeseries", "stats"),
@@ -1477,7 +1483,12 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn events. S(t) multiplies
     (1 − deaths_t / at_risk_t) over event times; the running product
     is computed as exp∘cumsum∘ln on both engines (1 ulp of libm noise,
-    far inside the 6 dp rounding).
+    far inside the 6 dp rounding). The terminal bucket is guarded: if
+    deaths == n_at_risk (no censored user at the max lifetime), the KM
+    factor is exactly 0 — ln(0) would be NULL on Spark (silently
+    skipped by SUM) and an OutOfRangeException on DuckDB — so both
+    engines skip the log term and force surv = 0.0 from the first
+    all-deaths bucket onward (ADVICE r4, data-dependent divergence).
 
     Scale shape: one user-grain aggregate (the only full-data pass),
     then LIFETIME-grain rows (≤ observation days — the calendar, not
@@ -1510,16 +1521,23 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("deaths") + F.col("censored")).over(w_suffix).alias("n_at_risk"),
     )
     w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # guarded KM factor: the all-deaths bucket contributes S(t) = 0
+    # exactly; ln is only evaluated on deaths < n_at_risk
+    ln_term = F.when(
+        F.col("deaths") < F.col("n_at_risk"),
+        F.log(1.0 - F.col("deaths").cast("double") / F.col("n_at_risk")),
+    )
+    dead_flag = F.max(
+        F.when(F.col("deaths") >= F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_run)
     return r.select(
         "t",
         "n_at_risk",
         "deaths",
         "censored",
         F.round(
-            F.exp(
-                F.sum(
-                    F.log(1.0 - F.col("deaths").cast("double") / F.col("n_at_risk"))
-                ).over(w_run)
+            F.when(dead_flag == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(ln_term).over(w_run))
             ),
             6,
         ).alias("surv"),

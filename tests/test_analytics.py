@@ -326,3 +326,49 @@ def test_recsys_als_shape_and_beats_popularity(spark, sf_dir):
     hits = recs.join(inter, ["user", "item"], "left_semi").count()
     hit_rate = hits / recs.count()
     assert hit_rate > base_rate, (hit_rate, base_rate)
+
+
+def test_events_survival_curve_all_deaths_terminal_bucket(spark, tmp_path):
+    """ADVICE r4 regression: when the max-lifetime bucket has
+    deaths == n_at_risk (no censored user at max lifetime), the KM
+    factor is exactly 0 — the unguarded formulation returned a stale
+    product on Spark (ln(0)=NULL silently skipped by SUM) and raised
+    OutOfRangeException on DuckDB. Both engines must now agree on
+    surv = 0.0 from the first all-deaths bucket onward."""
+    import duckdb
+
+    # corpus_end = day 10. user 1: lifetime 5, dies (not active day 10).
+    # user 2: lifetime 2, dies. user 3: lifetime 0, censored (active on
+    # corpus_end). Max lifetime bucket t=5: deaths=1, n_at_risk=1.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (2, "2024-01-06 00:00:00", 1),
+        (3, "2024-01-02 00:00:00", 2),
+        (4, "2024-01-04 00:00:00", 2),
+        (5, "2024-01-11 00:00:00", 3),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["event_type"] = "view"
+    pdf["value"] = 1.0
+    pdf["props"] = "{}"
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    out = _q("events_survival_curve")(spark, str(tmp_path)).orderBy("t")
+    got = {r["t"]: r for r in out.collect()}
+    assert set(got) == {0, 2, 5}
+    # t=0: 1 censored of 3 at risk -> factor 1.0; t=2: 1 death of 2
+    assert got[0]["surv"] == pytest.approx(1.0)
+    assert got[2]["surv"] == pytest.approx(0.5)
+    # terminal all-deaths bucket: surv exactly 0, not a stale 0.5
+    assert got[5]["deaths"] == got[5]["n_at_risk"] == 1
+    assert got[5]["surv"] == 0.0
+
+    # and the DuckDB oracle runs clean (it used to raise) and matches
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    oracle = registry._SPECS["events_survival_curve"].oracle
+    odf = con.execute(oracle).df().sort_values("t").reset_index(drop=True)
+    assert list(odf["t"]) == [0, 2, 5]
+    assert list(odf["surv"]) == pytest.approx([1.0, 0.5, 0.0])
