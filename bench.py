@@ -129,12 +129,13 @@ HEADLINE = [
     "ts_interpolate_linear",
     "text_js_divergence",
     "sql_pipe_syntax",
-    "dedup_minhash",
     "dedup_simhash",
     "events_rfm",
     "events_pareto_share",
     "text_encode_ids",
     "text_zipf_fit",
+    # round-5 additions
+    "streaming_session_window",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -164,6 +164,59 @@ def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_window",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS uts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 30 MINUTE
+                  ELSE INTERVAL 15 MINUTE END AS gap
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, uts, value, uts + gap AS e_end,
+             CASE WHEN MAX(uts + gap) OVER prev IS NULL
+                       OR uts >= MAX(uts + gap) OVER prev
+                  THEN 1 ELSE 0 END AS new_s
+      FROM t
+      WINDOW prev AS (PARTITION BY user_id ORDER BY uts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sess AS (
+      SELECT user_id, uts, e_end, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           epoch_us(MIN(uts)) AS session_start_us,
+           epoch_us(MAX(e_end)) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "events"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows in a streaming query (VERDICT r4
+    item 5): native ``F.session_window`` whose gap is a per-event
+    COLUMN — purchases extend the session 30 min, other events 15 min —
+    drained with availableNow. The oracle is the classic interval-merge
+    SQL (cumulative MAX of ts+gap over the per-user event order; a new
+    session starts when an event lands at-or-after every previous
+    event's reach), which is exactly Spark's merge rule for overlapping
+    [ts, ts+gap) intervals, so the streamed result is hash-verified
+    against an independent batch formulation. Completes the
+    streaming/batch session parity cell with the gap-as-expression
+    capability the fixed-gap twin (streaming_session) doesn't cover.
+
+    Scale shape: one shuffle on user_id; session state is
+    watermark-bounded (1 h) so state size tracks ACTIVE sessions, not
+    history — the same plan at 100 TB/day only widens the key space."""
+    from ..streaming.jobs import streaming_session_dynamic_gap
+
+    return _drain(streaming_session_dynamic_gap(spark, sf_dir), "q_sessdyn")
+
+
+@register(
     "streaming_stateful_counter",
     oracle="""
     SELECT user_id,

@@ -103,6 +103,8 @@ _WINDOW_PRIORITY: list[str] = [
     "agg_kmv_distinct", "events_funnel_ttc", "udf_arrow_grouped",
     "sql_parameterized", "dedup_line_level", "multimodal_phash",
     "ts_interpolate_linear", "text_js_divergence",
+    # --- new in round 5 — no driver evidence yet ---
+    "streaming_session_window",
     # --- r04-window keys, all driver-green in CORRECTNESS_r04.json
     #     (kept next so any wider-than-50 window re-confirms them) ---
     "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",

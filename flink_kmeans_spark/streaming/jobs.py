@@ -79,6 +79,35 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` with a DYNAMIC per-event gap (the
+    capability the fixed-gap ``streaming_session_counts`` twin doesn't
+    exercise): purchases hold the session open 30 min, everything else
+    15 min. Spark merges overlapping [ts, ts+gap) intervals per user;
+    the session end is MAX(ts+gap) over the merged events, and an event
+    landing EXACTLY on the previous session end starts a new session.
+    Watermark bounds session state exactly as in the fixed-gap job."""
+    ev = stream_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id:
     ``dropDuplicatesWithinWatermark`` keeps dedup state only inside the
