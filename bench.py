@@ -136,6 +136,8 @@ HEADLINE = [
     "text_zipf_fit",
     # round-5 additions
     "streaming_session_window",
+    "sim_ann_repartitioned",
+    "events_markov_chain_2nd",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

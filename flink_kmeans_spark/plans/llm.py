@@ -1512,6 +1512,161 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_repartitioned",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, nrm, bucket,
+             CASE WHEN rn <= 5 THEN 'A' ELSE 'B' END AS batch
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM n)
+      WHERE rn <= 10
+    )
+    SELECT batch, q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT q.batch, q.vec_id AS q_id, c.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (q.nrm * c.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                                      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                        / (q.nrm * c.nrm) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    WHERE rk <= 3
+    """,
+    tags=("vector", "bucketing"),
+)
+def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD-ONCE / PROBE-MANY persisted ANN index (VERDICT r4 item 8):
+    the corpus is written ONCE as a 16-bucket table hashed on a
+    deterministic sign-grid cell (bit i = embedding[i] > 0 over the
+    first 8 dims) with the L2 norm precomputed, then TWO query batches
+    probe the same table with no rebuild. Each probe collects its
+    queries' cells (bounded: ≤ |batch| ints), filters the index with a
+    literal ``bucket IN (...)`` — which Spark turns into BUCKET
+    PRUNING, reading only the matching bucket files (the callable
+    asserts ``SelectedBucketsCount`` appears in the scan plan; a
+    regression to a full scan raises) — and broadcast-joins the tiny
+    query set for exact in-cell cosine top-3. The probes run on a
+    CLONED session (``spark.newSession()``, same conf-isolation
+    pattern as join_skew_aqe) with autoBucketedScan disabled, because
+    the planner's auto-disable rule only considers downstream
+    distribution needs and would silently drop the bucketed scan —
+    and with it the pruning — for a filter-only probe.
+
+    This is the production ANN serving shape at 100 TB: index cost is
+    paid at ingest, every query batch touches only its cells' files,
+    and the only exchange after the scan moves candidate rows for the
+    per-query top-k (WindowGroupLimit prunes to k per partition before
+    the shuffle). The sign-grid cell is engine-portable, so the WHOLE
+    pipeline — cells, candidate sets, ranks — is SQL-oracled, unlike
+    recall-bounded random-hyperplane LSH (sim_lsh_topk)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import l2norm
+    from .relational import _scratch_dir
+
+    e = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    cell = sum(
+        (F.when(v.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(8)
+    )
+    tag = abs(hash(sf_dir)) % 10**8
+    tbl = f"ann_index_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        (
+            e.select(
+                "vec_id",
+                "embedding",
+                cell.alias("bucket"),
+                l2norm(v).alias("nrm"),
+            )
+            .write.bucketBy(16, "bucket")
+            .sortBy("bucket")
+            .option("path", _scratch_dir(tbl))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    s2 = spark.newSession()  # shared catalog; own SQLConf for the probes
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    idx = s2.table(tbl)
+    qrows = sorted(
+        idx.orderBy("vec_id").limit(10).select("vec_id", "bucket").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    out = None
+    for batch, rows in (("A", qrows[:5]), ("B", qrows[5:])):
+        cells = sorted({r["bucket"] for r in rows})
+        ids = [r["vec_id"] for r in rows]
+        cand = idx.filter(F.col("bucket").isin(cells))
+        scan_plan = cand._jdf.queryExecution().executedPlan().toString()
+        if "SelectedBucketsCount" not in scan_plan:
+            raise RuntimeError(
+                "sim_ann_repartitioned: bucket pruning did not engage "
+                "(no SelectedBucketsCount in the probe scan plan) — the "
+                "key exists to PIN the pruned-scan shape"
+            )
+        q = idx.filter(F.col("vec_id").isin(ids)).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("bucket").alias("q_bucket"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            cand.join(
+                F.broadcast(q),
+                (F.col("bucket") == F.col("q_bucket"))
+                & (F.col("vec_id") != F.col("q_id")),
+            )
+            .select(
+                "q_id",
+                F.col("vec_id").alias("n_id"),
+                (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+        top = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(
+                F.lit(batch).alias("batch"),
+                "q_id",
+                "n_id",
+                "cosine",
+                F.col("rk").cast("int").alias("rk"),
+            )
+        )
+        out = top if out is None else out.unionByName(top)
+    return out
+
+
+@register(
     "multimodal_resize",
     oracle="""
     WITH g AS (

@@ -104,7 +104,7 @@ _WINDOW_PRIORITY: list[str] = [
     "sql_parameterized", "dedup_line_level", "multimodal_phash",
     "ts_interpolate_linear", "text_js_divergence",
     # --- new in round 5 — no driver evidence yet ---
-    "streaming_session_window",
+    "streaming_session_window", "sim_ann_repartitioned", "events_markov_chain_2nd",
     # --- r04-window keys, all driver-green in CORRECTNESS_r04.json
     #     (kept next so any wider-than-50 window re-confirms them) ---
     "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",

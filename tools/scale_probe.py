@@ -53,6 +53,14 @@ PROBES = [
     ("events_rfm", "events"),
     ("text_inverted_index", "documents"),
     ("dedup_line_level", "documents"),
+    # round-5 extension (VERDICT r4 item 6): the remaining expensive
+    # families — pagerank at data-sized rounds, banded simhash, sketch
+    # percentiles, vector range search, WAV decode
+    ("graph_pagerank", "lineitem+orders"),
+    ("dedup_simhash", "documents"),
+    ("agg_percentile_approx", "lineitem"),
+    ("sim_range_search", "embeddings"),
+    ("multimodal_audio_decode", "documents"),
 ]
 
 
@@ -91,7 +99,10 @@ def main() -> None:
 
     queries = QUERIES()
     results = {}
-    avail = {k for k, _ in PROBES if k in queries}
+    # optional argv key subset: probe only the named keys (results are
+    # merged into SCALE_PROBE.json by the caller)
+    wanted = set(sys.argv[1:])
+    avail = {k for k, _ in PROBES if k in queries and (not wanted or k in wanted)}
     for key, tables in PROBES:
         if key not in avail:
             continue
