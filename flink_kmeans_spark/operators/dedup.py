@@ -166,10 +166,20 @@ def simhash_df(
     signs = F.array(
         *[F.when(F.col(f"b{b}") > 0, 1).otherwise(0) for b in range(SIMHASH_BITS)]
     )
+    # the sketch ALSO as one BIGINT (bit b = sign bit b): banding
+    # becomes shift/mask and hamming becomes bit_count(xor) downstream —
+    # 60-element array ops on every candidate pair were ~8× slower
+    sim60 = sum(
+        F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(SIMHASH_BITS)
+    )
     return per_doc.select(
         F.col(id_col),
         signs.alias("simhash_bits"),
         F.array_join(signs, "").alias("simhash"),
+        sim60.alias("sim60"),
     )
 
 
@@ -184,35 +194,41 @@ def simhash_candidate_pairs(
     distance 3 shares at least one exact band (pigeonhole), so the
     bucket-join finds all of them without N² compares. Bucket key =
     the band's bit-slice VALUE (exact equal-iff-equal, matches the
-    DuckDB oracle's tuple join)."""
-    sh = simhash_df(docs, id_col, text_col)
+    DuckDB oracle's tuple join).
+
+    Round-5 rewrite: the join works entirely on the BIGINT sketch —
+    band buckets are shift/mask slices of sim60 and hamming is
+    ``bit_count(a XOR b)`` — instead of slicing/zipping 60-element
+    arrays per candidate row (~8× on the full key at sf0.1, output
+    bit-identical). The signature frame is lazily localCheckpointed so
+    the self-join's two sides read ONE materialization of the
+    token-hash/vote pass; blocks are ContextCleaner-released with the
+    plan, same pattern as ngram_jaccard_pairs."""
+    sh = (
+        simhash_df(docs, id_col, text_col)
+        .select(id_col, "sim60")
+        .localCheckpoint(eager=False)
+    )
     width = SIMHASH_BITS // bands
     banded = sh.select(
         id_col,
-        "simhash_bits",
+        "sim60",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.slice(
-                            F.col("simhash_bits"), b * width + 1, width
-                        ).alias("bucket"),
+                        F.shiftrightunsigned("sim60", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "simhash_bits", "bb.band", "bb.bucket")
+    ).select(id_col, "sim60", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.size(
-        F.filter(
-            F.zip_with(
-                F.col("a.simhash_bits"), F.col("b.simhash_bits"), lambda x, y: x != y
-            ),
-            lambda ne: ne,
-        )
-    )
+    hamming = F.bit_count(F.col("a.sim60").bitwiseXOR(F.col("b.sim60")))
     pairs = (
         a.join(
             b,
