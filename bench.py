@@ -138,6 +138,9 @@ HEADLINE = [
     "streaming_session_window",
     "sim_ann_repartitioned",
     "events_markov_chain_2nd",
+    "scan_jsonl_gz",
+    "text_quality_logreg",
+    "events_bot_detection",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -709,6 +709,38 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jsonl_gz",
+    oracle="""
+    SELECT doc_id, lang, text FROM documents
+    """,
+    tags=("scan", "sink"),
+)
+def scan_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped JSON-lines roundtrip — THE interchange format for LLM
+    text corpora (one JSON doc per line, .jsonl.gz shards): the full
+    documents table is written as gzip-compressed NDJSON and read back
+    with an EXPLICIT schema (inference is an extra full pass at
+    100 TB). Free-text content exercises JSON escaping (quotes,
+    backslashes, non-ASCII) through the codec; the identity oracle
+    proves the byte-level roundtrip is lossless. gzip is
+    NON-SPLITTABLE — one task per shard — which is exactly how real
+    crawl dumps arrive; Spark parallelizes across shards (here one per
+    input partition), the 100 TB recipe being many ~100 MB .gz shards
+    rather than few large ones."""
+    from .relational import _scratch_dir
+
+    out = _scratch_dir("scan_jsonl_gz") + "/docs"
+    (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .json(out)
+    )
+    return spark.read.schema("doc_id long, lang string, text string").json(out)
+
+
+@register(
     "pipeline_curation",
     oracle="""
     WITH filt AS (

@@ -1434,6 +1434,87 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_bot_detection",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(us) - MIN(us) AS span_us
+      FROM e GROUP BY user_id
+    ),
+    gaps AS (
+      SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS gap
+      FROM e
+    ),
+    gs AS (
+      SELECT user_id, stddev_samp(gap) / avg(gap) AS cv
+      FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT g.user_id, g.n_events,
+           ROUND(g.n_events / (g.span_us / 86400000000.0 + 1.0), 4)
+             AS rate_per_day,
+           ROUND(gs.cv, 4) AS gap_cv,
+           CAST(CASE WHEN g.n_events / (g.span_us / 86400000000.0 + 1.0) > 2.6
+                      OR (g.n_events >= 20 AND gs.cv < 0.8)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_bot
+    FROM g JOIN gs USING (user_id)
+    """,
+    tags=("events", "quality"),
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic heuristic — the data-hygiene pass a training-data
+    events pipeline runs before any engagement-derived labels: per
+    user, the event rate (events per active day) and the coefficient
+    of variation of inter-event gaps. Humans are bursty (exponential-
+    ish gaps, CV ≈ 1); schedulers and scrapers are fast (rate above
+    the organic band) or metronomic (CV far below 1). Flags
+    rate > 2.6/day or (n ≥ 20 and CV < 0.8) — thresholds sit at the
+    observed P90/P10 of this corpus so the flag actually fires.
+    Single-event users drop out (no gaps), same as the oracle's inner
+    join.
+
+    Scale shape: one user_id exchange shared by the LAG pass and the
+    per-user aggregate; all arithmetic on exact integer microseconds
+    until the final two divisions. No collect, no global sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("span_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    gs = gaps.groupBy("user_id").agg(
+        (F.stddev_samp("gap") / F.avg("gap")).alias("cv")
+    )
+    rate = F.col("n_events") / (F.col("span_us") / F.lit(86400000000.0) + 1.0)
+    return (
+        g.join(gs, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            F.round(rate, 4).alias("rate_per_day"),
+            F.round("cv", 4).alias("gap_cv"),
+            F.when(
+                (rate > 2.6) | ((F.col("n_events") >= 20) & (F.col("cv") < 0.8)),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_bot"),
+        )
+    )
+
+
+@register(
     "events_markov_chain_2nd",
     oracle="""
     WITH s AS (

@@ -102,6 +102,77 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_logreg",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) * 1.0
+               / len(toks) AS stop_frac,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_frac,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1.0 / length(text) AS digit_frac
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(1.0 / (1.0 + EXP(-(-2.0 + 0.01 * LEAST(n_words, 300)
+                 + 4.0 * stop_frac + 2.5 * distinct_frac
+                 - 6.0 * digit_frac))), 6) AS score,
+           CAST(CASE WHEN 1.0 / (1.0 + EXP(-(-2.0 + 0.01 * LEAST(n_words, 300)
+                 + 4.0 * stop_frac + 2.5 * distinct_frac
+                 - 6.0 * digit_frac))) >= 0.5
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM f
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filter — the fastText-classifier shape of
+    pretrain curation (CCNet/LLaMA-style) with a LITERAL linear model
+    so the whole scorer is engine-portable: engineered features
+    (capped word count, stopword fraction, lexical diversity, digit
+    fraction) → fixed-weight logit → sigmoid → keep @ 0.5. The point
+    is the PLUMBING a learned classifier drops into: features are
+    whole-stage-codegen column expressions computed in one pass over
+    the text (no UDF), the "model" is a closed-form expression, and
+    swapping in trained weights (or a Pandas-UDF ONNX scorer) changes
+    nothing about the plan shape. Scale: embarrassingly parallel
+    map-only scan — no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
+    n_words = F.size(toks).cast("bigint")
+    # array_intersect would dedup — COUNT occurrences with filter, like
+    # the DuckDB list_filter side
+    stop_frac = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) * 1.0 / F.size(
+        toks
+    )
+    distinct_frac = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    digit_frac = (
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        * 1.0
+        / F.length("text")
+    )
+    logit = (
+        F.lit(-2.0)
+        + 0.01 * F.least(n_words, F.lit(300).cast("bigint"))
+        + 4.0 * stop_frac
+        + 2.5 * distinct_frac
+        - 6.0 * digit_frac
+    )
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(score, 6).alias("score"),
+        F.when(score >= 0.5, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+@register(
     "text_tokens",
     oracle=r"""
     SELECT doc_id,
