@@ -141,6 +141,7 @@ HEADLINE = [
     "scan_jsonl_gz",
     "text_quality_logreg",
     "events_bot_detection",
+    "text_bpe_pair_counts",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -173,6 +173,69 @@ def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS freq FROM w WHERE length(word) >= 2
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                    i -> substring(word, CAST(i AS INTEGER), 2))) AS pair,
+             freq
+      FROM vocab
+    ),
+    agg AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT pair, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+          FROM agg)
+    WHERE rk <= 20
+    """,
+    tags=("text", "tokenizer"),
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training merge step, distributed the way real
+    tokenizer trainers run it: corpus → WORD-FREQUENCY table (vocab
+    grain — the only corpus-sized pass), then adjacent character
+    pairs are generated per DISTINCT word and weighted by word
+    frequency, so pair counting costs O(vocab × word_len), not
+    O(corpus tokens). Emits the top-20 candidate merges (count desc,
+    pair asc — the deterministic argmax a BPE trainer would fuse
+    next). Iterating this step with a merge applied is exactly BPE
+    training; one step keeps the key SQL-oracle-able.
+
+    Scale shape: explode-to-words shuffles once to the vocab grain;
+    everything after runs on |vocab| rows; the final top-20 rank
+    windows over the PAIR grain (bounded by alphabet², not data)."""
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("pair", "n", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@register(
     "text_tokens",
     oracle=r"""
     SELECT doc_id,
