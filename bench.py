@@ -142,6 +142,7 @@ HEADLINE = [
     "text_quality_logreg",
     "events_bot_detection",
     "text_bpe_pair_counts",
+    "text_perplexity_buckets",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -2148,6 +2148,66 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ), unic AS (
+      SELECT w, COUNT(*) AS cu FROM uni GROUP BY 1
+    ), vsize AS (
+      SELECT COUNT(*) AS v FROM unic
+    ), big AS (
+      SELECT doc_id,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ), bigc AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2
+    ), scored AS (
+      SELECT b.doc_id,
+             ROUND(AVG(ln((bigc.cb + 1.0) / (unic.cu + vsize.v))), 6)
+               AS avg_logprob
+      FROM big b
+      JOIN bigc ON b.w1 = bigc.w1 AND b.w2 = bigc.w2
+      JOIN unic ON b.w1 = unic.w
+      CROSS JOIN vsize
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, avg_logprob,
+           CASE NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """,
+    tags=("text", "quality"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split: every doc scored by the
+    corpus bigram LM (text_bigram_lm's exact pipeline), then cut into
+    perplexity TERCILES — 'head' is the most-fluent third that CCNet
+    keeps unconditionally, 'tail' the third that usually gets dropped
+    or downsampled. The tercile cut runs on the ROUNDED score with a
+    doc_id tiebreak so the global order is engine-deterministic, and
+    uses the distributed NTILE primitive (operators/ranking.py —
+    range-partitioned, broadcast offset table), NOT a single-partition
+    window: at 10⁹ docs the cut stays fully parallel."""
+    from ..operators.ranking import with_global_ntile
+
+    scored = text_bigram_lm(spark, sf_dir).select("doc_id", "avg_logprob")
+    tiled = with_global_ntile(
+        scored, [F.col("avg_logprob").desc(), F.col("doc_id")], 3, "tile"
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiled.select("doc_id", "avg_logprob", bucket.alias("bucket"))
+
+
+@register(
     "text_bigram_lm",
     oracle="""
     WITH toks AS (
