@@ -143,6 +143,8 @@ HEADLINE = [
     "events_bot_detection",
     "text_bpe_pair_counts",
     "text_perplexity_buckets",
+    "agg_ks_test",
+    "agg_chi2_independence",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -178,20 +178,40 @@ def with_global_running_sum(
     """``SUM(value) OVER (ORDER BY order_exprs ROWS UNBOUNDED
     PRECEDING)`` distributed: per-partition running sum + broadcast
     offset of the preceding partitions' totals."""
+    return with_global_running_sums(
+        df, order_exprs, [value_col], [out], num_partitions
+    )
+
+
+def with_global_running_sums(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_cols: list[str],
+    outs: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-column variant of :func:`with_global_running_sum`: ONE
+    range stage + ONE bounded offset collect carries any number of
+    simultaneous running sums over the same global order (the
+    two-sample ECDF shape — KS needs cumulative counts of BOTH groups
+    along one sorted value axis)."""
+    assert len(value_cols) == len(outs) and value_cols
     spark = df.sparkSession
     staged = _staged(df, order_exprs, num_partitions)
-    sums = {
-        r[_PID]: (r["s"] or 0.0)
-        for r in staged.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
-    }
-    off = _offsets_df(spark, sums, "double")
+    stats = staged.groupBy(_PID).agg(
+        *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)]
+    ).collect()
+    out_df = staged
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        staged.join(F.broadcast(off), _PID)
-        .withColumn(out, F.sum(value_col).over(w) + F.col(_OFF))
-        .drop(_PID, _OFF)
-    )
+    for i, (c, o) in enumerate(zip(value_cols, outs)):
+        off = _offsets_df(
+            spark, {r[_PID]: (r[f"s{i}"] or 0.0) for r in stats}, "double"
+        ).withColumnRenamed(_OFF, f"{_OFF}_{i}")
+        out_df = out_df.join(F.broadcast(off), _PID).withColumn(
+            o, F.sum(c).over(w) + F.col(f"{_OFF}_{i}")
+        ).drop(f"{_OFF}_{i}")
+    return out_df.drop(_PID)

@@ -1434,6 +1434,129 @@ def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS g
+      FROM orders
+    ),
+    pv AS (
+      SELECT v, SUM(g) AS n1, SUM(1 - g) AS n2 FROM s GROUP BY v
+    ),
+    tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM pv),
+    c AS (
+      SELECT v,
+             SUM(n1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+             SUM(n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+      FROM pv
+    )
+    SELECT CAST(tot.t1 AS BIGINT) AS n_a, CAST(tot.t2 AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(c1 * 1.0 / tot.t1 - c2 * 1.0 / tot.t2)), 6) AS ks_d,
+           CAST(CASE WHEN MAX(ABS(c1 * 1.0 / tot.t1 - c2 * 1.0 / tot.t2))
+                      > 1.358 * sqrt((tot.t1 + tot.t2) * 1.0 / (tot.t1 * tot.t2))
+                THEN 1 ELSE 0 END AS INTEGER) AS reject_05
+    FROM c, tot GROUP BY tot.t1, tot.t2
+    """,
+    tags=("stats", "quality"),
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test, distributed — the
+    CONTINUOUS-distribution drift alarm (text_js_divergence is its
+    categorical sibling): D = max |ECDF_A − ECDF_B| over the merged
+    value axis, with the α=0.05 decision at the classic
+    1.358·√((n_a+n_b)/(n_a·n_b)) critical value. Even/odd order keys
+    form the two samples here (a null split — D small, reject 0 — so
+    the key certifies the statistic, not a planted effect).
+
+    Scale shape: values collapse to per-DISTINCT-value group counts
+    (one corpus-sized exchange), then BOTH cumulative ECDFs ride one
+    range-partitioned pass of the multi-column running-sum primitive
+    (operators/ranking.py with_global_running_sums — no
+    single-partition sort); the final MAX is a scalar aggregate.
+    Counts as doubles are exact to 2^53 — the primitive's documented
+    envelope."""
+    from ..operators.ranking import with_global_running_sums
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0).alias("g"),
+    )
+    pv = o.groupBy("v").agg(
+        F.sum("g").alias("n1"), F.sum(1 - F.col("g")).alias("n2")
+    )
+    t1, t2 = pv.agg(F.sum("n1"), F.sum("n2")).collect()[0]
+    c = with_global_running_sums(pv, [F.col("v")], ["n1", "n2"], ["c1", "c2"])
+    d = F.abs(F.col("c1") / F.lit(float(t1)) - F.col("c2") / F.lit(float(t2)))
+    crit = 1.358 * (float(t1 + t2) / float(t1 * t2)) ** 0.5
+    return c.agg(
+        F.lit(int(t1)).cast("bigint").alias("n_a"),
+        F.lit(int(t2)).cast("bigint").alias("n_b"),
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.when(F.max(d) > crit, 1).otherwise(0).cast("int").alias("reject_05"),
+    )
+
+
+@register(
+    "agg_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, CAST(user_id % 3 AS BIGINT) AS seg,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT et, seg, obs,
+             SUM(obs) OVER (PARTITION BY et) AS row_tot,
+             SUM(obs) OVER (PARTITION BY seg) AS col_tot,
+             SUM(obs) OVER () AS n
+      FROM cells
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT et) - 1) * (COUNT(DISTINCT seg) - 1)
+                AS BIGINT) AS dof,
+           ROUND(SUM(POWER(obs - row_tot * col_tot * 1.0 / n, 2)
+                     / (row_tot * col_tot * 1.0 / n)), 6) AS chi2
+    FROM m
+    """,
+    tags=("stats", "quality"),
+)
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    segment (user_id mod 3) — the categorical drift/association check
+    a labeling pipeline runs before trusting a segment×behavior
+    crosstab. One corpus-sized aggregate to the CONTINGENCY grain
+    (|types|×|segments| cells — bounded by schema, not data); margins
+    and the statistic are windows/aggregates over those few cells.
+    Expected counts from exact integer margins; single rounding at
+    6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 3).cast("bigint").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    w_row = Window.partitionBy("et")
+    w_col = Window.partitionBy("seg")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "et",
+        "seg",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("et") - 1) * (F.countDistinct("seg") - 1)
+        ).alias("dof"),
+        F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6).alias("chi2"),
+    )
+
+
+@register(
     "events_bot_detection",
     oracle="""
     WITH e AS (

@@ -112,3 +112,32 @@ def test_ntile_property_random_sizes(spark):
         got = with_global_ntile(df, order, tiles, "t", num_partitions=parts)
         expect = df.withColumn("t", F.ntile(tiles).over(Window.orderBy(*order)))
         assert sorted(got.collect()) == sorted(expect.collect()), (n, tiles, parts)
+
+
+def test_multi_running_sums_match_global_window(spark):
+    """with_global_running_sums carries N simultaneous cumulative sums
+    over one staged pass — pin both columns against the
+    single-partition window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from flink_kmeans_spark.operators.ranking import with_global_running_sums
+
+    df = spark.range(2000).select(
+        (F.col("id") * 37 % 1000).alias("k"),
+        (F.col("id") % 7).cast("double").alias("a"),
+        (F.col("id") % 3).cast("double").alias("b"),
+    )
+    got = (
+        with_global_running_sums(df, [F.col("k"), F.col("a"), F.col("b")], ["a", "b"], ["ca", "cb"], 16)
+        .orderBy("k", "a", "b")
+        .collect()
+    )
+    w = Window.orderBy("k", "a", "b").rowsBetween(Window.unboundedPreceding, 0)
+    want = (
+        df.withColumn("ca", F.sum("a").over(w))
+        .withColumn("cb", F.sum("b").over(w))
+        .orderBy("k", "a", "b")
+        .collect()
+    )
+    assert [(r["ca"], r["cb"]) for r in got] == [(r["ca"], r["cb"]) for r in want]
