@@ -145,6 +145,7 @@ HEADLINE = [
     "text_perplexity_buckets",
     "agg_ks_test",
     "agg_chi2_independence",
+    "multimodal_audio_vad",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

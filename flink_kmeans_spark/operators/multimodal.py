@@ -423,6 +423,68 @@ def decode_audio_media(media: DataFrame) -> DataFrame:
     )
 
 
+def vad_audio_media(
+    media: DataFrame, frame: int = 80, threshold: float = 578.0
+) -> DataFrame:
+    """Energy-based voice-activity detection over REAL decoded WAV
+    payloads — the silence-trimming/segmentation pass an ASR-data
+    pipeline runs before cutting clips: decode PCM16, window into
+    ``frame``-sample frames, per-frame RMS, voiced = RMS > threshold,
+    then merge adjacent voiced frames into segments. Per clip:
+    n_frames, n_voiced, n_segments, voiced_ms. The default threshold
+    sits at the uniform-noise RMS (max_amp/√3 ≈ 578 for ±1001
+    fixtures) so the flag genuinely splits frames. Decode + framing +
+    segmentation all happen inside one Arrow batch pass
+    (mapInPandas) — embarrassingly parallel scan work, no shuffle."""
+    import math
+
+    from ..functions.audiocodec import decode_wav
+
+    dec = decode_wav  # closure qualname → ships by value
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, smp = dec(bytes(payload))
+                nf = len(smp) // frame
+                voiced = []
+                for f in range(nf):
+                    seg = smp[f * frame : (f + 1) * frame]
+                    rms = math.sqrt(sum(x * x for x in seg) / frame)
+                    voiced.append(1 if rms > threshold else 0)
+                n_voiced = sum(voiced)
+                n_segments = sum(
+                    1
+                    for f in range(nf)
+                    if voiced[f] == 1 and (f == 0 or voiced[f - 1] == 0)
+                )
+                rows.append(
+                    (
+                        int(did),
+                        nf,
+                        n_voiced,
+                        n_segments,
+                        n_voiced * frame * 1000 // rate,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_voiced", "n_segments", "voiced_ms",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id long, n_frames int, n_voiced int, n_segments int, voiced_ms int",
+    )
+
+
 def to_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize a media table of frame-archive 'videos': each doc
     becomes a STORED zip of genuine PNG frames (the WebDataset-shard

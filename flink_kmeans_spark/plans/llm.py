@@ -1848,6 +1848,52 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_vad",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 800 + (doc_id % 7) * 160 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, n, n // 80 AS nf,
+             list_transform(generate_series(0, n - 1),
+                            i -> (doc_id * 131 + i * 17) % 2003 - 1001) AS smp
+      FROM g
+    ), fr AS (
+      SELECT doc_id, nf,
+             list_transform(generate_series(0, nf - 1), f ->
+               CASE WHEN sqrt(list_aggregate(
+                      list_transform(smp[f*80+1 : f*80+80],
+                                     x -> CAST(x AS DOUBLE) * x), 'sum') / 80)
+                         > 578.0
+                    THEN 1 ELSE 0 END) AS vf
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(list_aggregate(vf, 'sum') AS INTEGER) AS n_voiced,
+           CAST(list_aggregate(list_transform(generate_series(1, nf), f ->
+                 CASE WHEN vf[f] = 1 AND (f = 1 OR vf[f-1] = 0)
+                      THEN 1 ELSE 0 END), 'sum') AS INTEGER) AS n_segments,
+           CAST(list_aggregate(vf, 'sum') * 10 AS INTEGER) AS voiced_ms
+    FROM fr
+    """,
+    tags=("multimodal",),
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL WAV payloads — the
+    silence-trim pass ASR-data curation runs before cutting clips:
+    per 80-sample (10 ms) frame RMS → voiced flag at the uniform-noise
+    threshold → adjacent voiced frames merge into segments
+    (operators/multimodal.py vad_audio_media, one Arrow-batch decode +
+    frame + segment pass). The oracle recomputes every frame's RMS and
+    the segment merge from the clip generation formulas, so a hash
+    match proves byte → PCM → frame → segment end to end — including
+    the boundary comparisons, since both engines evaluate the same
+    exact-integer sums."""
+    media = MM.to_audio_table(_docs(spark, sf_dir))
+    return MM.vad_audio_media(media, frame=80, threshold=578.0)
+
+
+@register(
     "multimodal_audio_decode",
     oracle="""
     WITH g AS (

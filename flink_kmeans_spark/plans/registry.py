@@ -107,7 +107,7 @@ _WINDOW_PRIORITY: list[str] = [
     "streaming_session_window", "sim_ann_repartitioned", "events_markov_chain_2nd",
     "scan_jsonl_gz", "text_quality_logreg", "events_bot_detection",
     "text_bpe_pair_counts", "text_perplexity_buckets",
-    "agg_ks_test", "agg_chi2_independence",
+    "agg_ks_test", "agg_chi2_independence", "multimodal_audio_vad",
     # --- r04-window keys, all driver-green in CORRECTNESS_r04.json
     #     (kept next so any wider-than-50 window re-confirms them) ---
     "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",
