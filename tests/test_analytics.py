@@ -372,3 +372,49 @@ def test_events_survival_curve_all_deaths_terminal_bucket(spark, tmp_path):
     odf = con.execute(oracle).df().sort_values("t").reset_index(drop=True)
     assert list(odf["t"]) == [0, 2, 5]
     assert list(odf["surv"]) == pytest.approx([1.0, 0.5, 0.0])
+
+
+def test_agg_ks_test_matches_numpy(spark, sf_dir):
+    """KS statistic recomputed independently with numpy ECDFs."""
+    got = _q("agg_ks_test")(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_orderkey", "o_totalprice"]]
+    a = np.sort(o.loc[o.o_orderkey % 2 == 0, "o_totalprice"].to_numpy())
+    b = np.sort(o.loc[o.o_orderkey % 2 == 1, "o_totalprice"].to_numpy())
+    xs = np.union1d(a, b)
+    d = np.abs(
+        np.searchsorted(a, xs, side="right") / len(a)
+        - np.searchsorted(b, xs, side="right") / len(b)
+    ).max()
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["ks_d"] == pytest.approx(d, abs=1e-6)
+    crit = 1.358 * ((len(a) + len(b)) / (len(a) * len(b))) ** 0.5
+    assert got["reject_05"] == int(d > crit)
+
+
+def test_agg_chi2_matches_numpy(spark, sf_dir):
+    """Chi-square statistic recomputed from a pandas crosstab."""
+    got = _q("agg_chi2_independence")(spark, sf_dir).collect()[0]
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "user_id"]]
+    ct = pd.crosstab(e.event_type, e.user_id % 3)
+    obs = ct.to_numpy().astype(float)
+    exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp)[obs > 0].sum()  # only observed cells exist in the plan
+    assert got["n_cells"] == int((obs > 0).sum())
+    assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-4)
+
+
+def test_events_bot_detection_thresholds_fire(spark, sf_dir):
+    """The flag must actually split the population, and every flagged
+    user must satisfy the stated predicate recomputed from raw data."""
+    rows = _q("events_bot_detection")(spark, sf_dir).collect()
+    flags = {r["user_id"]: r for r in rows}
+    n_bots = sum(r["is_bot"] for r in rows)
+    assert 0 < n_bots < len(rows)
+    for r in rows:
+        expect = int(r["rate_per_day"] > 2.6 or (r["n_events"] >= 20 and r["gap_cv"] < 0.8))
+        # rounded columns can straddle the threshold the raw values used:
+        # allow mismatch only within rounding distance of a boundary
+        if expect != r["is_bot"]:
+            near = abs(r["rate_per_day"] - 2.6) < 1e-3 or abs(r["gap_cv"] - 0.8) < 1e-3
+            assert near, r

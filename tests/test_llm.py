@@ -478,3 +478,62 @@ def test_js_divergence_bounds_and_sanity(spark, sf_dir):
             + 0.5 * F.col("p1") * F.log(F.col("p1") / m))
     jsd = p.agg(F.sum(term).alias("j")).collect()[0]["j"]
     assert abs(jsd) < 1e-12
+
+
+def test_bpe_pair_counts_matches_python(spark, sf_dir):
+    """First BPE merge step recomputed with collections.Counter."""
+    import collections
+
+    import pandas as pd
+
+    got = specs()["text_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = collections.Counter()
+    vocab = collections.Counter()
+    for t in docs.text:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[w] += 1
+    for w, freq in vocab.items():
+        for i in range(len(w) - 1):
+            cnt[w[i : i + 2]] += freq
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["pair"], r["n"]) for r in sorted(got, key=lambda r: r["rk"])] == want
+
+
+def test_audio_vad_matches_python(spark, sf_dir):
+    """VAD segments recomputed from the clip generation formulas."""
+    import math
+
+    got = {r["doc_id"]: r for r in specs()["multimodal_audio_vad"].fn(spark, sf_dir).collect()}
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for did in list(docs.doc_id[:50]):
+        did = int(did)
+        n = 800 + (did % 7) * 160
+        smp = [((did * 131 + i * 17) % 2003) - 1001 for i in range(n)]
+        vf = []
+        for f in range(n // 80):
+            seg = smp[f * 80 : (f + 1) * 80]
+            vf.append(1 if math.sqrt(sum(x * x for x in seg) / 80) > 578.0 else 0)
+        segs = sum(1 for f in range(len(vf)) if vf[f] and (f == 0 or not vf[f - 1]))
+        r = got[did]
+        assert (r["n_frames"], r["n_voiced"], r["n_segments"], r["voiced_ms"]) == (
+            len(vf), sum(vf), segs, sum(vf) * 10,
+        )
+
+
+def test_perplexity_buckets_are_balanced_terciles(spark, sf_dir):
+    """NTILE(3) must split scored docs into thirds (±1) and bucket
+    order must follow the score order: every head score >= every tail
+    score."""
+    rows = specs()["text_perplexity_buckets"].fn(spark, sf_dir).collect()
+    import collections
+
+    by = collections.defaultdict(list)
+    for r in rows:
+        by[r["bucket"]].append(r["avg_logprob"])
+    sizes = sorted(len(v) for v in by.values())
+    assert sizes[-1] - sizes[0] <= 1 and set(by) == {"head", "middle", "tail"}
+    assert min(by["head"]) >= max(by["tail"])
