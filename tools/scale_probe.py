@@ -61,6 +61,12 @@ PROBES = [
     ("agg_percentile_approx", "lineitem"),
     ("sim_range_search", "embeddings"),
     ("multimodal_audio_decode", "documents"),
+    # round-5 new-key probes
+    ("agg_ks_test", "orders"),
+    ("text_perplexity_buckets", "documents"),
+    ("multimodal_audio_vad", "documents"),
+    ("text_bpe_pair_counts", "documents"),
+    ("text_quality_logreg", "documents"),
 ]
 
 
