@@ -201,17 +201,32 @@ def with_global_running_sums(
     stats = staged.groupBy(_PID).agg(
         *[F.sum(c).alias(f"s{i}") for i, c in enumerate(value_cols)]
     ).collect()
-    out_df = staged
+    # ONE offsets table carrying a column per value (ADVICE r5: the
+    # per-column join+withColumn loop planned k interleaved
+    # join/Window operators and re-sorted per window; a single join +
+    # single select lets Catalyst fuse all k same-spec running sums
+    # into ONE Window operator over one sort).
+    per_pid: dict[int, list[float]] = {}
+    acc = [0.0] * len(value_cols)
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        per_pid[r[_PID]] = list(acc)
+        for i in range(len(value_cols)):
+            acc[i] += float(r[f"s{i}"] or 0.0)
+    off_cols = ", ".join(f"{_OFF}_{i} double" for i in range(len(value_cols)))
+    off = spark.createDataFrame(
+        [(int(pid), *offs) for pid, offs in per_pid.items()],
+        f"{_PID} int, {off_cols}",
+    )
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for i, (c, o) in enumerate(zip(value_cols, outs)):
-        off = _offsets_df(
-            spark, {r[_PID]: (r[f"s{i}"] or 0.0) for r in stats}, "double"
-        ).withColumnRenamed(_OFF, f"{_OFF}_{i}")
-        out_df = out_df.join(F.broadcast(off), _PID).withColumn(
-            o, F.sum(c).over(w) + F.col(f"{_OFF}_{i}")
-        ).drop(f"{_OFF}_{i}")
-    return out_df.drop(_PID)
+    keep = [c for c in staged.columns if c != _PID]
+    return staged.join(F.broadcast(off), _PID).select(
+        *keep,
+        *[
+            (F.sum(c).over(w) + F.col(f"{_OFF}_{i}")).alias(o)
+            for i, (c, o) in enumerate(zip(value_cols, outs))
+        ],
+    )

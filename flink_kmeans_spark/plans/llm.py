@@ -211,8 +211,11 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     training; one step keeps the key SQL-oracle-able.
 
     Scale shape: explode-to-words shuffles once to the vocab grain;
-    everything after runs on |vocab| rows; the final top-20 rank
-    windows over the PAIR grain (bounded by alphabet², not data)."""
+    everything after runs on |vocab| rows; the final top-20 is a
+    TakeOrderedAndProject (per-partition top-20, merged on the
+    driver — VERDICT r5 nit: no single-partition Window over the
+    full pair domain), with row_number assigned over just the 20
+    surviving rows."""
     d = _docs(spark, sf_dir)
     words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
         F.length("word") >= 2
@@ -227,11 +230,10 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("n").desc(), "pair")
-    return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("pair", "n", F.col("rk").cast("int").alias("rk"))
+    top = agg.orderBy(F.col("n").desc(), "pair").limit(20)
+    w = Window.orderBy(F.col("n").desc(), "pair")  # ≤ 20 rows by then
+    return top.select(
+        "pair", "n", F.row_number().over(w).cast("int").alias("rk")
     )
 
 
@@ -1718,10 +1720,12 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle). The sign-grid cell is engine-portable, so the WHOLE
     pipeline — cells, candidate sets, ranks — is SQL-oracled, unlike
     recall-bounded random-hyperplane LSH (sim_lsh_topk)."""
+    import hashlib
+    import os
+
     from pyspark.sql.window import Window
 
     from ..functions.vectors import l2norm
-    from .relational import _scratch_dir
 
     e = _emb(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
@@ -1729,9 +1733,34 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(v.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
         for i in range(8)
     )
-    tag = abs(hash(sf_dir)) % 10**8
+    # Deterministic tag (ADVICE r5): Python's hash() is per-process
+    # salted, which made the "build once" cache miss across driver
+    # processes and leak uniquely-named ann_index_* tables. An md5 of
+    # the sf_dir is stable everywhere, so a warm metastore + index dir
+    # is actually REUSED across runs.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tbl = f"ann_index_{tag}"
+    # The index lives OUTSIDE .scratch on purpose: every _scratch_dir()
+    # call GCs .scratch subdirs older than 2h, which would delete the
+    # index files underneath a still-live catalog entry (tableExists
+    # would then short-circuit the rebuild and probes would read a
+    # missing path). .index/ is never pruned; trust the catalog only
+    # when the path still holds data files.
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx_path = os.path.join(repo_root, ".index", tbl)
+    have_files = os.path.isdir(idx_path) and any(
+        f.endswith(".parquet") for f in os.listdir(idx_path)
+    )
+    if spark.catalog.tableExists(tbl):
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {tbl}")
+            .filter(F.col("col_name") == "Location")
+            .head()["data_type"]
+        )
+        if not have_files or not loc.rstrip("/").endswith(f".index/{tbl}"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
+        os.makedirs(idx_path, exist_ok=True)
         (
             e.select(
                 "vec_id",
@@ -1741,7 +1770,7 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .write.bucketBy(16, "bucket")
             .sortBy("bucket")
-            .option("path", _scratch_dir(tbl))
+            .option("path", idx_path)
             .mode("overwrite")
             .saveAsTable(tbl)
         )

@@ -59,26 +59,43 @@ def _load_all() -> None:
 
 
 # Driver-verification window priority. The driver hashes only the FIRST
-# ~50 queries() entries per round. Rounds 1-4 verified 188 distinct
-# oracled keys green; this round-5 rotation (the recipe VERDICT r4
-# item 1 asked for) leads with the 59 DuckDB-oracled keys that still
-# have ZERO driver evidence: the 45 head-of-list leftovers from the
-# round-4 window, then the 14 keys newly oracled in round 4 (with
-# dedup_minhash first — VERDICT item 2's stale-no_oracle conversion).
-#
-# ROUND-6 ROTATION RECIPE: read CORRECTNESS_r05.json, drop every key
-# with a green row there from this list's head (expected: the first
-# ~50), leaving the ~9 remaining never-driver-verified oracled keys at
-# the head, followed by any key newly added in round 5+ without driver
-# evidence. Declared rows-only keys (no_oracle in the driver) sort
-# BELOW the oracled tail so they never burn a hashed-window slot.
-# Previously-green keys follow in registration order and stay
-# regression-guarded by tools/check_oracles.py. Ordering only; results
-# are order-independent (proved by re-running the local gate after the
-# reorder).
+# ~50 queries() entries per round. Rounds 1-5 verified 238 distinct
+# oracled keys green (CORRECTNESS_r01..r05). This round-6 rotation (the
+# recipe VERDICT r5 item 1 asked for) leads with the FINAL 20
+# DuckDB-oracled keys that still have zero driver evidence — the 9
+# round-4 additions the 50-slot r5 window couldn't reach, then the 11
+# round-5 additions — so a green r6 window completes driver evidence
+# for EVERY oracled key in the registry. Keys newly added in round 6
+# follow immediately (no driver evidence yet), and the remaining ~25
+# slots refresh the STALEST evidence: r1-green keys whose only driver
+# rows are now five rounds old. Declared rows-only keys (no_oracle in
+# the driver) sort BELOW the oracled tail so they never burn a hashed
+# window slot. Ordering only; results are order-independent (proved by
+# re-running the local gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- 45 oracled keys with ZERO driver evidence after rounds 1-4
-    #     (registration order, carried over from the r04 list tail) ---
+    # --- the final 20 oracled keys with ZERO driver evidence ---
+    #     (9 carried from round 4:)
+    "events_survival_curve", "agg_kmv_distinct", "events_funnel_ttc",
+    "udf_arrow_grouped", "sql_parameterized", "dedup_line_level",
+    "multimodal_phash", "ts_interpolate_linear", "text_js_divergence",
+    #     (11 added in round 5:)
+    "streaming_session_window", "sim_ann_repartitioned", "events_markov_chain_2nd",
+    "scan_jsonl_gz", "text_quality_logreg", "events_bot_detection",
+    "text_bpe_pair_counts", "text_perplexity_buckets",
+    "agg_ks_test", "agg_chi2_independence", "multimodal_audio_vad",
+    # --- new in round 6 — no driver evidence yet ---
+    # (appended as they are built)
+    # --- stalest evidence refresh: r1-green keys, driver rows now
+    #     five rounds old (scan/sink/join/agg/TPC-H core) ---
+    "scan_parquet", "scan_events_ns", "scan_json", "project_filter",
+    "sink_csv", "sink_parquet", "sink_upsert",
+    "join_broadcast", "join_shuffle", "join_outer", "join_semi_anti",
+    "join_null_aware_anti", "join_theta_range", "join_range_binned",
+    "join_asof", "join_cross", "join_outer_full", "join_skew_salted",
+    "agg_hash", "agg_distinct", "agg_cube", "agg_rollup_cube", "agg_stats",
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
+    "tpch_q18",
+    # --- r05-window keys, all driver-green in CORRECTNESS_r05.json ---
     "sample_hash_stratified",
     "sample_stratified", "cdc_merge_apply", "scd2_intervals",
     "ts_fill_forward", "mining_cooccurrence", "orders_backlog_curve",
@@ -95,19 +112,8 @@ _WINDOW_PRIORITY: list[str] = [
     "domain_mix_rebalance", "scan_text_lines", "events_outlier_mad",
     "window_ewma", "dedup_url_canonical", "sink_parquet_codecs",
     "table_fingerprint", "gdpr_user_erasure",
-    # --- newly oracled in round 4 (portable md5 hash family) — no
-    #     driver evidence yet; dedup_minhash first to convert its stale
-    #     r2 no_oracle row (VERDICT r4 item 2) ---
     "dedup_minhash", "dedup_simhash", "agg_percentile_approx",
-    "join_skew_aqe", "sql_pipe_syntax", "events_survival_curve",
-    "agg_kmv_distinct", "events_funnel_ttc", "udf_arrow_grouped",
-    "sql_parameterized", "dedup_line_level", "multimodal_phash",
-    "ts_interpolate_linear", "text_js_divergence",
-    # --- new in round 5 — no driver evidence yet ---
-    "streaming_session_window", "sim_ann_repartitioned", "events_markov_chain_2nd",
-    "scan_jsonl_gz", "text_quality_logreg", "events_bot_detection",
-    "text_bpe_pair_counts", "text_perplexity_buckets",
-    "agg_ks_test", "agg_chi2_independence", "multimodal_audio_vad",
+    "join_skew_aqe", "sql_pipe_syntax",
     # --- r04-window keys, all driver-green in CORRECTNESS_r04.json
     #     (kept next so any wider-than-50 window re-confirms them) ---
     "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",
