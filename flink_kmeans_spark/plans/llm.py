@@ -2571,3 +2571,382 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_tokens_b"),
         "jsd_nats",
     )
+
+
+# ------------------------------------------- round-6 depth: BPE / RAG
+
+
+def _bpe_oracle(steps: int) -> str:
+    """Unrolled DuckDB replica of ``text_bpe_train``'s merge loop.
+
+    Each step counts adjacent-symbol pairs at vocab grain, picks the
+    argmax merge (count desc, pair asc) and applies it with the same
+    left-to-right non-overlapping ``replace`` semantics Spark uses —
+    the two engines agree exactly, so the whole trainer is
+    value-hashable."""
+    parts = [
+        r"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    v0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+             trim(regexp_replace(word, '(.)', '<\1> ', 'g')) AS seq
+      FROM w
+      WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z]+$')
+      GROUP BY word
+    )"""
+    ]
+    for k in range(1, steps + 1):
+        parts.append(
+            f""",
+    p{k} AS (
+      SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                      i -> string_split(seq, ' ')[i] || ' ' ||
+                           string_split(seq, ' ')[i + 1])) AS pr
+        FROM v{k - 1}
+      ) GROUP BY pr
+    ),
+    t{k} AS (SELECT pair, n FROM p{k} ORDER BY n DESC, pair LIMIT 1),
+    v{k} AS (
+      SELECT freq,
+             replace(seq, t{k}.pair, replace(t{k}.pair, '> <', '')) AS seq
+      FROM v{k - 1}, t{k}
+    )"""
+        )
+    union = "\n          UNION ALL ".join(
+        f"SELECT {k} AS step, pair, n FROM t{k}" for k in range(1, steps + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(step AS INTEGER) AS step, pair AS merge_pair, n
+    FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_oracle(3),
+    tags=("text", "tokenizer"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATED BPE training (VERDICT r5 item 9) — text_bpe_pair_counts
+    is one merge step; this key runs THREE: count adjacent-symbol
+    pairs weighted by word frequency, apply the argmax merge to the
+    vocabulary, re-count. Symbols are carried as a delimited string
+    ("<a> <b> <c>"), so applying a merge is one ``replace`` of
+    "<x> <y>" with "<xy>" — left-to-right non-overlapping on BOTH
+    engines (greedy BPE application), and the <> wrapping makes a
+    partial-symbol false match impossible. Emits the 3 learned merges
+    with their support counts — the exact artifact a tokenizer trainer
+    checkpoints.
+
+    Scale shape: ONE corpus-sized pass builds the word-frequency
+    vocabulary (lazily localCheckpointed so the scan is not replayed
+    per step); every merge step is O(vocab × word_len) — pair
+    counting, a TakeOrdered argmax (1 row), and a broadcast cross
+    join applying it. At 100 TB the corpus cost is paid once; steps
+    cost vocab-grain only, which is why real BPE trainers run exactly
+    this loop."""
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        (F.length("word") >= 2) & F.col("word").rlike("^[a-z]+$")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.trim(F.regexp_replace("word", "(.)", "<$1> ")).alias("seq"),
+        )
+        .localCheckpoint(eager=False)  # corpus scan paid once
+    )
+    tops = []
+    cur = vocab
+    for step in (1, 2, 3):
+        syms = F.split("seq", " ")
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            cur.select(F.explode(prs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.lit(step).cast("int").alias("step"), "pair", "n")
+        )
+        tops.append(top)
+        cur = (
+            cur.crossJoin(F.broadcast(top.select(F.col("pair").alias("mp"))))
+            .select(
+                "freq",
+                F.replace(
+                    F.col("seq"),
+                    F.col("mp"),
+                    F.replace(F.col("mp"), F.lit("> <"), F.lit("")),
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=False)  # don't replay prior steps
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.select("step", F.col("pair").alias("merge_pair"), "n")
+
+
+def _rag_oracle() -> str:
+    """DuckDB replica of pipeline_rag: chunk → 8-dim signed random
+    projection off ONE portable md5 hash per token → sign-grid bucket
+    → in-bucket cosine top-2 → ordered context assembly. Every
+    intermediate is integer-exact (±1 sums, integer dot products), so
+    the final cosine doubles are bit-identical across engines."""
+    from ..functions.hashing import sql_hash60
+
+    h = sql_hash60("t")
+    dims = ",\n         ".join(
+        f"list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) AS e{j}"
+        for j in range(8)
+    )
+    bucket = " + ".join(f"(CASE WHEN e{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    sq = " + ".join(f"e{j} * e{j}" for j in range(8))
+    dot = " + ".join(f"q.e{j} * c.e{j}" for j in range(8))
+    cols = ", ".join(f"e{j}" for j in range(8))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id * 1000 + i AS chunk_id, doc_id,
+             toks[i * 40 + 1 : i * 40 + 50] AS ctoks,
+             array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk
+      FROM t, LATERAL UNNEST(generate_series(0,
+               CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS u(i)
+    ),
+    hx AS (
+      SELECT chunk_id, doc_id, chunk,
+             list_transform(ctoks, t -> {h}) AS hs
+      FROM ch
+    ),
+    e AS (
+      SELECT chunk_id, doc_id, chunk,
+         {dims}
+      FROM hx
+    ),
+    b AS (
+      SELECT chunk_id, doc_id, chunk, {cols},
+             {bucket} AS bucket,
+             sqrt({sq}) AS nrm
+      FROM e
+    ),
+    q AS (SELECT * FROM b WHERE doc_id < 3 AND nrm > 0),
+    c AS (SELECT * FROM b WHERE doc_id >= 3 AND nrm > 0),
+    sc0 AS (
+      SELECT q.chunk_id AS q_id, c.chunk_id AS n_id, c.chunk AS n_chunk,
+             ({dot}) / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN c ON c.bucket = q.bucket
+    ),
+    sc AS (
+      SELECT q_id, n_id, n_chunk, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, n_id) AS rk
+      FROM sc0
+    )
+    SELECT q_id, CAST(COUNT(*) AS INTEGER) AS n_ctx,
+           ROUND(MAX(cosine), 6) AS best_cosine,
+           string_agg(n_chunk, ' | ' ORDER BY rk) AS context
+    FROM sc WHERE rk <= 2 GROUP BY q_id
+    """
+
+
+@register(
+    "pipeline_rag",
+    oracle=_rag_oracle(),
+    tags=("pipeline", "vector", "text"),
+)
+def pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG serving composite (VERDICT r5 item 9) — the retrieval-side
+    twin of pipeline_curation: documents are CHUNKED (text_chunk's
+    50-token/stride-40 windows), each chunk gets an 8-dim signed
+    random projection computed from ONE portable md5 hash per token
+    (bit j of the hash → ±1 contribution to dim j — a similarity-
+    preserving bag-of-words sketch, engine-portable unlike float
+    embeddings), chunks land in a 256-cell sign-grid bucket
+    (sim_ann_repartitioned's cell rule), query chunks (doc_id < 3)
+    probe ONLY their own cell, and each query's top-2 cosine
+    neighbors are assembled into an ordered context string — the
+    prompt-augmentation payload a RAG server returns.
+
+    Scale shape: chunk+embed is a map-only scan (one md5 per token,
+    integer folds, no UDF); the candidate join is bucket-equality —
+    never all-pairs — with the bounded query side broadcast; top-2 is
+    a WindowGroupLimit-pruned rank; context assembly aggregates ≤2
+    rows per query. Every arithmetic intermediate is integer-exact,
+    so cosines are bit-identical across engines."""
+    from ..functions.hashing import portable_hash60
+
+    d = _docs(spark, sf_dir)
+    n = F.size(F.col("toks"))
+    n_chunks = F.ceil(F.greatest(n - 50, F.lit(0)) / 40.0).cast("int")
+    ch = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks),
+                    lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
+                )
+            ).alias("chunk_idx", "ctoks"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+            "doc_id",
+            F.array_join("ctoks", " ").alias("chunk"),
+            F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
+        )
+    )
+    dims = [
+        F.aggregate(
+            "hs",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        ).alias(f"e{j}")
+        for j in range(8)
+    ]
+    e = ch.select("chunk_id", "doc_id", "chunk", *dims)
+    bucket = sum(
+        F.when(F.col(f"e{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(8)
+    )
+    sq = sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(8))
+    b = e.select(
+        "chunk_id", "doc_id", "chunk", *[f"e{j}" for j in range(8)],
+        bucket.alias("bucket"), F.sqrt(sq).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    q = b.filter(F.col("doc_id") < 3).select(
+        F.col("chunk_id").alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
+        *[F.col(f"e{j}").alias(f"q{j}") for j in range(8)],
+    )
+    dot = sum(F.col(f"q{j}") * F.col(f"e{j}") for j in range(8))
+    from pyspark.sql.window import Window
+
+    sc = (
+        b.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "q_id",
+            F.col("chunk_id").alias("n_id"),
+            F.col("chunk").alias("n_chunk"),
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    top = sc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
+    return top.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ctx"),
+        F.round(F.max("cosine"), 6).alias("best_cosine"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("rk").alias("rk"), F.col("n_chunk").alias("n_chunk"))
+                    )
+                ),
+                lambda x: x["n_chunk"],
+            ),
+            " | ",
+        ).alias("context"),
+    )
+
+
+@register(
+    "text_quality_train",
+    oracle=None,  # MLlib LBFGS coefficients aren't SQL-expressible;
+    # the agreement bound is pinned in tests/test_llm.py
+    tags=("text", "quality", "mllib"),
+)
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE-TRAINED quality classifier (VERDICT r5 item 9) — the
+    learned counterpart of text_quality_logreg's literal-weight model:
+    the same four engineered features (capped word count, stopword
+    fraction, lexical diversity, digit fraction) feed an MLlib
+    logistic regression TRAINED inside the engine against the literal
+    model's keep label, and the key emits the densified 2×2 confusion
+    matrix (label × prediction, zero cells included — always 4 rows).
+    Training recovers the generating model almost exactly, which the
+    pytest pins (agreement ≥ 0.95); the driver records the stable
+    4-row shape.
+
+    Scale shape: feature extraction is the same whole-stage-codegen
+    map-only scan as text_quality_logreg; LBFGS itself is MLlib's
+    treeAggregate loop (one pass per iteration, gradient vectors are
+    4-dim — driver traffic is bytes); the confusion matrix is one
+    4-cell aggregate. This is exactly how a production curation stack
+    refreshes its quality classifier in place."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in TX.STOPWORDS])
+    n_words = F.size(toks).cast("bigint")
+    stop_frac = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) * 1.0 / F.size(toks)
+    distinct_frac = F.size(F.array_distinct(toks)) * 1.0 / F.size(toks)
+    digit_frac = (
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        * 1.0
+        / F.length("text")
+    )
+    logit = (
+        F.lit(-2.0)
+        + 0.01 * F.least(n_words, F.lit(300).cast("bigint"))
+        + 4.0 * stop_frac
+        + 2.5 * distinct_frac
+        - 6.0 * digit_frac
+    )
+    feats = d.select(
+        F.least(n_words, F.lit(300).cast("bigint")).cast("double").alias("f_len"),
+        stop_frac.alias("f_stop"),
+        distinct_frac.alias("f_distinct"),
+        digit_frac.alias("f_digit"),
+        F.when(1.0 / (1.0 + F.exp(-logit)) >= 0.5, 1.0).otherwise(0.0).alias("label"),
+    )
+    va = VectorAssembler(
+        inputCols=["f_len", "f_stop", "f_distinct", "f_digit"],
+        outputCol="features",
+    )
+    train = va.transform(feats).select("features", "label")
+    lr = LogisticRegression(maxIter=50, regParam=0.001, standardization=True)
+    model = lr.fit(train)
+    pred = model.transform(train).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+    )
+    cm = pred.groupBy("label", "prediction").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.createDataFrame(
+        [(i, j) for i in (0, 1) for j in (0, 1)], "label int, prediction int"
+    )
+    return (
+        grid.join(cm, ["label", "prediction"], "left")
+        .select(
+            "label",
+            "prediction",
+            F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+        )
+    )

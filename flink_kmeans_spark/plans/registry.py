@@ -84,7 +84,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_bpe_pair_counts", "text_perplexity_buckets",
     "agg_ks_test", "agg_chi2_independence", "multimodal_audio_vad",
     # --- new in round 6 — no driver evidence yet ---
-    # (appended as they are built)
+    "text_bpe_train", "pipeline_rag",
     # --- stalest evidence refresh: r1-green keys, driver rows now
     #     five rounds old (scan/sink/join/agg/TPC-H core) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",
@@ -138,7 +138,7 @@ _WINDOW_PRIORITY: list[str] = [
     "kmeans_fit_converged", "agg_hll_sketch",
     "streaming_late_data", "text_tfidf",
     "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
-    "sim_lsh_topk",
+    "sim_lsh_topk", "text_quality_train",
 ]
 
 

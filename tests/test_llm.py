@@ -537,3 +537,116 @@ def test_perplexity_buckets_are_balanced_terciles(spark, sf_dir):
     sizes = sorted(len(v) for v in by.values())
     assert sizes[-1] - sizes[0] <= 1 and set(by) == {"head", "middle", "tail"}
     assert min(by["head"]) >= max(by["tail"])
+
+
+def _bpe_python_replica(texts, steps=3):
+    """Pure-Python replica of text_bpe_train: vocab-grain pair counts,
+    argmax merge (count desc, pair asc), greedy left-to-right merge
+    application — the list-based equivalent of the delimited-string
+    replace both engines run."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2 and re.fullmatch(r"[a-z]+", w):
+                vocab[w] += 1
+    seqs = {w: [c for c in w] for w in vocab}
+    merges = []
+    for step in (1, 2, 3)[:steps]:
+        cnt = collections.Counter()
+        for w, freq in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                cnt[f"<{s[i]}> <{s[i + 1]}>"] += freq
+        pair, n = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        x, y = pair[1:-1].split("> <")
+        merges.append((step, pair, n))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_python(spark, sf_dir):
+    """Three iterated BPE merges recomputed with a pure-Python trainer."""
+    import pandas as pd
+
+    got = sorted(
+        [(r["step"], r["merge_pair"], r["n"]) for r in
+         specs()["text_bpe_train"].fn(spark, sf_dir).collect()]
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert got == _bpe_python_replica(list(docs.text))
+
+
+def test_pipeline_rag_matches_python(spark, sf_dir):
+    """Chunk → hash-projection embed → bucket → top-2 retrieval
+    replicated end-to-end in pure Python (md5 is engine-portable)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    chunks = []  # (chunk_id, doc_id, text, dims, bucket, nrm)
+    for did, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        n = len(toks)
+        n_chunks = math.ceil(max(n - 50, 0) / 40.0)
+        for i in range(n_chunks + 1):
+            ct = toks[i * 40 : i * 40 + 50]
+            if not ct:
+                continue
+            dims = [0] * 8
+            for t in ct:
+                h = h60(t)
+                for j in range(8):
+                    dims[j] += ((h >> j) & 1) * 2 - 1
+            nrm = math.sqrt(sum(d * d for d in dims))
+            bucket = sum((1 << j) for j in range(8) if dims[j] > 0)
+            if nrm > 0:
+                chunks.append((int(did) * 1000 + i, int(did), " ".join(ct), dims, bucket, nrm))
+    want = {}
+    for qid, qdid, _qt, qd, qb, qn in chunks:
+        if qdid >= 3:
+            continue
+        cands = []
+        for nid, ndid, nt, nd, nb, nn in chunks:
+            if ndid < 3 or nb != qb:
+                continue
+            cos = sum(a * b for a, b in zip(qd, nd)) / (qn * nn)
+            cands.append((-cos, nid, nt))
+        cands.sort()
+        if cands:
+            top = cands[:2]
+            want[qid] = (len(top), round(-top[0][0], 6), " | ".join(t for _, _, t in top))
+    rows = specs()["pipeline_rag"].fn(spark, sf_dir).collect()
+    got = {r["q_id"]: (r["n_ctx"], round(r["best_cosine"], 6), r["context"]) for r in rows}
+    assert got == want
+
+
+def test_quality_train_recovers_literal_model(spark, sf_dir):
+    """MLlib LR trained on the literal model's labels must agree with
+    it almost everywhere (same features generated the labels)."""
+    rows = specs()["text_quality_train"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    d = {(r["label"], r["prediction"]): r["n"] for r in rows}
+    tot = sum(d.values())
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert tot == len(docs)
+    agree = d.get((0, 0), 0) + d.get((1, 1), 0)
+    assert agree / tot >= 0.93
