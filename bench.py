@@ -146,6 +146,11 @@ HEADLINE = [
     "agg_ks_test",
     "agg_chi2_independence",
     "multimodal_audio_vad",
+    # round-6 additions
+    "text_bpe_train",
+    "pipeline_rag",
+    "text_quality_train",
+    "mining_cooccurrence",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -1471,27 +1471,37 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mining_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining (the candidate-pair stage of
     association-rule mining): item pairs co-purchased in the same
-    order, counted across orders, support-thresholded. The self-join
-    keys on the BASKET id, so the pair space is Σ|basket|² — bounded
-    by the ~7-item TPC-H basket, never |items|²; the a < b ordering
-    halves it and canonicalizes the pair. At 100 TB the same shape
-    feeds FP-growth-style pruning: the support HAVING is applied in
-    the same aggregate that counts, so sub-threshold pairs die in the
-    map-side combine, not in a second pass."""
+    order, counted across orders, support-thresholded. Baskets are
+    COLLECTED per order (collect_set — the ~7-item TPC-H basket keeps
+    the array tiny) and ordered pairs are generated MAP-SIDE from the
+    sorted item array, so the whole key costs TWO shuffles (basket
+    grain, then pair grain) with no self-join at all. The r5 shape —
+    distinct + basket-keyed self-join — cost four shuffles and fell
+    off the broadcast cliff into a sort-merge join at 10× data
+    (probe: 4.52×); this formulation re-probed 1.1×. The a < b
+    ordering halves the pair space and canonicalizes the pair; the
+    support HAVING is applied in the same aggregate that counts, so
+    sub-threshold pairs die in the map-side combine, not a second
+    pass."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"),
-        F.col("b.l_partkey").alias("part_b"),
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    arr = F.col("items")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     return (
-        pairs.groupBy("part_a", "part_b")
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )

@@ -446,16 +446,11 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign EXACTLY (same oracle as kmeans_assign); the centroid block
     rides in as the same one-row broadcast the batch path uses."""
     from ..operators import kmeans as km
-    from ..streaming.jobs import run_available_now
+    from ..streaming.jobs import run_available_now, stream_table
 
     static = load_table(spark, sf_dir, "embeddings")
     cents = km.init_centroids(static, 10)
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "embeddings")
     assigned = km.assign(stream, cents).select("vec_id", "cid")
     _STREAM_RUN[0] += 1
     return run_available_now(

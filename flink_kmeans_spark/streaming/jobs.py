@@ -20,19 +20,38 @@ from pyspark.sql import functions as F
 from ..session import ensure_conf
 
 
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over one parquet table, layout-agnostic.
+
+    The file-source basePath must be a DIRECTORY, and two table
+    layouts exist: driver testdata ships ONE FILE named
+    ``<name>.parquet`` (select it out of the landing dir with a leaf
+    glob), while replicas / production lakes ship a DIRECTORY
+    ``<name>.parquet/`` of part files — there the stream reads the
+    dir itself, because a leaf-name glob matches NO part file and the
+    source silently streams EMPTY (caught by the r6 scale probe:
+    streaming_session_window returned 0 rows on the 10× replica).
+    File streams require an explicit schema — taken from a static
+    read."""
+    import os
+
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p.removeprefix("file:")):
+        return spark.readStream.schema(schema).parquet(p)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet, with the same
     ns-timestamp normalization as the batch reader (sources/tables.py).
     File streams require an explicit schema — taken from a static read."""
     ensure_conf(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file-source basePath must be a DIRECTORY; select the one table's
-    # file(s) out of the landing dir with a glob filter
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    raw = stream_table(spark, sf_dir, "events")
     from ..sources.tables import _normalize_event_ts
 
     return _normalize_event_ts(raw)
@@ -490,7 +509,8 @@ def streaming_user_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT in the registry: the transformWithState state client speaks a
     protobuf protocol and this build environment's ``google.protobuf``
     is broken (ImportError: cannot import name 'descriptor'), so the
-    runner crashes at init. The job is kept as the API-surface
+    runner crashes at init. Re-probed every round — still absent
+    2026-08-15 (r6): ``import google`` raises ModuleNotFoundError. The job is kept as the API-surface
     demonstration and guarded by a skip-unless-protobuf pytest
     (tests/test_streaming.py); on a normal Spark 4 install it drains
     and matches the batch GROUP BY exactly like the v1 key.

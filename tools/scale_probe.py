@@ -67,6 +67,19 @@ PROBES = [
     ("multimodal_audio_vad", "documents"),
     ("text_bpe_pair_counts", "documents"),
     ("text_quality_logreg", "documents"),
+    # round-6 extension (VERDICT r5 item 4): the expensive keys still
+    # unprobed, plus a re-probe of sim_knn_graph on current code
+    ("multimodal_video_framesample", "documents"),
+    ("kmeans_farthest_init", "embeddings"),
+    ("mining_cooccurrence", "lineitem"),
+    ("sim_knn_graph", "embeddings"),
+    ("streaming_session_window", "events"),
+    ("sink_compaction", "orders"),
+    ("join_dynamic_partition_prune", "orders"),
+    # round-6 new keys
+    ("text_bpe_train", "documents"),
+    ("pipeline_rag", "documents"),
+    ("text_quality_train", "documents"),
 ]
 
 

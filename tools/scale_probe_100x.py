@@ -1,0 +1,101 @@
+"""Second-decade scale probe (VERDICT r5 item 5): push the two 10×
+ratios nearest 2× — join_shuffle (1.82×) and window_session (1.59×) —
+to 100× the sf0.1 data volume and record whether the curve is the
+expected linear shuffle growth or a knee.
+
+Replication follows tools/scale_probe.py's key-shifting rule (disjoint
+key ranges per copy so group counts and join fan-outs scale the way
+real growth would), at COPIES=100:
+
+    events:   user_id += c·10⁶, event_id += c·10⁹
+    orders:   o_orderkey += c·10⁹, o_custkey += c·10⁶
+    lineitem: l_orderkey += c·10⁹
+
+Interpretation: at 10× both keys sat in the scheduling-floor flat
+region (wall barely moves). At 100× the data outgrows the floor, so
+the honest linearity check is wall(100×)/wall(10×) ≤ ~10 with no
+superlinear residue.
+
+Run:  python tools/scale_probe_100x.py   (writes .scratch/sf10x, ~1.5 GB)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+OUT10 = "/root/repo/.scratch/sf1x"
+OUT100 = "/root/repo/.scratch/sf10x"
+COPIES = 100
+
+SHIFTS = {
+    "events": [("user_id", 1_000_000), ("event_id", 1_000_000_000)],
+    "lineitem": [("l_orderkey", 1_000_000_000)],
+    "orders": [("o_orderkey", 1_000_000_000), ("o_custkey", 1_000_000)],
+}
+
+PROBES = [("join_shuffle", "orders+lineitem"), ("window_session", "events")]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(OUT100, exist_ok=True)
+    for t, shifts in SHIFTS.items():
+        src = spark.read.parquet(f"{BASE}/{t}.parquet")
+        parts = []
+        for c in range(COPIES):
+            d = src
+            for col, step in shifts:
+                d = d.withColumn(col, F.col(col) + F.lit(c * step))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{OUT100}/{t}.parquet")
+
+
+def main() -> None:
+    from flink_kmeans_spark.plans.registry import QUERIES
+    from flink_kmeans_spark.session import get_spark
+
+    spark = get_spark("scale-probe-100x")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(f"{OUT100}/events.parquet"):
+        t0 = time.time()
+        build(spark)
+        print(f"[build] 100x replica written in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
+    queries = QUERIES()
+    results = {}
+    dirs = [("sf0.1", BASE), ("sf10x", OUT100)]
+    if os.path.exists(f"{OUT10}/events.parquet"):
+        dirs.insert(1, ("sf1x", OUT10))
+    for key, tables in PROBES:
+        times = {}
+        for label, sf_dir in dirs:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                queries[key](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
+        entry = {**times, "tables": tables,
+                 "ratio_at_100x_data": round(times["sf10x"] / times["sf0.1"], 2)}
+        if "sf1x" in times:
+            entry["decade2_ratio"] = round(times["sf10x"] / times["sf1x"], 2)
+        results[key] = entry
+        print(f"[probe] {key}: {times}", file=sys.stderr, flush=True)
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
