@@ -39,6 +39,9 @@ SHIFTS = {
     "orders": [("o_orderkey", 1_000_000_000), ("o_custkey", 1_000_000)],
 }
 
+# dims copied unshifted (joins against them must keep matching)
+PLAIN = ["customer", "supplier", "part", "nation", "region"]
+
 PROBES = [("join_shuffle", "orders+lineitem"), ("window_session", "events")]
 
 
@@ -58,6 +61,10 @@ def build(spark) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{OUT100}/{t}.parquet")
+    for t in PLAIN:
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{OUT100}/{t}.parquet")
 
 
 def main() -> None:
@@ -66,7 +73,7 @@ def main() -> None:
 
     spark = get_spark("scale-probe-100x")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(f"{OUT100}/events.parquet"):
+    if not os.path.exists(f"{OUT100}/region.parquet"):  # last table written
         t0 = time.time()
         build(spark)
         print(f"[build] 100x replica written in {time.time()-t0:.1f}s",
