@@ -2934,9 +2934,26 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = va.transform(feats).select("features", "label")
     lr = LogisticRegression(maxIter=50, regParam=0.001, standardization=True)
     model = lr.fit(train)
-    pred = model.transform(train).select(
+    # Score with the LEARNED weights as plain column expressions, not
+    # model.transform: the model's trainingSummary pins the live
+    # SparkSession inside the prediction-UDF closure, which explodes
+    # ("Task not serializable: ObservationManager") in any session
+    # where an Observation-using key ran first — and literal-weight
+    # codegen scoring is the repo's serving shape anyway (the learned
+    # model drops into exactly text_quality_logreg's plan). 4 doubles
+    # + intercept cross the driver; nothing else.
+    wts = [float(w) for w in model.coefficients]
+    b = float(model.intercept)
+    learned_logit = (
+        F.lit(b)
+        + wts[0] * F.col("f_len")
+        + wts[1] * F.col("f_stop")
+        + wts[2] * F.col("f_distinct")
+        + wts[3] * F.col("f_digit")
+    )
+    pred = feats.select(
         F.col("label").cast("int").alias("label"),
-        F.col("prediction").cast("int").alias("prediction"),
+        F.when(learned_logit > 0, 1).otherwise(0).cast("int").alias("prediction"),
     )
     cm = pred.groupBy("label", "prediction").agg(F.count(F.lit(1)).alias("n"))
     grid = spark.createDataFrame(
