@@ -3755,3 +3755,113 @@ def udf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").applyInArrow(
         per_flag, "l_returnflag string, n bigint, total_price double"
     )
+
+
+def _z16_sql(bx: str, by: str, shift_tpl: str) -> str:
+    """16-bit Morton/z-order interleave of two 8-bit bucket ids as a
+    pure integer expression — generated once for both engines (Spark
+    spells shifts shiftleft/shiftright, DuckDB uses << / >>)."""
+    terms = []
+    for i in range(8):
+        terms.append(shift_tpl.format(v=f"({bx})", r=i, l=2 * i))
+        terms.append(shift_tpl.format(v=f"({by})", r=i, l=2 * i + 1))
+    return " + ".join(terms)
+
+
+_Z_SPARK = _z16_sql("bx", "by", "shiftleft((shiftright({v}, {r}) & 1), {l})")
+_Z_DUCK = _z16_sql(
+    "CAST(LEAST(FLOOR(o_custkey * 256.0 / (cmax + 1)), 255) AS INTEGER)",
+    "CAST(LEAST(FLOOR(date_diff('day', dmin, day) * 256.0"
+    " / (date_diff('day', dmin, dmax) + 1)), 255) AS INTEGER)",
+    "((({v} >> {r}) & 1) << {l})",
+)
+
+_ZORDER_ORACLE = """
+    WITH s AS (
+      SELECT MAX(o_custkey) AS cmax,
+             MIN(CAST(o_orderdate AS DATE)) AS dmin,
+             MAX(CAST(o_orderdate AS DATE)) AS dmax
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, o_custkey, day, ZEXPR AS zval
+      FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS day
+            FROM orders) o CROSS JOIN s
+    )
+    SELECT CAST(zval // 1024 AS INTEGER) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_custkey) AS cust_lo, MAX(o_custkey) AS cust_hi,
+           strftime(MIN(day), '%Y-%m-%d') AS day_lo,
+           strftime(MAX(day), '%Y-%m-%d') AS day_hi
+    FROM z GROUP BY 1
+""".replace("ZEXPR", _Z_DUCK)
+
+
+@register(
+    "sink_zorder",
+    oracle=_ZORDER_ORACLE,
+    tags=("sink", "layout"),
+)
+def sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-interleaved) layout sink — the multi-dimensional
+    data-skipping layout every lakehouse OPTIMIZE implements: bucket
+    o_custkey and o_orderdate to 8 bits each, interleave to a 16-bit
+    z-value, range-partition + sort the table by it, and write parquet.
+    Because z-order preserves locality in BOTH dimensions, every file's
+    (custkey, date) min/max envelope is tight, so a scan filtered on
+    EITHER column prunes most files on footer stats alone. The audit
+    groups the written table into 64 z-ranges and reports each range's
+    envelope — the oracle pins the exact interleave arithmetic.
+
+    Scale shape: the two bucket bounds come from a 1-row broadcast
+    aggregate; z-value is pure codegen integer math; the write is ONE
+    repartitionByRange exchange (range partitioner = contiguous z
+    runs = the z-curve order) + in-partition sort, the identical plan
+    OPTIMIZE ZORDER runs per file group at 100 TB. The audit re-reads
+    the written files and aggregates by z-bucket with map-side combine."""
+    from .relational import _scratch_dir
+
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    )
+    zed = (
+        o.select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bx",
+            F.least(
+                F.floor(F.col("o_custkey") * 256.0 / (F.col("cmax") + 1)), F.lit(255)
+            ).cast("int"),
+        )
+        .withColumn(
+            "by",
+            F.least(
+                F.floor(
+                    F.datediff("day", "dmin")
+                    * 256.0
+                    / (F.datediff("dmax", "dmin") + 1)
+                ),
+                F.lit(255),
+            ).cast("int"),
+        )
+        .withColumn("zval", F.expr(_Z_SPARK))
+        .select("o_orderkey", "o_custkey", "day", "zval")
+    )
+    out = _scratch_dir("zorder") + "/orders_z"
+    zed.repartitionByRange(8, "zval").sortWithinPartitions("zval").write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy((F.col("zval") / 1024).cast("int").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("cust_lo"),
+            F.max("o_custkey").alias("cust_hi"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("day_lo"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("day_hi"),
+        )
+    )

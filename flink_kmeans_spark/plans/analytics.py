@@ -2043,3 +2043,149 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 6).alias("v_interp"),
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("int").alias("gap"),
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, value,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, day
+    """,
+    tags=("timeseries", "events"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — the canonical downsample for any metric /
+    tick stream: per (user, day), the first (open) and last (close)
+    value by deterministic (ts, event_id) order plus the high/low/count
+    of the bar. min_by/max_by on a (ts, event_id) struct pick the
+    endpoints inside ONE hash aggregate — no window, no sort.
+
+    Scale shape: a single groupBy(user_id, day) with full map-side
+    partial aggregation (min_by/max_by/min/max/count all combine); one
+    exchange on the bar key, output shrinks to |users|x|days| bars
+    regardless of raw tick volume. The window-based formulation this
+    replaces would sort every partition twice; this one never sorts."""
+    e = _t(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select("user_id", F.to_date("ts").alias("d"), "value", "ts", "event_id")
+        .groupBy("user_id", "d")
+        .agg(
+            F.round(F.min_by("value", ordk), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", ordk), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+      WHERE a.l_partkey < c.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM und),
+    l1 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l0 l ON l.node = u.dst
+      GROUP BY u.src, l.lbl
+      QUALIFY row_number() OVER (PARTITION BY u.src ORDER BY COUNT(*) DESC, l.lbl) = 1
+    ),
+    l2 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l1 l ON l.node = u.dst
+      GROUP BY u.src, l.lbl
+      QUALIFY row_number() OVER (PARTITION BY u.src ORDER BY COUNT(*) DESC, l.lbl) = 1
+    ),
+    l3 AS (
+      SELECT u.src AS node, l.lbl, COUNT(*) AS c
+      FROM und u JOIN l2 l ON l.node = u.dst
+      GROUP BY u.src, l.lbl
+      QUALIFY row_number() OVER (PARTITION BY u.src ORDER BY COUNT(*) DESC, l.lbl) = 1
+    )
+    SELECT node AS part_id, lbl AS community FROM l3
+    """,
+    tags=("graph", "mining"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (GraphX LPA semantics,
+    synchronous variant) over the part co-purchase graph: parts are
+    linked when they ship in the same order; every node starts in its
+    own community and, for 3 fixed synchronous rounds, adopts the most
+    frequent label among its neighbours (ties -> smallest label, the
+    deterministic rule that makes the fixed-round unroll exactly
+    SQL-expressible).
+
+    Scale shape: edge generation is per-order pair expansion on the
+    collect_set basket (baskets are bounded — TPC-H orders hold ~4
+    lines — so the expansion is linear in lineitem); each round is one
+    shuffle join on dst plus one (node,label) count aggregate with
+    map-side combine and a bounded per-node top-1 window. Labels
+    shuffle, never adjacency payloads; fixed 3 rounds => a static
+    4-stage DAG, no driver iteration or convergence collects. The
+    same loop at 100 TB is the standard LPA-on-Spark shape (GraphX's
+    Pregel LPA does the identical message aggregate per superstep)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w_top = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(3):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        labels = (
+            msgs.groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("lbl").alias("community")
+    )

@@ -2967,3 +2967,104 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
         )
     )
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')"
+    ).format(a=a, b=b)
+    nrm = (
+        "sqrt(list_aggregate(list_transform({v}, "
+        "x -> CAST(x AS DOUBLE) * x), 'sum'))"
+    )
+    return f"{dot} / ({nrm.format(v=a)} * {nrm.format(v=b)})"
+
+
+_MRL_ORACLE = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 16),
+    p AS (
+      SELECT q.q_id, n.vec_id AS n_id,
+             COS_FULL AS cf,
+             COS_T16 AS ct
+      FROM embeddings n CROSS JOIN q
+      WHERE n.vec_id <> q.q_id
+    ),
+    r AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, n_id) AS rf,
+             row_number() OVER (PARTITION BY q_id ORDER BY ct DESC, n_id) AS rt
+      FROM p
+    )
+    SELECT q_id,
+           CAST(SUM(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS overlap5,
+           ROUND(SUM(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END) / 5.0, 6)
+             AS recall_at_5
+    FROM r GROUP BY q_id
+""".replace("COS_FULL", _duck_cos("q.qv", "n.embedding")).replace(
+    "COS_T16", _duck_cos("q.qv[1:16]", "n.embedding[1:16]")
+)
+
+
+@register(
+    "embedding_mrl_truncate",
+    oracle=_MRL_ORACLE,
+    tags=("vector", "embedding"),
+)
+def embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation quality check — the standard cost
+    lever for embedding stores: keep only the first 16 of 64 dims and
+    measure, per query, how much of the exact full-dim top-5 the
+    truncated-dim top-5 retains (recall@5). Cosine over a prefix slice
+    needs no re-normalization for RANKING (scaling is monotone), so
+    truncated scoring is a pure column expression on the sliced array.
+    This is the acceptance gate to run before switching an index to
+    truncated vectors.
+
+    Scale shape: the query set is a BOUNDED id-window (16 queries,
+    independent of corpus size — the sim_range_search lesson), carried
+    as a broadcast; the corpus streams through one crossJoin stage
+    scoring both metrics in the same pass, and the two per-query
+    row_number windows ride ONE exchange on q_id (16 keys x corpus
+    rows; WindowGroupLimit prunes to top-5 per partition before the
+    shuffle). Overlap is a count over the 10-row-per-query survivors."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    )
+    from ..functions.vectors import cosine_sim
+
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            cosine_sim(F.col("q_vec"), F.col("n_vec")).alias("cf"),
+            cosine_sim(
+                F.slice("q_vec", 1, 16), F.slice("n_vec", 1, 16)
+            ).alias("ct"),
+        )
+    )
+    w_f = Window.partitionBy("q_id").orderBy(F.col("cf").desc(), F.col("n_id"))
+    w_t = Window.partitionBy("q_id").orderBy(F.col("ct").desc(), F.col("n_id"))
+    hit = F.when((F.col("rf") <= 5) & (F.col("rt") <= 5), 1).otherwise(0)
+    return (
+        scored.withColumn("rf", F.row_number().over(w_f))
+        .withColumn("rt", F.row_number().over(w_t))
+        .filter((F.col("rf") <= 5) | (F.col("rt") <= 5))
+        .groupBy("q_id")
+        .agg(
+            F.sum(hit).alias("overlap5"),
+            F.round(F.sum(hit) / 5.0, 6).alias("recall_at_5"),
+        )
+    )

@@ -85,6 +85,8 @@ _WINDOW_PRIORITY: list[str] = [
     "agg_ks_test", "agg_chi2_independence", "multimodal_audio_vad",
     # --- new in round 6 — no driver evidence yet ---
     "text_bpe_train", "pipeline_rag",
+    "ts_resample_ohlc", "graph_label_propagation",
+    "sink_zorder", "embedding_mrl_truncate",
     # --- stalest evidence refresh: r1-green keys, driver rows now
     #     five rounds old (scan/sink/join/agg/TPC-H core) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",

@@ -418,3 +418,108 @@ def test_events_bot_detection_thresholds_fire(spark, sf_dir):
         if expect != r["is_bot"]:
             near = abs(r["rate_per_day"] - 2.6) < 1e-3 or abs(r["gap_cv"] - 0.8) < 1e-3
             assert near, r
+
+
+def test_ts_resample_ohlc_matches_pandas(spark, sf_dir):
+    got = {
+        (r["user_id"], r["day"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in _q("ts_resample_ohlc")(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")
+    e["day"] = e["ts"].dt.strftime("%Y-%m-%d")
+    e = e.sort_values(["ts", "event_id"])
+    exp = {}
+    for (u, d), g in e.groupby(["user_id", "day"]):
+        exp[(u, d)] = (
+            round(g["value"].iloc[0], 6),
+            round(g["value"].max(), 6),
+            round(g["value"].min(), 6),
+            round(g["value"].iloc[-1], 6),
+            len(g),
+        )
+    assert got == exp
+
+
+def test_graph_label_propagation_matches_python(spark, sf_dir):
+    got = {
+        r["part_id"]: r["community"]
+        for r in _q("graph_label_propagation")(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    adj = collections.defaultdict(set)
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                adj[a].add(b)
+                adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = collections.Counter(labels[m] for m in nbrs)
+            # most frequent label, ties -> smallest label
+            nxt[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        labels = nxt
+    assert got == labels
+    # communities are coarser than singletons on any co-purchase graph
+    assert len(set(got.values())) < len(got)
+
+
+def test_sink_zorder_envelopes_match_numpy(spark, sf_dir):
+    rows = _q("sink_zorder")(spark, sf_dir).collect()
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    day = o["o_orderdate"].dt.normalize()
+    cmax = o["o_custkey"].max()
+    dmin, dmax = day.min(), day.max()
+    bx = np.minimum(np.floor(o["o_custkey"] * 256.0 / (cmax + 1)).astype("int64"), 255).to_numpy()
+    span = (dmax - dmin).days + 1
+    by = np.minimum(np.floor((day - dmin).dt.days * 256.0 / span).astype("int64"), 255).to_numpy()
+    z = np.zeros(len(o), dtype="int64")
+    for i in range(8):
+        z |= ((bx >> i) & 1) << (2 * i)
+        z |= ((by >> i) & 1) << (2 * i + 1)
+    o = o.assign(z=z, zb=z // 1024, day=day)
+    exp = {}
+    for zb, g in o.groupby("zb"):
+        exp[zb] = (
+            len(g),
+            g["o_custkey"].min(), g["o_custkey"].max(),
+            g["day"].min().strftime("%Y-%m-%d"),
+            g["day"].max().strftime("%Y-%m-%d"),
+        )
+    got = {
+        r["zbucket"]: (r["n_rows"], r["cust_lo"], r["cust_hi"], r["day_lo"], r["day_hi"])
+        for r in rows
+    }
+    assert got == exp
+    # locality: every z-bucket's custkey envelope is a strict subset of
+    # the full domain (the point of z-order: both dims stay bounded)
+    assert all(hi - lo <= (cmax + 1) // 8 for (_, lo, hi, _, _) in got.values())
+
+
+def test_embedding_mrl_truncate_matches_numpy(spark, sf_dir):
+    got = {
+        r["q_id"]: r["overlap5"]
+        for r in _q("embedding_mrl_truncate")(spark, sf_dir).collect()
+    }
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ids = emb["vec_id"].to_numpy()
+
+    def top5(M, qi):
+        sims = (M @ M[qi]) / (
+            np.linalg.norm(M, axis=1) * np.linalg.norm(M[qi]) + 1e-300
+        )
+        order = sorted(
+            [(s, ids[j]) for j, s in enumerate(sims) if ids[j] != ids[qi]],
+            key=lambda t: (-t[0], t[1]),
+        )
+        return {nid for _, nid in order[:5]}
+
+    for qi in np.where(ids < 16)[0]:
+        full = top5(V, qi)
+        trunc = top5(V[:, :16], qi)
+        assert got[ids[qi]] == len(full & trunc)
