@@ -151,6 +151,12 @@ HEADLINE = [
     "pipeline_rag",
     "text_quality_train",
     "mining_cooccurrence",
+    "ts_resample_ohlc",
+    "graph_label_propagation",
+    "sink_zorder",
+    "embedding_mrl_truncate",
+    "text_feature_hashing",
+    "ts_changepoint_binseg",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -2189,3 +2189,106 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part_id"), F.col("lbl").alias("community")
     )
+
+
+@register(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             SUM(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, rn AS n, cum AS s
+      FROM o QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
+    ),
+    stats AS (
+      SELECT o.event_type, o.rn AS k,
+             o.cum / o.rn AS mean_l,
+             (t.s - o.cum) / (t.n - o.rn) AS mean_r,
+             ABS(o.cum / o.rn - (t.s - o.cum) / (t.n - o.rn))
+               * SQRT(o.rn * (t.n - o.rn) * 1.0 / t.n) AS stat
+      FROM o JOIN tot t USING (event_type)
+      WHERE o.rn < t.n
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS split_k,
+           ROUND(stat, 6) AS stat,
+           ROUND(mean_l, 6) AS mean_l, ROUND(mean_r, 6) AS mean_r
+    FROM stats
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY stat DESC, k) = 1
+    """,
+    tags=("timeseries", "events"),
+)
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection (the first binary-segmentation
+    step, CUSUM-normalized): per event_type series ordered by
+    (ts, event_id), find the split k maximizing
+    |mean_left − mean_right| · sqrt(k(n−k)/n) — the classic
+    variance-reduction statistic every changepoint library (ruptures,
+    BinSeg) scores first. Ties break to the earliest k, which keeps the
+    argmax exactly portable. The prefix-sum trick makes every candidate
+    split O(1): one ordered cumsum per series and the totals row turn
+    all n−1 splits into a single scan.
+
+    Scale shape: one window exchange on event_type (the series key —
+    changepoint scoring is inherently per-series-sequential; at 100 TB
+    the partition key is the series id and parallelism = #series); the
+    totals are the rn = n rows joined back by broadcast (|event_type|
+    rows). The argmax is a per-series top-1 window, WindowGroupLimit-
+    pruned. Cumsums accumulate in the SAME deterministic order in both
+    engines, so the float statistic is bit-identical, not just close."""
+    e = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", "value",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.sum("value").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    tot = (
+        o.withColumn(
+            "mx", F.max("rn").over(Window.partitionBy("event_type"))
+        )
+        .filter(F.col("rn") == F.col("mx"))
+        .select("event_type", F.col("rn").alias("n"), F.col("cum").alias("s"))
+    )
+    stats = (
+        o.join(F.broadcast(tot), "event_type")
+        .filter(F.col("rn") < F.col("n"))
+        .select(
+            "event_type",
+            F.col("rn").alias("k"),
+            (F.col("cum") / F.col("rn")).alias("mean_l"),
+            ((F.col("s") - F.col("cum")) / (F.col("n") - F.col("rn"))).alias(
+                "mean_r"
+            ),
+            (
+                F.abs(
+                    F.col("cum") / F.col("rn")
+                    - (F.col("s") - F.col("cum")) / (F.col("n") - F.col("rn"))
+                )
+                * F.sqrt(
+                    F.col("rn") * (F.col("n") - F.col("rn")) * 1.0 / F.col("n")
+                )
+            ).alias("stat"),
+        )
+    )
+    w_top = Window.partitionBy("event_type").orderBy(F.desc("stat"), F.asc("k"))
+    return (
+        stats.withColumn("r", F.row_number().over(w_top))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("k").alias("split_k"),
+            F.round("stat", 6).alias("stat"),
+            F.round("mean_l", 6).alias("mean_l"),
+            F.round("mean_r", 6).alias("mean_r"),
+        )
+    )

@@ -3068,3 +3068,54 @@ def embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / 5.0, 6).alias("recall_at_5"),
         )
     )
+
+
+_FH_ORACLE = """
+    SELECT doc_id,
+           CAST(H60 % 1024 AS INTEGER) AS feat_idx,
+           CAST(SUM(CASE WHEN (H60 // 1024) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS val
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY doc_id, feat_idx
+    HAVING SUM(CASE WHEN (H60 // 1024) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+""".replace("H60", "CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)")
+
+
+@register(
+    "text_feature_hashing",
+    oracle=_FH_ORACLE,
+    tags=("text", "ml"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (Weinberger signed feature hashing) —
+    the fixed-width featurizer that needs NO vocabulary pass: token ->
+    bucket = h(token) mod 1024 with a ±1 sign from the next hash bit,
+    summed per (doc, bucket). Zero-sum collisions drop out (HAVING),
+    exactly as an explicit sparse vector would. Uses the repo's
+    portable 60-bit md5-prefix hash so the bucket ids are bit-identical
+    in DuckDB — the classic Spark HashingTF is xxhash-based and
+    engine-private, which is what keeps it un-oracle-able.
+
+    Scale shape: one explode + one (doc_id, feat_idx) hash aggregate
+    with map-side combine; no vocabulary broadcast, no global pass —
+    the whole point of feature hashing at 100 TB is that it is
+    embarrassingly parallel and memory-constant (1024 buckets)."""
+    d = _docs(spark, sf_dir)
+    from ..functions.hashing import portable_hash60
+
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    h = portable_hash60(F.col("token"))
+    sign = F.when(F.shiftright(h, 10) % 2 == 0, 1).otherwise(-1)
+    return (
+        tok.select(
+            "doc_id",
+            (h % 1024).cast("int").alias("feat_idx"),
+            sign.alias("s"),
+        )
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0)
+    )

@@ -87,6 +87,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_bpe_train", "pipeline_rag",
     "ts_resample_ohlc", "graph_label_propagation",
     "sink_zorder", "embedding_mrl_truncate",
+    "text_feature_hashing", "ts_changepoint_binseg",
     # --- stalest evidence refresh: r1-green keys, driver rows now
     #     five rounds old (scan/sink/join/agg/TPC-H core) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",

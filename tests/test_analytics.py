@@ -523,3 +523,42 @@ def test_embedding_mrl_truncate_matches_numpy(spark, sf_dir):
         full = top5(V, qi)
         trunc = top5(V[:, :16], qi)
         assert got[ids[qi]] == len(full & trunc)
+
+
+def test_text_feature_hashing_matches_python(spark, sf_dir):
+    import hashlib
+
+    got = {
+        (r["doc_id"], r["feat_idx"]): r["val"]
+        for r in _q("text_feature_hashing")(spark, sf_dir).collect()
+    }
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    exp = collections.Counter()
+    for doc_id, text in zip(d["doc_id"], d["text"]):
+        for tok in text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            sign = 1 if (h >> 10) % 2 == 0 else -1
+            exp[(doc_id, h % 1024)] += sign
+    exp = {k: v for k, v in exp.items() if v != 0}
+    assert got == exp
+
+
+def test_ts_changepoint_binseg_matches_numpy(spark, sf_dir):
+    got = {
+        r["event_type"]: (r["split_k"], r["stat"], r["mean_l"], r["mean_r"])
+        for r in _q("ts_changepoint_binseg")(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(["ts", "event_id"])
+    for et, g in e.groupby("event_type"):
+        v = g["value"].to_numpy()
+        n = len(v)
+        cum = np.cumsum(v)
+        ks = np.arange(1, n)
+        mean_l = cum[:-1] / ks
+        mean_r = (cum[-1] - cum[:-1]) / (n - ks)
+        stat = np.abs(mean_l - mean_r) * np.sqrt(ks * (n - ks) / n)
+        best = int(np.argmax(stat))  # np.argmax takes first on ties = smallest k
+        assert got[et][0] == best + 1
+        assert got[et][1] == pytest.approx(round(stat[best], 6), abs=1e-6)
+        assert got[et][2] == pytest.approx(round(mean_l[best], 6), abs=1e-6)
+        assert got[et][3] == pytest.approx(round(mean_r[best], 6), abs=1e-6)

@@ -80,6 +80,12 @@ PROBES = [
     ("text_bpe_train", "documents"),
     ("pipeline_rag", "documents"),
     ("text_quality_train", "documents"),
+    ("ts_resample_ohlc", "events"),
+    ("graph_label_propagation", "lineitem"),
+    ("sink_zorder", "orders"),
+    ("embedding_mrl_truncate", "embeddings"),
+    ("text_feature_hashing", "documents"),
+    ("ts_changepoint_binseg", "events"),
 ]
 
 
