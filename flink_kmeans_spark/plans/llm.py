@@ -3119,3 +3119,95 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+_PCA_ORACLE = """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+               FROM embeddings),
+    s1 AS (SELECT vec_id, xd, 0.125 * list_sum(xd) AS s FROM e),
+    u1 AS (SELECT t.i, SUM(xd[t.i + 1] * s) AS u
+           FROM s1, range(64) t(i) GROUP BY t.i),
+    n1 AS (SELECT SQRT(SUM(u * u)) AS nrm FROM u1),
+    v1 AS (SELECT i, u / nrm AS v FROM u1, n1),
+    s2 AS (SELECT e.vec_id, SUM(e.xd[v1.i + 1] * v1.v) AS s
+           FROM e, v1 GROUP BY e.vec_id),
+    u2 AS (SELECT t.i, SUM(e.xd[t.i + 1] * s2.s) AS u
+           FROM e JOIN s2 USING (vec_id), range(64) t(i) GROUP BY t.i),
+    n2 AS (SELECT SQRT(SUM(u * u)) AS nrm FROM u2),
+    v2r AS (SELECT i, u / nrm AS v FROM u2, n2),
+    dmax AS (SELECT i AS im FROM v2r ORDER BY ABS(v) DESC, i LIMIT 1),
+    sgn AS (SELECT CASE WHEN v2r.v < 0 THEN -1.0 ELSE 1.0 END AS sg
+            FROM v2r, dmax WHERE v2r.i = dmax.im),
+    v2 AS (SELECT i, v * sg AS v FROM v2r, sgn),
+    s3 AS (SELECT e.vec_id, SUM(e.xd[v2.i + 1] * v2.v) AS s
+           FROM e, v2 GROUP BY e.vec_id),
+    lam AS (SELECT SUM(s * s) / (SELECT COUNT(*) FROM e) AS l FROM s3)
+    SELECT CAST(v2.i AS INTEGER) AS dim,
+           ROUND(v2.v, 6) AS loading,
+           ROUND(lam.l, 6) AS eigenvalue
+    FROM v2, lam
+"""
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_PCA_ORACLE,
+    tags=("vector", "embedding", "ml"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-eigenvector PCA by POWER ITERATION with an
+    implicit matvec — the classic trick that makes PCA feasible at
+    100 TB: C.v = sum_rows x * (x.v), so each iteration is ONE
+    corpus pass computing the scalar projection s = x.v and 64
+    partial sums; the 64x64 covariance matrix is NEVER materialized
+    and nothing quadratic in N or D^2-per-row ever exists. Two
+    unrolled iterations from the uniform start v0 = 1/8 (exact in
+    binary), sign canonicalized on the max-|loading| dimension
+    (ties -> smallest dim), plus the Rayleigh eigenvalue
+    lambda = sum((x.v)^2)/N of the mean-free Gram C = X'X/N.
+
+    Scale shape: each iteration is one whole-stage-codegen aggregate
+    with full map-side combine (64 running doubles per task); the only
+    driver traffic is the 64-float eigenvector between iterations (the
+    kmeans_fit centroid-collect pattern, bounded and documented). The
+    DuckDB oracle unrolls the same two iterations over a range(64)
+    lateral; float drift stays ~1e-13 relative, far under the 6-dp
+    compare."""
+    import math
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("xd")
+    )
+    D = 64
+    xs = [F.col("xd").getItem(i) for i in range(D)]
+
+    def _matvec(s_expr):
+        # ONE aggregate pass: u[i] = SUM(x[i] * (x . v)); bounded
+        # 64-double collect carries the eigenvector between iterations.
+        row = e.agg(*[F.sum(xs[i] * s_expr).alias(f"u{i}") for i in range(D)]).head()
+        u = [float(row[i]) for i in range(D)]
+        nrm = math.sqrt(sum(c * c for c in u))
+        return [c / nrm for c in u]
+
+    def _dot(v):
+        expr = F.lit(0.0)
+        for i in range(D):
+            expr = expr + xs[i] * F.lit(v[i])
+        return expr
+
+    v1 = _matvec(F.lit(0.125) * _dot([1.0] * D))
+    v2 = _matvec(_dot(v1))
+    im = sorted(range(D), key=lambda i: (-abs(v2[i]), i))[0]
+    if v2[im] < 0:
+        v2 = [-c for c in v2]
+    s3 = _dot(v2)
+    lam = e.agg(
+        F.round(F.sum(s3 * s3) / F.count(F.lit(1)), 6).alias("eigenvalue")
+    )
+    return lam.select(
+        F.posexplode(
+            F.array(*[F.round(F.lit(v2[i]), 6) for i in range(D)])
+        ).alias("dim", "loading"),
+        "eigenvalue",
+    ).select(F.col("dim").cast("int").alias("dim"), "loading", "eigenvalue")
