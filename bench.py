@@ -157,6 +157,12 @@ HEADLINE = [
     "embedding_mrl_truncate",
     "text_feature_hashing",
     "ts_changepoint_binseg",
+    "embedding_pca_power",
+    "geo_grid_knn",
+    "mv_incremental_agg",
+    "ts_seasonal_decompose",
+    "text_kneser_ney",
+    "text_compression_ratio",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

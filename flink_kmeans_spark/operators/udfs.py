@@ -79,3 +79,15 @@ def batch_stats_mapinpandas(points: DataFrame) -> DataFrame:
             )
 
     return points.mapInPandas(gen, "batch_rows long, batch_mean_norm double")
+
+
+def deflate_len_udf():
+    @pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        """Scalar pandas UDF: deflate(level 6) byte length per row.
+        zlib is C-speed and releases the GIL; Arrow transfer dominates."""
+        import zlib
+
+        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    return _zlen

@@ -2292,3 +2292,93 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_r", 6).alias("mean_r"),
         )
     )
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS value
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, value,
+             AVG(value) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+             dayofweek(day) AS dow
+      FROM daily
+    ),
+    seas0 AS (
+      SELECT dow, AVG(value - trend) AS s0 FROM tr GROUP BY 1
+    ),
+    seas AS (
+      SELECT dow, s0 - (SELECT AVG(s0) FROM seas0) AS seasonal FROM seas0
+    ),
+    dec AS (
+      SELECT tr.day, tr.value, tr.trend, seas.seasonal,
+             ROUND(tr.value - tr.trend - seas.seasonal, 2) AS resid
+      FROM tr JOIN seas USING (dow)
+    ),
+    st AS (SELECT AVG(resid) AS mu, STDDEV_SAMP(resid) AS sd FROM dec)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(value, 2) AS value, ROUND(trend, 2) AS trend,
+           ROUND(seasonal, 2) AS seasonal, ROUND(resid, 2) AS resid,
+           ROUND((resid - st.mu) / st.sd, 4) AS zscore
+    FROM dec, st
+    """,
+    tags=("timeseries", "analytics"),
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the statsmodels
+    ``seasonal_decompose`` recipe) of the daily order-revenue series:
+    trend = centered 7-day moving average, seasonal = per-day-of-week
+    mean deviation from trend (re-centered to sum to zero), residual =
+    value - trend - seasonal, plus the residual z-score that anomaly
+    detectors threshold.
+
+    Scale shape: the corpus-sized work is the ONE daily pre-aggregate
+    (map-side combined); everything after runs at calendar grain
+    (~2,500 rows for seven years — bounded by the calendar, not the
+    data, so the partitionless ordered window over days is safe at any
+    corpus size). Day-of-week factors are a 7-row broadcast; the
+    residual moments are a one-row broadcast.
+    Spark's dayofweek (Sun=1) is shifted to DuckDB's Sun=0."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("value"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "value",
+        F.avg("value").over(w7).alias("trend"),
+        (F.dayofweek("day") - 1).alias("dow"),
+    )
+    seas0 = tr.groupBy("dow").agg(
+        F.avg(F.col("value") - F.col("trend")).alias("s0")
+    )
+    mean_s0 = seas0.agg(F.avg("s0").alias("m"))
+    seas = seas0.crossJoin(F.broadcast(mean_s0)).select(
+        "dow", (F.col("s0") - F.col("m")).alias("seasonal")
+    )
+    dec = tr.join(F.broadcast(seas), "dow").select(
+        "day",
+        "value",
+        "trend",
+        "seasonal",
+        F.round(
+            F.col("value") - F.col("trend") - F.col("seasonal"), 2
+        ).alias("resid"),
+    )
+    st = dec.agg(
+        F.avg("resid").alias("mu"), F.stddev_samp("resid").alias("sd")
+    )
+    return dec.crossJoin(F.broadcast(st)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("value", 2).alias("value"),
+        F.round("trend", 2).alias("trend"),
+        F.round("seasonal", 2).alias("seasonal"),
+        F.col("resid"),
+        F.round((F.col("resid") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+    )

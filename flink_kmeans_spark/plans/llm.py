@@ -3211,3 +3211,139 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dim", "loading"),
         "eigenvalue",
     ).select(F.col("dim").cast("int").alias("dim"), "loading", "eigenvalue")
+
+
+@register(
+    "text_kneser_ney",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    bigc AS (
+      SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(cb) AS DOUBLE) AS c1,
+             CAST(COUNT(*) AS DOUBLE) AS n1f
+      FROM bigc GROUP BY 1
+    ),
+    rev AS (
+      SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1r FROM bigc GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM bigc)
+    SELECT w1, w2, CAST(cb AS BIGINT) AS cb,
+           ROUND(GREATEST(cb - 0.75, 0.0) / c1
+                 + ((0.75 * n1f) / c1) * (n1r / nt), 6) AS p_kn
+    FROM bigc JOIN c1 USING (w1) JOIN rev USING (w2) CROSS JOIN tot
+    ORDER BY ROUND(GREATEST(cb - 0.75, 0.0) / c1
+                   + ((0.75 * n1f) / c1) * (n1r / nt), 6) DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "lm"),
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    that every serious n-gram LM (KenLM, SRILM default) uses:
+    P(w2|w1) = max(c(w1w2) - d, 0)/c(w1.) + d*N1+(w1.)/c(w1.) * Pcont(w2),
+    with absolute discount d = 0.75 and the CONTINUATION probability
+    Pcont(w2) = N1+(.w2) / |bigram types| (how many distinct contexts
+    a word follows — the insight that makes KN beat add-k). Returns
+    the 20 highest-probability bigrams (rounded-prob order, (w1, w2)
+    tiebreak so the cut is engine-deterministic).
+
+    Scale shape: bigrams come from the map-side positional self-zip
+    (join-free, same trick as text_bigram_lm); ALL statistics live at
+    vocab/bigram-type grain after one (w1, w2) aggregate with map-side
+    combine — c(w1.) and N1+(w1.) fold out of the SAME groupBy(w1)
+    pass, N1+(.w2) out of one groupBy(w2) pass, and the final top-20
+    is a TakeOrdered, never a single-partition window. The corpus is
+    touched exactly once."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.split("text", " ").alias("t"))
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bigc.groupBy("w1").agg(
+        F.sum("cb").cast("double").alias("c1"),
+        F.count(F.lit(1)).cast("double").alias("n1f"),
+    )
+    rev = bigc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n1r")
+    )
+    tot = bigc.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    p_kn = F.round(
+        F.greatest(F.col("cb") - 0.75, F.lit(0.0)) / F.col("c1")
+        + ((F.lit(0.75) * F.col("n1f")) / F.col("c1"))
+        * (F.col("n1r") / F.col("nt")),
+        6,
+    )
+    return (
+        bigc.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(rev), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("cb").cast("bigint").alias("cb"),
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib is not expressible in DuckDB SQL; pytest pins
+    # the exact ratios against direct zlib calls on the same rows.
+    tags=("text", "quality", "udf"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate(level 6) bytes over
+    raw UTF-8 bytes per document — the cheap redundancy detector LLM
+    curation stacks use alongside repetition scores (boilerplate and
+    template spam compress far below prose; Gopher/MassiveText filter
+    on exactly this). Emits the ratio plus the corpus decile so the
+    downstream keep/drop cut is rank-based, not threshold-based.
+
+    Scale shape: one Arrow-batched pandas UDF (zlib is C-speed and
+    releases the GIL; the batch transfer dominates) over a map-only
+    pass — no shuffle until the bounded decile NTILE, which runs on
+    the distributed range-partition primitive (operators/ranking.py),
+    never a single-partition window. The kernel lives in
+    operators/udfs.py (module-level pandas, so the Arrow type hints
+    resolve) and ships by value per the worker-shipping rule."""
+    from ..operators.ranking import with_global_ntile
+
+    _zlen = U.deflate_len_udf()
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        _zlen(F.col("text")).alias("z_bytes"),
+    )
+    scored = d.select(
+        "doc_id",
+        "n_bytes",
+        "z_bytes",
+        F.round(F.col("z_bytes") / F.col("n_bytes"), 4).alias("ratio"),
+    )
+    tiled = with_global_ntile(
+        scored, [F.col("ratio"), F.col("doc_id")], 10, "decile"
+    )
+    return tiled.select(
+        "doc_id", "n_bytes", "z_bytes", "ratio",
+        F.col("decile").cast("int").alias("decile"),
+    )

@@ -88,6 +88,8 @@ _WINDOW_PRIORITY: list[str] = [
     "ts_resample_ohlc", "graph_label_propagation",
     "sink_zorder", "embedding_mrl_truncate",
     "text_feature_hashing", "ts_changepoint_binseg",
+    "embedding_pca_power", "geo_grid_knn", "mv_incremental_agg",
+    "ts_seasonal_decompose", "text_kneser_ney",
     # --- stalest evidence refresh: r1-green keys, driver rows now
     #     five rounds old (scan/sink/join/agg/TPC-H core) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",
@@ -141,7 +143,7 @@ _WINDOW_PRIORITY: list[str] = [
     "kmeans_fit_converged", "agg_hll_sketch",
     "streaming_late_data", "text_tfidf",
     "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
-    "sim_lsh_topk", "text_quality_train",
+    "sim_lsh_topk", "text_quality_train", "text_compression_ratio",
 ]
 
 

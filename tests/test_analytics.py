@@ -562,3 +562,101 @@ def test_ts_changepoint_binseg_matches_numpy(spark, sf_dir):
         assert got[et][1] == pytest.approx(round(stat[best], 6), abs=1e-6)
         assert got[et][2] == pytest.approx(round(mean_l[best], 6), abs=1e-6)
         assert got[et][3] == pytest.approx(round(mean_r[best], 6), abs=1e-6)
+
+
+def test_geo_grid_knn_matches_python(spark, sf_dir):
+    """Recompute the grid-bounded kNN with pure Python haversine over
+    the same 3x3 cell neighborhood and compare the full (query,
+    neighbor, rank) relation."""
+    import math
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pts = {
+        int(r.vec_id): (float(r.embedding[0]) * 100, float(r.embedding[1]) * 100)
+        for r in emb.itertuples()
+    }
+    cell = 80.0 / math.ceil(math.sqrt(len(pts) / 20.0))
+    cells = collections.defaultdict(list)
+    for vid, (la, lo) in pts.items():
+        cells[(math.floor(la / cell), math.floor(lo / cell))].append(vid)
+
+    def hav(q, t):
+        qla, qlo = pts[q]
+        tla, tlo = pts[t]
+        h = (
+            math.sin(math.radians(tla - qla) / 2) ** 2
+            + math.cos(math.radians(qla))
+            * math.cos(math.radians(tla))
+            * math.sin(math.radians(tlo - qlo) / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(h))
+
+    want = {}
+    for vid, (la, lo) in pts.items():
+        cy, cx = math.floor(la / cell), math.floor(lo / cell)
+        cand = [
+            t
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            for t in cells.get((cy + dy, cx + dx), [])
+            if t != vid
+        ]
+        ranked = sorted(cand, key=lambda t: (hav(vid, t), t))[:3]
+        for rk, t in enumerate(ranked, 1):
+            want[(vid, t)] = (rk, round(hav(vid, t), 4))
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["dist_km"])
+        for r in _q("geo_grid_knn")(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mv_incremental_merge_equals_recompute(spark, sf_dir):
+    """merge(base, delta) must equal the full pandas recompute — and
+    the split must actually cut the data (both partials non-empty)."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["ym"] = o["o_orderdate"].dt.strftime("%Y-%m")
+    n_base = (o["o_orderdate"] < "1997-01-01").sum()
+    assert 0 < n_base < len(o)
+    exp = {
+        (ym, st): (len(g), round(g["o_totalprice"].sum(), 2))
+        for (ym, st), g in o.groupby(["ym", "o_orderstatus"])
+    }
+    got = {
+        (r["ym"], r["o_orderstatus"]): (r["cnt"], r["total"])
+        for r in _q("mv_incremental_agg")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (cnt, tot) in exp.items():
+        assert got[k][0] == cnt
+        assert got[k][1] == pytest.approx(tot, abs=0.02)
+
+
+def test_ts_seasonal_decompose_matches_pandas(spark, sf_dir):
+    """Recompute trend/seasonal/resid with pandas rolling + groupby and
+    check the decomposition identity value = trend + seasonal + resid."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.assign(day=o["o_orderdate"].dt.normalize())
+        .groupby("day")["o_totalprice"]
+        .sum()
+        .sort_index()
+    )
+    trend = daily.rolling(7, center=True, min_periods=1).mean()
+    dow = (daily.index.dayofweek + 1) % 7  # pandas Mon=0 -> DuckDB Sun=0
+    detr = daily - trend
+    s0 = detr.groupby(dow).mean()
+    seas = s0 - s0.mean()
+    rows = _q("ts_seasonal_decompose")(spark, sf_dir).collect()
+    assert len(rows) == len(daily)
+    got = {r["day"]: r for r in rows}
+    for day, val in daily.items():
+        key = day.strftime("%Y-%m-%d")
+        r = got[key]
+        d = (day.dayofweek + 1) % 7
+        assert r["value"] == pytest.approx(round(val, 2), abs=0.02)
+        assert r["trend"] == pytest.approx(trend[day], abs=0.02)
+        assert r["seasonal"] == pytest.approx(seas[d], abs=0.02)
+        assert r["value"] - r["trend"] - r["seasonal"] == pytest.approx(
+            r["resid"], abs=0.05
+        )

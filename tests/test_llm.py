@@ -650,3 +650,90 @@ def test_quality_train_recovers_literal_model(spark, sf_dir):
     assert tot == len(docs)
     agree = d.get((0, 0), 0) + d.get((1, 1), 0)
     assert agree / tot >= 0.93
+
+
+def test_embedding_pca_power_matches_numpy(spark, sf_dir):
+    """Replicate the two unrolled power iterations (v0 = 1/8, sign
+    canonicalized on the max-|loading| dim) with dense numpy and check
+    the distributed implicit-matvec result matches; the Rayleigh
+    eigenvalue must also dominate a random direction's quotient."""
+    import pandas as pd
+
+    rows = specs()["embedding_pca_power"].fn(spark, sf_dir).collect()
+    assert len(rows) == 64
+    got_v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    got_lam = rows[0]["eigenvalue"]
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    v = np.full(64, 0.125)
+    for _ in range(2):
+        u = X.T @ (X @ v)
+        v = u / np.linalg.norm(u)
+    im = np.lexsort((np.arange(64), -np.abs(v)))[0]
+    if v[im] < 0:
+        v = -v
+    lam = float(((X @ v) ** 2).sum()) / len(X)
+    assert np.allclose(got_v, np.round(v, 6), atol=2e-6)
+    assert got_lam == pytest.approx(lam, abs=1e-4)
+    rng = np.random.default_rng(0)
+    r = rng.normal(size=64)
+    r /= np.linalg.norm(r)
+    assert lam >= ((X @ r) ** 2).sum() / len(X)
+
+
+def test_text_kneser_ney_matches_python(spark, sf_dir):
+    """Recompute interpolated KN bigram probabilities with pure-Python
+    counts and verify the top-20 cut (rounded-prob order, (w1,w2)
+    tiebreak)."""
+    import collections
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bigc = collections.Counter()
+    for t in docs["text"]:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            bigc[(a, b)] += 1
+    c1 = collections.Counter()
+    n1f = collections.Counter()
+    n1r = collections.Counter()
+    for (a, b), c in bigc.items():
+        c1[a] += c
+        n1f[a] += 1
+        n1r[b] += 1
+    nt = float(len(bigc))
+    want = []
+    for (a, b), c in bigc.items():
+        p = max(c - 0.75, 0.0) / c1[a] + ((0.75 * n1f[a]) / c1[a]) * (n1r[b] / nt)
+        want.append((round(p, 6), a, b, c))
+    want.sort(key=lambda t: (-t[0], t[1], t[2]))
+    rows = specs()["text_kneser_ney"].fn(spark, sf_dir).collect()
+    got = [(r["p_kn"], r["w1"], r["w2"], r["cb"]) for r in rows]
+    assert got == [(p, a, b, c) for p, a, b, c in want[:20]]
+
+
+def test_text_compression_ratio_is_exact_zlib(spark, sf_dir):
+    """This key is rows-only (zlib is not SQL-expressible) so THIS test
+    is its oracle: byte counts and ratio must equal direct zlib calls
+    row-for-row, and the decile column must be a valid NTILE(10) over
+    (ratio, doc_id) order."""
+    import collections
+    import zlib
+    import pandas as pd
+
+    rows = specs()["text_compression_ratio"].fn(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+    assert len(rows) == len(docs)
+    for r in rows:
+        raw = docs.loc[r["doc_id"], "text"].encode("utf-8")
+        z = len(zlib.compress(raw, 6))
+        assert r["n_bytes"] == len(raw)
+        assert r["z_bytes"] == z
+        assert r["ratio"] == round(z / len(raw), 4)
+    ordered = sorted(rows, key=lambda r: (r["ratio"], r["doc_id"]))
+    tiles = [r["decile"] for r in ordered]
+    assert tiles == sorted(tiles)  # non-decreasing along the sort order
+    sizes = collections.Counter(tiles)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1

@@ -86,6 +86,12 @@ PROBES = [
     ("embedding_mrl_truncate", "embeddings"),
     ("text_feature_hashing", "documents"),
     ("ts_changepoint_binseg", "events"),
+    ("embedding_pca_power", "embeddings"),
+    ("geo_grid_knn", "embeddings"),
+    ("mv_incremental_agg", "orders"),
+    ("ts_seasonal_decompose", "orders"),
+    ("text_kneser_ney", "documents"),
+    ("text_compression_ratio", "documents"),
 ]
 
 
