@@ -163,6 +163,8 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "text_kneser_ney",
     "text_compression_ratio",
+    "agg_kmv_setops",
+    "graph_shortest_paths",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

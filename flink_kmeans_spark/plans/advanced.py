@@ -4076,3 +4076,200 @@ def mv_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("total_p"), 2).alias("total"),
         )
     )
+
+
+_KMV_SETOPS_ORACLE = """
+    WITH u AS (
+      SELECT DISTINCT event_type,
+             user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1
+    ),
+    sk AS (
+      SELECT event_type, hv
+      FROM (SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM u)
+      WHERE rn <= 64
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM cnt a JOIN cnt b ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM u x JOIN u y ON x.user_id = y.user_id
+                       AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT p.type_a, p.type_b, s.hv,
+             MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT type_a, type_b, hv, in_a, in_b,
+             ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+      FROM merged
+    ),
+    agg AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS mu,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS x64,
+             SUM(CASE WHEN rn <= 64 AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS k_both
+      FROM top GROUP BY 1, 2
+    )
+    SELECT a.type_a, a.type_b,
+           ca.n + cb.n - COALESCE(i.exact_inter, 0) AS exact_union,
+           COALESCE(i.exact_inter, 0) AS exact_inter,
+           ROUND(CASE WHEN a.mu < 64 THEN CAST(a.mu AS DOUBLE)
+                      ELSE 63.0 / (CAST(a.x64 AS DOUBLE) / 1152921504606846976.0)
+                 END, 4) AS est_union,
+           ROUND(CASE WHEN a.mu < 64 THEN CAST(a.k_both AS DOUBLE)
+                      ELSE (CAST(a.k_both AS DOUBLE) / 64.0)
+                           * (63.0 / (CAST(a.x64 AS DOUBLE) / 1152921504606846976.0))
+                 END, 4) AS est_inter,
+           ABS(CASE WHEN a.mu < 64 THEN CAST(a.mu AS DOUBLE)
+                    ELSE 63.0 / (CAST(a.x64 AS DOUBLE) / 1152921504606846976.0)
+               END - (ca.n + cb.n - COALESCE(i.exact_inter, 0)))
+             / (ca.n + cb.n - COALESCE(i.exact_inter, 0)) <= 0.35 AS union_in_corridor
+    FROM agg a
+    JOIN cnt ca ON ca.event_type = a.type_a
+    JOIN cnt cb ON cb.event_type = a.type_b
+    LEFT JOIN inter i ON i.type_a = a.type_a AND i.type_b = a.type_b
+"""
+
+
+@register(
+    "agg_kmv_setops",
+    oracle=_KMV_SETOPS_ORACLE,
+    tags=("agg", "sketch"),
+)
+def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the property that makes sketch
+    families useful at 100 TB is MERGEABILITY: two k=64 KMV user
+    sketches (one per event_type segment) merge into a union sketch
+    (the 64 smallest of the combined hash sets), the union cardinality
+    is (k-1)/x_(k) of the merged sketch, and the intersection follows
+    from the Jaccard estimator J = |top-64 hashes present in BOTH
+    sketches| / 64 scaled by the union estimate — the exact algebra
+    DataSketches' theta-sketch union/intersect performs. Built on the
+    engine-portable 60-bit md5-prefix hash so the ESTIMATES are
+    hash-verified bit-for-bit cross-engine, alongside exact
+    union/intersection counts and the deterministic ±35%% union
+    corridor (k=64 => SE ~12.7%%).
+
+    Scale shape: the corpus-sized work is ONE (segment, user) distinct
+    collapse; sketches are <= 64 rows per segment (broadcast grain)
+    and every pairwise merge happens at sketch grain — segments^2 x 128
+    rows, never user grain. The exact counts (the verification
+    corridor, dropped in production) reuse the same distinct collapse;
+    groups below k fall back to exact per the standard KMV rule."""
+    from ..functions.hashing import portable_hash60
+
+    TWO60 = float(1 << 60)
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            portable_hash60(F.col("user_id").cast("string")).alias("hv"),
+        )
+        .distinct()
+    )
+    cnt = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        u.select("event_type", "hv")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
+    pairs = (
+        cnt.select(F.col("event_type").alias("type_a"))
+        .join(
+            cnt.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    inter = (
+        u.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            u.select(F.col("event_type").alias("type_b"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w2 = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    agg = (
+        merged.withColumn("rn", F.row_number().over(w2))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("mu"),
+            F.max(F.when(F.col("rn") == 64, F.col("hv"))).alias("x64"),
+            F.sum(
+                F.when(
+                    (F.col("rn") <= 64) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("k_both"),
+        )
+    )
+    est_u = F.when(F.col("mu") < 64, F.col("mu").cast("double")).otherwise(
+        63.0 / (F.col("x64").cast("double") / F.lit(TWO60))
+    )
+    est_i = F.when(F.col("mu") < 64, F.col("k_both").cast("double")).otherwise(
+        (F.col("k_both").cast("double") / 64.0)
+        * (63.0 / (F.col("x64").cast("double") / F.lit(TWO60)))
+    )
+    exact_union = F.col("n_a") + F.col("n_b") - F.coalesce(
+        F.col("exact_inter"), F.lit(0)
+    )
+    return (
+        agg.join(
+            F.broadcast(cnt.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            exact_union.cast("bigint").alias("exact_union"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).cast("bigint").alias("exact_inter"),
+            F.round(est_u, 4).alias("est_union"),
+            F.round(est_i, 4).alias("est_inter"),
+            (F.abs(est_u - exact_union) / exact_union <= 0.35).alias(
+                "union_in_corridor"
+            ),
+        )
+    )

@@ -2382,3 +2382,115 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resid"),
         F.round((F.col("resid") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
     )
+
+
+_SSSP_ORACLE = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+      WHERE a.l_partkey < c.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    srcs AS (
+      SELECT DISTINCT src AS s FROM und ORDER BY s LIMIT 3
+    ),
+    d0 AS (SELECT s, s AS node, 0 AS dist FROM srcs),
+    d1 AS (
+      SELECT s, node, MIN(dist) AS dist FROM (
+        SELECT s, node, dist FROM d0
+        UNION ALL
+        SELECT d.s, u.src AS node, d.dist + 1 AS dist
+        FROM d0 d JOIN und u ON u.dst = d.node
+      ) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT s, node, MIN(dist) AS dist FROM (
+        SELECT s, node, dist FROM d1
+        UNION ALL
+        SELECT d.s, u.src AS node, d.dist + 1 AS dist
+        FROM d1 d JOIN und u ON u.dst = d.node
+      ) GROUP BY 1, 2
+    ),
+    d3 AS (
+      SELECT s, node, MIN(dist) AS dist FROM (
+        SELECT s, node, dist FROM d2
+        UNION ALL
+        SELECT d.s, u.src AS node, d.dist + 1 AS dist
+        FROM d2 d JOIN und u ON u.dst = d.node
+      ) GROUP BY 1, 2
+    )
+    SELECT s AS source_part, node AS part_id, CAST(dist AS INTEGER) AS dist
+    FROM d3
+"""
+
+
+@register(
+    "graph_shortest_paths",
+    oracle=_SSSP_ORACLE,
+    tags=("graph",),
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source unweighted shortest paths (GraphX
+    ``ShortestPaths`` landmark semantics): BFS distance from each of
+    the 3 smallest part ids to every part reachable within 3 hops of
+    the part co-purchase graph (same edge construction as
+    graph_label_propagation). Three fixed synchronous relaxation
+    rounds — dist(v) = min(dist(v), min over in-neighbors dist(u)+1) —
+    make the unroll exactly SQL-expressible; unreachable-within-3
+    nodes are absent, exactly as in the oracle. Edge generation uses
+    the basket collect_set + map-side ordered-pair explode (two
+    shuffles, NO self-join — the mining_cooccurrence probe lesson:
+    the orderkey self-join falls off the broadcast cliff at scale).
+
+    Scale shape: each round is one shuffle join of the distance table
+    against the edge list on dst plus one (source, node) MIN aggregate
+    with map-side combine — the Pregel superstep shape; distances
+    shuffle, never adjacency payloads. Landmark count is a constant
+    (3), so state is O(3·V). Production BFS joins only the FRONTIER
+    delta per round (rows whose dist changed); the fixed-depth unroll
+    keeps the full table in the join so both engines relax the
+    identical relation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    srcs = (
+        und.select(F.col("src").alias("s"))
+        .distinct()
+        .orderBy("s")
+        .limit(3)
+    )
+    d = srcs.select("s", F.col("s").alias("node"), F.lit(0).alias("dist"))
+    for _ in range(3):
+        relaxed = d.join(
+            und, d["node"] == und["dst"]
+        ).select("s", F.col("src").alias("node"), (F.col("dist") + 1).alias("dist"))
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("s", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return d.select(
+        F.col("s").alias("source_part"),
+        F.col("node").alias("part_id"),
+        F.col("dist").cast("int").alias("dist"),
+    )

@@ -660,3 +660,86 @@ def test_ts_seasonal_decompose_matches_pandas(spark, sf_dir):
         assert r["value"] - r["trend"] - r["seasonal"] == pytest.approx(
             r["resid"], abs=0.05
         )
+
+
+def test_agg_kmv_setops_matches_python(spark, sf_dir):
+    """Recompute exact + KMV union/intersection estimates from raw
+    events with hashlib md5 and assert the sketch algebra row-for-row;
+    the union estimate must also genuinely sit in its corridor here."""
+    import hashlib
+
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "user_id"]]
+    users = {t: set(g["user_id"]) for t, g in e.groupby("event_type")}
+
+    def h60(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+    sk = {
+        t: sorted(h60(u) for u in us)[:64] for t, us in users.items()
+    }
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in _q("agg_kmv_setops")(spark, sf_dir).collect()
+    }
+    types = sorted(users)
+    n_pairs = 0
+    for i, a in enumerate(types):
+        for b_ in types[i + 1:]:
+            n_pairs += 1
+            r = got[(a, b_)]
+            exact_i = len(users[a] & users[b_])
+            exact_u = len(users[a] | users[b_])
+            assert r["exact_inter"] == exact_i
+            assert r["exact_union"] == exact_u
+            merged = sorted(set(sk[a]) | set(sk[b_]))
+            mu = len(merged)
+            if mu < 64:
+                est_u = float(mu)
+                k_both = len(set(sk[a]) & set(sk[b_]))
+                est_i = float(k_both)
+            else:
+                x64 = merged[63]
+                est_u = 63.0 / (x64 / float(1 << 60))
+                k_both = sum(
+                    1 for hv in merged[:64] if hv in set(sk[a]) and hv in set(sk[b_])
+                )
+                est_i = (k_both / 64.0) * est_u
+            assert r["est_union"] == pytest.approx(round(est_u, 4), abs=1e-3)
+            assert r["est_inter"] == pytest.approx(round(est_i, 4), abs=1e-3)
+            assert r["union_in_corridor"] == (abs(est_u - exact_u) / exact_u <= 0.35)
+            assert r["union_in_corridor"]  # the sketch must actually be good here
+    assert len(got) == n_pairs
+
+
+def test_graph_shortest_paths_matches_python_bfs(spark, sf_dir):
+    """Recompute 3-hop BFS distances from the 3 landmark sources with a
+    pure-Python adjacency walk."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    adj = collections.defaultdict(set)
+    for _, g in li.drop_duplicates().groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                adj[a].add(b)
+                adj[b].add(a)
+    nodes = sorted(adj)
+    srcs = nodes[:3]
+    want = {}
+    for s in srcs:
+        dist = {s: 0}
+        frontier = [s]
+        for depth in (1, 2, 3):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = depth
+                        nxt.append(v)
+            frontier = nxt
+        for node, d_ in dist.items():
+            want[(s, node)] = d_
+    got = {
+        (r["source_part"], r["part_id"]): r["dist"]
+        for r in _q("graph_shortest_paths")(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -92,6 +92,8 @@ PROBES = [
     ("ts_seasonal_decompose", "orders"),
     ("text_kneser_ney", "documents"),
     ("text_compression_ratio", "documents"),
+    ("agg_kmv_setops", "events"),
+    ("graph_shortest_paths", "lineitem"),
 ]
 
 
