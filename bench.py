@@ -165,6 +165,8 @@ HEADLINE = [
     "text_compression_ratio",
     "agg_kmv_setops",
     "graph_shortest_paths",
+    "multimodal_audio_spectrogram",
+    "table_diff",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -4273,3 +4273,91 @@ def agg_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TABLE_DIFF_ORACLE = """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_orderkey % 101 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_orderstatus AS old_status,
+           n.o_orderstatus AS new_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_orderstatus <> n.o_orderstatus
+       OR o.o_totalprice <> n.o_totalprice
+"""
+
+
+@register(
+    "table_diff",
+    oracle=_TABLE_DIFF_ORACLE,
+    tags=("lakehouse", "cdc"),
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot DIFF (Delta/Iceberg table-changes shape, the
+    reconciliation report every migration/backfill validates with):
+    two keyed snapshots of the orders table — 'old' is the pre-cutoff
+    history, 'new' extends the window, drops every 101st key
+    (simulating GDPR erasure) and rewrites every 97th key's status
+    (simulating a correction batch) — full-outer joined on the key and
+    classified added / removed / changed; unchanged rows are filtered
+    OUT before anything leaves the join, so the diff output is
+    delta-sized, not table-sized.
+
+    Scale shape: ONE key-partitioned full-outer sort-merge join (both
+    sides shuffle on the join key exactly once); the unchanged-row
+    filter runs inside the join stage so only the delta survives to
+    the exchange boundary. At 100 TB this is the standard snapshot
+    reconciliation plan — bucketed/Z-ordered snapshots co-locate the
+    join and the filter keeps the output proportional to churn."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-07-01").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_total"),
+    )
+    new = (
+        o.filter(
+            (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("o_orderkey") % 101 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("new_status"),
+            F.col("o_totalprice").alias("new_total"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return (
+        j.filter(
+            F.col("old_status").isNull()
+            | F.col("new_status").isNull()
+            | (F.col("old_status") != F.col("new_status"))
+            | (F.col("old_total") != F.col("new_total"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("old_status").isNull(), "added")
+            .when(F.col("new_status").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            "old_status",
+            "new_status",
+        )
+    )

@@ -3347,3 +3347,52 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bytes", "z_bytes", "ratio",
         F.col("decile").cast("int").alias("decile"),
     )
+
+
+@register(
+    "multimodal_audio_spectrogram",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 800 + (doc_id % 7) * 160 AS n
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    i AS (
+      SELECT doc_id, n, unnest(range(n)) AS i FROM g
+    ),
+    s AS (
+      SELECT doc_id, n, i,
+             CAST((doc_id * 131 + i * 17) % 2003 - 1001 AS DOUBLE) AS v
+      FROM i
+    ),
+    k AS (SELECT unnest([1, 2, 3]) AS k),
+    t AS (
+      SELECT doc_id, k.k,
+             SUM(v * COS(((2 * PI() * k.k) * i) / n)) AS re,
+             SUM(v * SIN(((2 * PI() * k.k) * i) / n)) AS im
+      FROM s, k GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(k AS INTEGER) AS k,
+           ROUND(LOG10(re * re + im * im + 1.0), 4) AS log_energy
+    FROM t
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features over REAL decoded WAV bytes: a
+    single-frame DFT at 3 discrete bins per clip (log10 band energy) —
+    the fingerprint/feature kernel audio curation runs after VAD; a
+    full mel-spectrogram is this batched over frames. The clip subset
+    (doc_id % 10 = 0) keeps the trig-heavy ORACLE tractable at sweep
+    scale; the Spark side decodes the actual RIFF/WAVE payloads while
+    DuckDB recomputes the identical DFT from the generation formula —
+    a hash match proves byte → PCM16 → spectrum end to end.
+
+    Scale shape: decode + DFT run vectorized (numpy) inside one
+    mapInPandas Arrow pass — embarrassingly parallel scan work, no
+    shuffle at all; O(N·bins) per clip. Band energies are compared on
+    a LOG scale (4 dp), where the cross-engine trig/summation drift
+    (~1e-12 relative) is far below the rounding quantum."""
+    media = MM.to_audio_table(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    )
+    return MM.spectrogram_audio_media(media)

@@ -116,3 +116,38 @@ def test_attribution_conserves_value(spark, sf_oracle_dir):
     # conservation holds to n_clicks * 0.5e-4 absolute slack
     slack = 5e-5 * max(len(attr), 1)
     assert attr["attributed_value"].sum() == pytest.approx(touched_value, abs=slack)
+
+
+def test_table_diff_matches_pandas(spark, sf_dir):
+    """Recompute the snapshot diff with pandas set logic: added =
+    new-only keys, removed = old-only keys, changed = both-sides keys
+    whose status or total differs; unchanged rows must be absent."""
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    old = o[o["o_orderdate"] < "1997-07-01"][
+        ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ]
+    new = o[(o["o_orderdate"] < "1998-01-01") & (o["o_orderkey"] % 101 != 0)].copy()
+    new["o_orderstatus"] = new["o_orderstatus"].where(
+        new["o_orderkey"] % 97 != 0, "X"
+    )
+    new = new[["o_orderkey", "o_orderstatus", "o_totalprice"]]
+    om = old.set_index("o_orderkey")
+    nm = new.set_index("o_orderkey")
+    want = {}
+    for k in om.index.difference(nm.index):
+        want[k] = ("removed", om.loc[k, "o_orderstatus"], None)
+    for k in nm.index.difference(om.index):
+        want[k] = ("added", None, nm.loc[k, "o_orderstatus"])
+    both = om.index.intersection(nm.index)
+    for k in both:
+        if (
+            om.loc[k, "o_orderstatus"] != nm.loc[k, "o_orderstatus"]
+            or om.loc[k, "o_totalprice"] != nm.loc[k, "o_totalprice"]
+        ):
+            want[k] = ("changed", om.loc[k, "o_orderstatus"], nm.loc[k, "o_orderstatus"])
+    rows = _q("table_diff")(spark, sf_dir).collect()
+    got = {r["o_orderkey"]: (r["change_type"], r["old_status"], r["new_status"]) for r in rows}
+    assert got == want
+    assert {"added", "removed", "changed"} <= {t for t, _, _ in got.values()}

@@ -737,3 +737,28 @@ def test_text_compression_ratio_is_exact_zlib(spark, sf_dir):
     sizes = collections.Counter(tiles)
     assert set(sizes) == set(range(1, 11))
     assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_multimodal_audio_spectrogram_matches_numpy(spark, sf_dir):
+    """Recompute the 3-bin DFT log energies from the closed-form
+    sample generator with numpy and compare every (clip, bin) row."""
+    import pandas as pd
+
+    rows = specs()["multimodal_audio_spectrogram"].fn(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    dids = sorted(int(d) for d in docs["doc_id"] if d % 10 == 0)
+    want = {}
+    for did in dids:
+        n = 800 + (did % 7) * 160
+        v = np.array([((did * 131 + i * 17) % 2003) - 1001 for i in range(n)],
+                     dtype=np.float64)
+        i = np.arange(n, dtype=np.float64)
+        for k in (1, 2, 3):
+            ang = ((2 * np.pi * k) * i) / n
+            re = float((v * np.cos(ang)).sum())
+            im = float((v * np.sin(ang)).sum())
+            want[(did, k)] = round(float(np.log10(re * re + im * im + 1.0)), 4)
+    got = {(r["doc_id"], r["k"]): r["log_energy"] for r in rows}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=2e-4)

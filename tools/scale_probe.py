@@ -94,6 +94,8 @@ PROBES = [
     ("text_compression_ratio", "documents"),
     ("agg_kmv_setops", "events"),
     ("graph_shortest_paths", "lineitem"),
+    ("multimodal_audio_spectrogram", "documents"),
+    ("table_diff", "orders"),
 ]
 
 
