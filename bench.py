@@ -150,7 +150,6 @@ HEADLINE = [
     "text_bpe_train",
     "pipeline_rag",
     "text_quality_train",
-    "mining_cooccurrence",
     "ts_resample_ohlc",
     "graph_label_propagation",
     "sink_zorder",
@@ -167,6 +166,7 @@ HEADLINE = [
     "graph_shortest_paths",
     "multimodal_audio_spectrogram",
     "table_diff",
+    "source_python_stream",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -4361,3 +4361,89 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_status",
         )
     )
+
+
+_PDS_STREAM_RUN = [0]
+
+
+@register(
+    "source_python_stream",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i * i) AS BIGINT) AS sum_sq
+    FROM range(10000) t(i)
+    GROUP BY 1
+    """,
+    tags=("source", "streaming", "python-datasource"),
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Python Data Source API (Spark
+    4's ``SimpleDataSourceStreamReader``): offset tracking
+    (initialOffset → read(start) → nextOffset), replay
+    (readBetweenOffsets — exactly-once on failure), and a bounded
+    deterministic sequence drained across FOUR real micro-batches with
+    processAllAvailable (availableNow snapshots only the first simple-
+    reader batch — measured, hence the drain choice). The streamed
+    rows land in a memory sink and are re-aggregated batch-side; the
+    oracle recomputes the closed form, so offset bookkeeping bugs
+    (dropped/duplicated batches) break the hash.
+
+    Scale shape: the simple-reader path intentionally trades partition
+    parallelism for offset simplicity (it reads driver-side per batch
+    — Spark's documented contract for low-volume streams); the
+    partitioned ``DataSourceStreamReader`` planning splits executor-
+    side is the 100 TB path and its batch twin is exercised by
+    source_python_datasource. Classes are defined in-function so they
+    ship by value (repo worker-serialization contract)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_total, batch = 10_000, 2_500
+
+    class SeqReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            s = start["i"]
+            if s >= n_total:
+                return iter([]), {"i": s}
+            end = min(s + batch, n_total)
+            return iter([(i, i * i) for i in range(s, end)]), {"i": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([(i, i * i) for i in range(start["i"], end["i"])])
+
+    class SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "seq_stream_gen"
+
+        def schema(self):
+            return "i bigint, sq bigint"
+
+        def simpleStreamReader(self, schema):
+            return SeqReader()
+
+    spark.dataSource.register(SeqStreamSource)
+    _PDS_STREAM_RUN[0] += 1
+    qname = f"pds_stream_{_PDS_STREAM_RUN[0]}"
+    q = (
+        spark.readStream.format("seq_stream_gen")
+        .load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(qname)
+        .groupBy((F.col("i") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("sum_sq"),
+        )
+    )

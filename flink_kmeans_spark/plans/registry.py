@@ -91,7 +91,7 @@ _WINDOW_PRIORITY: list[str] = [
     "embedding_pca_power", "geo_grid_knn", "mv_incremental_agg",
     "ts_seasonal_decompose", "text_kneser_ney",
     "agg_kmv_setops", "graph_shortest_paths",
-    "multimodal_audio_spectrogram", "table_diff",
+    "multimodal_audio_spectrogram", "table_diff", "source_python_stream",
     # --- stalest evidence refresh: r1-green keys, driver rows now
     #     five rounds old (scan/sink/join/agg/TPC-H core) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",

@@ -151,3 +151,19 @@ def test_table_diff_matches_pandas(spark, sf_dir):
     got = {r["o_orderkey"]: (r["change_type"], r["old_status"], r["new_status"]) for r in rows}
     assert got == want
     assert {"added", "removed", "changed"} <= {t for t, _, _ in got.values()}
+
+
+def test_source_python_stream_drains_exactly_once(spark, sf_dir):
+    """The streaming Python data source must deliver every generated
+    row exactly once across its micro-batches — and a SECOND run in
+    the same session must work (fresh query name, re-registration)."""
+    import collections
+
+    for _ in range(2):
+        rows = _q("source_python_stream")(spark, sf_dir).collect()
+        got = {r["bucket"]: (r["n"], r["sum_sq"]) for r in rows}
+        want = collections.defaultdict(lambda: [0, 0])
+        for i in range(10_000):
+            want[i % 7][0] += 1
+            want[i % 7][1] += i * i
+        assert got == {b: tuple(v) for b, v in want.items()}
