@@ -167,6 +167,8 @@ HEADLINE = [
     "multimodal_audio_spectrogram",
     "table_diff",
     "source_python_stream",
+    "ts_autocorrelation",
+    "data_kanonymity",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -2505,3 +2505,120 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_id"),
         F.col("dist").cast("int").alias("dist"),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS value
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT value,
+             LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+             LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+             LAG(value, 5) OVER w AS l5, LAG(value, 6) OVER w AS l6,
+             LAG(value, 7) OVER w AS l7
+      FROM daily WINDOW w AS (ORDER BY day)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CORR(value, l1), 4) AS acf1, ROUND(CORR(value, l2), 4) AS acf2,
+           ROUND(CORR(value, l3), 4) AS acf3, ROUND(CORR(value, l4), 4) AS acf4,
+           ROUND(CORR(value, l5), 4) AS acf5, ROUND(CORR(value, l6), 4) AS acf6,
+           ROUND(CORR(value, l7), 4) AS acf7
+    FROM lagged
+    """,
+    tags=("timeseries", "stats"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily revenue series at lags 1-7 —
+    the seasonality diagnostic read before fitting any forecast model
+    (a weekly cycle shows as an acf7 spike; compare
+    forecast_snaive_backtest, which assumes exactly that). Pairwise-
+    complete Pearson ACF: CORR(x_t, x_{t-l}) over the LAG-aligned
+    pairs, the same estimator both engines' CORR computes.
+
+    Scale shape: corpus-sized work is the ONE daily pre-aggregate;
+    the lag window runs at calendar grain (~2,500 rows — bounded by
+    the calendar, not the data), and all seven correlations fold in a
+    single aggregate pass over that tiny series (one row out)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("value"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "value",
+        *[F.lag("value", i).over(w).alias(f"l{i}") for i in range(1, 8)],
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        *[
+            F.round(F.corr("value", f"l{i}"), 4).alias(f"acf{i}")
+            for i in range(1, 8)
+        ],
+    )
+
+
+@register(
+    "data_kanonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp_n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           ROUND(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) * 1.0
+                 / SUM(grp_n), 6) AS risk_rate,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group,
+           CAST(SUM(CASE WHEN grp_n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS unique_rows
+    FROM q
+    """,
+    tags=("privacy", "quality"),
+)
+def data_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 5) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): any group smaller
+    than k re-identifies its members, so the release gate reports how
+    many equivalence classes and rows fall below k, the singleton
+    ('unique row') count, and the overall risk rate — the measurement
+    half of the privacy pipeline whose deletion half is
+    gdpr_user_erasure.
+
+    Scale shape: ONE hash aggregate at quasi-identifier grain (map-
+    side combined — the group count is bounded by the QI domain, not
+    the row count), then a one-row fold over the group table. No
+    joins, no windows; at 100 TB this is a single shuffle of partial
+    group counts."""
+    q = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    below = F.when(F.col("grp_n") < 5, 1).otherwise(0)
+    below_rows = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(below).cast("bigint").alias("groups_below_k"),
+        F.sum(below_rows).cast("bigint").alias("rows_at_risk"),
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.round(F.sum(below_rows) * 1.0 / F.sum("grp_n"), 6).alias("risk_rate"),
+        F.min("grp_n").cast("bigint").alias("min_group"),
+        F.sum(F.when(F.col("grp_n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("unique_rows"),
+    )

@@ -92,6 +92,7 @@ _WINDOW_PRIORITY: list[str] = [
     "ts_seasonal_decompose", "text_kneser_ney",
     "agg_kmv_setops", "graph_shortest_paths",
     "multimodal_audio_spectrogram", "table_diff", "source_python_stream",
+    "ts_autocorrelation", "data_kanonymity",
     # --- stalest evidence refresh: r1-green keys, driver rows now
     #     five rounds old (scan/sink/join/agg/TPC-H core) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",

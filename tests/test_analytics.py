@@ -743,3 +743,39 @@ def test_graph_shortest_paths_matches_python_bfs(spark, sf_dir):
         for r in _q("graph_shortest_paths")(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ts_autocorrelation_matches_pandas(spark, sf_dir):
+    """Recompute the lag-1..7 pairwise-complete Pearson ACF with
+    pandas Series.corr over shifted copies."""
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.assign(day=o["o_orderdate"].dt.normalize())
+        .groupby("day")["o_totalprice"]
+        .sum()
+        .sort_index()
+    )
+    r = _q("ts_autocorrelation")(spark, sf_dir).collect()[0]
+    assert r["n_days"] == len(daily)
+    for lag in range(1, 8):
+        want = daily.corr(daily.shift(lag))
+        assert r[f"acf{lag}"] == pytest.approx(round(want, 4), abs=2e-4)
+
+
+def test_data_kanonymity_matches_pandas(spark, sf_dir):
+    """Recompute every report column from a pandas quasi-identifier
+    groupby."""
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    g = (
+        c.assign(band=np.floor(c["c_acctbal"] / 1000).astype(int))
+        .groupby(["c_nationkey", "c_mktsegment", "band"])
+        .size()
+    )
+    r = _q("data_kanonymity")(spark, sf_dir).collect()[0]
+    assert r["n_groups"] == len(g)
+    assert r["groups_below_k"] == int((g < 5).sum())
+    assert r["rows_at_risk"] == int(g[g < 5].sum())
+    assert r["n_rows"] == len(c)
+    assert r["risk_rate"] == pytest.approx(g[g < 5].sum() / len(c), abs=1e-5)
+    assert r["min_group"] == int(g.min())
+    assert r["unique_rows"] == int((g == 1).sum())

@@ -96,6 +96,8 @@ PROBES = [
     ("graph_shortest_paths", "lineitem"),
     ("multimodal_audio_spectrogram", "documents"),
     ("table_diff", "orders"),
+    ("ts_autocorrelation", "orders"),
+    ("data_kanonymity", "customer"),
 ]
 
 
