@@ -88,6 +88,10 @@ def deflate_len_udf():
         zlib is C-speed and releases the GIL; Arrow transfer dominates."""
         import zlib
 
-        return s.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+        # NULL text must not fail the whole Arrow batch (ADVICE r6):
+        # map None -> None so the column stays nullable-long.
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6)) if t is not None else None
+        )
 
     return _zlen

@@ -1478,7 +1478,9 @@ def mining_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, then pair grain) with no self-join at all. The r5 shape —
     distinct + basket-keyed self-join — cost four shuffles and fell
     off the broadcast cliff into a sort-merge join at 10× data
-    (probe: 4.52×); this formulation re-probed 1.1×. The a < b
+    (probe: 4.52×); this formulation re-probed 2.27× at 10× data
+    (SCALE_PROBE.json — the sf0.1 wall is mostly scheduling floor;
+    per-row work is linear). The a < b
     ordering halves the pair space and canonicalizes the pair; the
     support HAVING is applied in the same aggregate that counts, so
     sub-threshold pairs die in the map-side combine, not a second

@@ -1737,8 +1737,22 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salted, which made the "build once" cache miss across driver
     # processes and leak uniquely-named ann_index_* tables. An md5 of
     # the sf_dir is stable everywhere, so a warm metastore + index dir
-    # is actually REUSED across runs.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # is actually REUSED across runs. ADVICE r6: the tag also folds in
+    # a cheap fingerprint of the source data (per-file size + mtime of
+    # embeddings.parquet) so regenerating the data IN PLACE changes the
+    # tag and forces a rebuild instead of silently reusing a stale index.
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    fp_parts = []
+    if os.path.isdir(emb_path):
+        for name in sorted(os.listdir(emb_path)):
+            st = os.stat(os.path.join(emb_path, name))
+            fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(emb_path):
+        st = os.stat(emb_path)
+        fp_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5(
+        (sf_dir + "|" + "|".join(fp_parts)).encode()
+    ).hexdigest()[:8]
     tbl = f"ann_index_{tag}"
     # The index lives OUTSIDE .scratch on purpose: every _scratch_dir()
     # call GCs .scratch subdirs older than 2h, which would delete the
@@ -1752,11 +1766,15 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.endswith(".parquet") for f in os.listdir(idx_path)
     )
     if spark.catalog.tableExists(tbl):
-        loc = (
+        # head() is None when DESCRIBE has no Location row (e.g. a view
+        # squatting on the name) — treat that as "wrong table, rebuild"
+        # instead of raising TypeError (ADVICE r6).
+        loc_row = (
             spark.sql(f"DESCRIBE FORMATTED {tbl}")
             .filter(F.col("col_name") == "Location")
-            .head()["data_type"]
+            .head()
         )
+        loc = loc_row["data_type"] if loc_row is not None else ""
         if not have_files or not loc.rstrip("/").endswith(f".index/{tbl}"):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if not spark.catalog.tableExists(tbl):
@@ -2729,7 +2747,7 @@ def _rag_oracle() -> str:
       FROM documents
     ),
     ch AS (
-      SELECT doc_id * 1000 + i AS chunk_id, doc_id,
+      SELECT doc_id * 1000000 + i AS chunk_id, doc_id,
              toks[i * 40 + 1 : i * 40 + 50] AS ctoks,
              array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk
       FROM t, LATERAL UNNEST(generate_series(0,
@@ -2812,7 +2830,10 @@ def pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_idx", "ctoks"),
         )
         .select(
-            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+            # 1e6 multiplier: chunk_id must stay unique up to 10^6 chunks
+            # per doc (~40M tokens); 1000 collided at ~40k tokens and the
+            # shared-formula oracle could not catch the aliasing (ADVICE r6).
+            (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
             "doc_id",
             F.array_join("ctoks", " ").alias("chunk"),
             F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),

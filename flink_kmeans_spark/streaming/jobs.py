@@ -32,12 +32,25 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     source silently streams EMPTY (caught by the r6 scale probe:
     streaming_session_window returned 0 rows on the 10× replica).
     File streams require an explicit schema — taken from a static
-    read."""
+    read.
+
+    Layout detection goes through the Hadoop FileSystem API so it
+    works for ANY scheme the session can read (s3a://, hdfs://, …) —
+    ``os.path.isdir`` is always False off the local filesystem, which
+    would route object-store directory tables into the glob branch and
+    silently stream zero rows (ADVICE r6). Local-path fallback only if
+    the JVM call is unavailable."""
     import os
 
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     p = f"{sf_dir}/{name}.parquet"
-    if os.path.isdir(p.removeprefix("file:")):
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        is_dir = fs.exists(jpath) and fs.getFileStatus(jpath).isDirectory()
+    except Exception:
+        is_dir = os.path.isdir(p.removeprefix("file:"))
+    if is_dir:
         return spark.readStream.schema(schema).parquet(p)
     return (
         spark.readStream.schema(schema)
@@ -510,7 +523,7 @@ def streaming_user_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     protobuf protocol and this build environment's ``google.protobuf``
     is broken (ImportError: cannot import name 'descriptor'), so the
     runner crashes at init. Re-probed every round — still absent
-    2026-08-15 (r6): ``import google`` raises ModuleNotFoundError. The job is kept as the API-surface
+    2026-08-15 (r7): ``import google`` raises ModuleNotFoundError. The job is kept as the API-surface
     demonstration and guarded by a skip-unless-protobuf pytest
     (tests/test_streaming.py); on a normal Spark 4 install it drains
     and matches the batch GROUP BY exactly like the v1 key.
