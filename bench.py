@@ -169,6 +169,9 @@ HEADLINE = [
     "source_python_stream",
     "ts_autocorrelation",
     "data_kanonymity",
+    # round-7 additions
+    "sim_ann_incremental",
+    "pipeline_rag_rerank",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -3417,3 +3417,398 @@ def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     )
     return MM.spectrogram_audio_media(media)
+
+
+@register(
+    "sim_ann_incremental",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, nrm, bucket
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM n)
+      WHERE rn <= 10
+    )
+    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk,
+           CASE WHEN n_id % 10 = 0 THEN 'delta' ELSE 'base' END AS phase
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (q.nrm * c.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                                      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                        / (q.nrm * c.nrm) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    WHERE rk <= 3
+    """,
+    tags=("vector", "bucketing", "incremental"),
+)
+def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL REFRESH of the persisted ANN index (VERDICT r6
+    item 8a) — dedup_incremental's delta-ingest pattern applied to
+    sim_ann_repartitioned's bucketed index: 90% of the corpus
+    (vec_id % 10 != 0) is written as the 16-bucket base table, the
+    remaining 10% arrives later and is APPENDED with the same
+    bucketBy(16)/sortBy spec — Spark validates the spec and writes new
+    per-bucket files, so the delta never touches or rewrites base
+    files and bucket pruning keeps working across both generations.
+    A probe of the first 10 vec_ids then runs exact in-cell cosine
+    top-3 against the merged index; the DuckDB oracle is the FULL
+    CORPUS answer, so a hash match PROVES probe-after-delta ≡ full
+    rebuild. Each neighbor row is tagged base/delta — the queries'
+    neighbor sets contain delta rows, so the equality is not vacuous.
+
+    Scale shape: at 100 TB the index build is paid once; each delta
+    batch costs one bucket-grain shuffle of ONLY the new rows (never a
+    corpus rescan, never a rewrite of existing bucket files), and a
+    probe reads only its cells' files across all generations
+    (SelectedBucketsCount asserted below). The table is rebuilt per
+    call on purpose — this key pins the DELTA-INGEST mechanics; the
+    warm-reuse path is sim_ann_repartitioned's pin."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import l2norm
+
+    e = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    cell = sum(
+        (F.when(v.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(8)
+    )
+    indexed = e.select(
+        "vec_id", "embedding", cell.alias("bucket"), l2norm(v).alias("nrm")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"ann_inc_{tag}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx_path = os.path.join(repo_root, ".index", tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if os.path.isdir(idx_path):
+        shutil.rmtree(idx_path)
+    os.makedirs(idx_path, exist_ok=True)
+    writer_opts = dict(path=idx_path)
+    (
+        indexed.filter(F.col("vec_id") % 10 != 0)
+        .write.bucketBy(16, "bucket")
+        .sortBy("bucket")
+        .options(**writer_opts)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    # The delta: same bucket spec, append mode — new files per bucket,
+    # base files untouched (the incremental-ingest contract).
+    (
+        indexed.filter(F.col("vec_id") % 10 == 0)
+        .write.bucketBy(16, "bucket")
+        .sortBy("bucket")
+        .options(**writer_opts)
+        .mode("append")
+        .saveAsTable(tbl)
+    )
+    s2 = spark.newSession()  # shared catalog; own SQLConf for the probe
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    idx = s2.table(tbl)
+    qrows = idx.orderBy("vec_id").limit(10).select("vec_id", "bucket").collect()
+    cells = sorted({r["bucket"] for r in qrows})
+    ids = [r["vec_id"] for r in qrows]
+    cand = idx.filter(F.col("bucket").isin(cells))
+    scan_plan = cand._jdf.queryExecution().executedPlan().toString()
+    if "SelectedBucketsCount" not in scan_plan:
+        raise RuntimeError(
+            "sim_ann_incremental: bucket pruning did not engage after the "
+            "delta append (no SelectedBucketsCount in the probe scan plan)"
+        )
+    q = idx.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("embedding").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "q_id",
+            "n_id",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+            F.when(F.col("n_id") % 10 == 0, F.lit("delta"))
+            .otherwise(F.lit("base"))
+            .alias("phase"),
+        )
+    )
+
+
+def _rag_rerank_oracle() -> str:
+    """DuckDB replica of pipeline_rag_rerank: sketch top-20 candidates
+    per query (stage 1), exact token-frequency cosine rerank to top-2
+    (stage 2). Sketch arithmetic is integer-exact (±1 sums), the exact
+    cosine is integer dot / sqrt(integer product) — both bit-identical
+    across engines, so the two stage boundaries (rk1 = 20, rk2 = 2)
+    cut at identical rows."""
+    from ..functions.hashing import sql_hash60
+
+    h = sql_hash60("t")
+    dims = ",\n         ".join(
+        f"list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) AS e{j}"
+        for j in range(8)
+    )
+    bucket = " + ".join(f"(CASE WHEN e{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(8))
+    sq = " + ".join(f"e{j} * e{j}" for j in range(8))
+    dot = " + ".join(f"q.e{j} * c.e{j}" for j in range(8))
+    cols = ", ".join(f"e{j}" for j in range(8))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id * 1000000 + i AS chunk_id, doc_id,
+             toks[i * 40 + 1 : i * 40 + 50] AS ctoks,
+             array_to_string(toks[i * 40 + 1 : i * 40 + 50], ' ') AS chunk
+      FROM t, LATERAL UNNEST(generate_series(0,
+               CAST(ceil(greatest(n - 50, 0) / 40.0) AS BIGINT))) AS u(i)
+    ),
+    hx AS (
+      SELECT chunk_id, doc_id, chunk, ctoks,
+             list_transform(ctoks, t -> {h}) AS hs
+      FROM ch
+    ),
+    e AS (
+      SELECT chunk_id, doc_id, chunk, ctoks,
+         {dims}
+      FROM hx
+    ),
+    b AS (
+      SELECT chunk_id, doc_id, chunk, ctoks, {cols},
+             {bucket} AS bucket,
+             sqrt({sq}) AS nrm,
+             list_aggregate(list_transform(list_distinct(ctoks), t ->
+               len(list_filter(ctoks, x -> x = t))
+               * len(list_filter(ctoks, x -> x = t))), 'sum') AS tf2
+      FROM e
+    ),
+    q AS (SELECT * FROM b WHERE doc_id < 3 AND nrm > 0),
+    c AS (SELECT * FROM b WHERE doc_id >= 3 AND nrm > 0),
+    s1 AS (
+      SELECT q.chunk_id AS q_id, c.chunk_id AS n_id, c.chunk AS n_chunk,
+             ({dot}) / (q.nrm * c.nrm) AS sketch_cos,
+             q.ctoks AS qt, c.ctoks AS ct, q.tf2 AS qn2, c.tf2 AS cn2
+      FROM q JOIN c ON c.bucket = q.bucket
+    ),
+    r1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY sketch_cos DESC, n_id) AS rk1
+      FROM s1
+    ),
+    x AS (
+      SELECT q_id, n_id, n_chunk,
+             list_aggregate(list_transform(list_distinct(qt), t ->
+               len(list_filter(qt, x -> x = t))
+               * len(list_filter(ct, x -> x = t))), 'sum')
+               / sqrt(CAST(qn2 AS DOUBLE) * cn2) AS exact_cos
+      FROM r1 WHERE rk1 <= 20
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY exact_cos DESC, n_id) AS rk2
+      FROM x
+    )
+    SELECT q_id, CAST(COUNT(*) AS INTEGER) AS n_ctx,
+           ROUND(MAX(exact_cos), 6) AS best_exact,
+           string_agg(n_chunk, ' | ' ORDER BY rk2) AS context
+    FROM r2 WHERE rk2 <= 2 GROUP BY q_id
+    """
+
+
+@register(
+    "pipeline_rag_rerank",
+    oracle=_rag_rerank_oracle(),
+    tags=("pipeline", "vector", "text"),
+)
+def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-STAGE retrieval on top of pipeline_rag (VERDICT r6 item 8b)
+    — the candidate-generation / exact-rescore split production RAG
+    serving uses: stage 1 ranks same-bucket candidates by the cheap
+    8-dim signed-projection sketch and keeps the TOP-20 per query;
+    stage 2 rescores ONLY those ≤20 candidate rows with the exact
+    term-frequency cosine over the full 50-token chunks and keeps the
+    top-2 for context assembly. The expensive exact kernel never sees
+    a non-candidate row — the callable asserts the plan carries the
+    WindowGroupLimit pushdown that enforces the stage-1 cut before
+    anything downstream runs.
+
+    Scale shape: stage 1 is pipeline_rag's shape (map-only sketch,
+    bucket-equality candidate join with the bounded query side
+    broadcast, WindowGroupLimit top-20); stage 2's exact cosine is
+    O(|chunk|²) per PAIR but runs on ≤ 20·|queries| rows total —
+    independent of corpus size, which is exactly why two-stage
+    retrieval is the production shape at 100 TB. Per-chunk exact
+    norms (tf2) are precomputed map-side BEFORE the join, so the
+    rerank adds only the cross dot product. Every intermediate is
+    integer-exact; both stage boundaries cut at bit-identical rows
+    across engines."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    d = _docs(spark, sf_dir)
+    n = F.size(F.col("toks"))
+    n_chunks = F.ceil(F.greatest(n - 50, F.lit(0)) / 40.0).cast("int")
+    tf2 = F.aggregate(
+        F.array_distinct("ctoks"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.size(F.filter(F.col("ctoks"), lambda x: x == t))
+        * F.size(F.filter(F.col("ctoks"), lambda x: x == t)),
+    )
+    ch = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks),
+                    lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
+                )
+            ).alias("chunk_idx", "ctoks"),
+        )
+        .select(
+            (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
+            "doc_id",
+            F.array_join("ctoks", " ").alias("chunk"),
+            "ctoks",
+            F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
+            tf2.alias("tf2"),
+        )
+    )
+    dims = [
+        F.aggregate(
+            "hs",
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        ).alias(f"e{j}")
+        for j in range(8)
+    ]
+    e = ch.select("chunk_id", "doc_id", "chunk", "ctoks", "tf2", *dims)
+    bucket = sum(
+        F.when(F.col(f"e{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(8)
+    )
+    sq = sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(8))
+    b = e.select(
+        "chunk_id", "doc_id", "chunk", "ctoks", "tf2",
+        *[f"e{j}" for j in range(8)],
+        bucket.alias("bucket"), F.sqrt(sq).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    q = b.filter(F.col("doc_id") < 3).select(
+        F.col("chunk_id").alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("ctoks").alias("qt"),
+        F.col("tf2").alias("qn2"),
+        *[F.col(f"e{j}").alias(f"q{j}") for j in range(8)],
+    )
+    sketch_dot = sum(F.col(f"q{j}") * F.col(f"e{j}") for j in range(8))
+    s1 = (
+        b.filter(F.col("doc_id") >= 3)
+        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "q_id",
+            F.col("chunk_id").alias("n_id"),
+            F.col("chunk").alias("n_chunk"),
+            (sketch_dot / (F.col("q_nrm") * F.col("nrm"))).alias("sketch_cos"),
+            "qt",
+            F.col("ctoks").alias("ct"),
+            "qn2",
+            F.col("tf2").alias("cn2"),
+        )
+    )
+    w1 = Window.partitionBy("q_id").orderBy(F.col("sketch_cos").desc(), "n_id")
+    cand = s1.withColumn("rk1", F.row_number().over(w1)).filter(F.col("rk1") <= 20)
+    exact_dot = F.aggregate(
+        F.array_distinct("qt"),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc
+        + F.size(F.filter(F.col("qt"), lambda x: x == t))
+        * F.size(F.filter(F.col("ct"), lambda x: x == t)),
+    )
+    x = cand.select(
+        "q_id",
+        "n_id",
+        "n_chunk",
+        (
+            exact_dot
+            / F.sqrt(F.col("qn2").cast("double") * F.col("cn2"))
+        ).alias("exact_cos"),
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("exact_cos").desc(), "n_id")
+    top = x.withColumn("rk2", F.row_number().over(w2)).filter(F.col("rk2") <= 2)
+    out = top.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ctx"),
+        F.round(F.max("exact_cos"), 6).alias("best_exact"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("rk2").alias("rk2"), F.col("n_chunk").alias("n_chunk"))
+                    )
+                ),
+                lambda s: s["n_chunk"],
+            ),
+            " | ",
+        ).alias("context"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" not in plan:
+        raise RuntimeError(
+            "pipeline_rag_rerank: the stage-1 top-20 cut lost its "
+            "WindowGroupLimit pushdown — the exact rerank would scan "
+            "non-candidate rows"
+        )
+    return out

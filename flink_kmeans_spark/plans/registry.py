@@ -59,50 +59,55 @@ def _load_all() -> None:
 
 
 # Driver-verification window priority. The driver hashes only the FIRST
-# ~50 queries() entries per round. Rounds 1-5 verified 238 distinct
-# oracled keys green (CORRECTNESS_r01..r05). This round-6 rotation (the
-# recipe VERDICT r5 item 1 asked for) leads with the FINAL 20
-# DuckDB-oracled keys that still have zero driver evidence — the 9
-# round-4 additions the 50-slot r5 window couldn't reach, then the 11
-# round-5 additions — so a green r6 window completes driver evidence
-# for EVERY oracled key in the registry. Keys newly added in round 6
-# follow immediately (no driver evidence yet), and the remaining ~25
-# slots refresh the STALEST evidence: r1-green keys whose only driver
-# rows are now five rounds old. Declared rows-only keys (no_oracle in
-# the driver) sort BELOW the oracled tail so they never burn a hashed
-# window slot. Ordering only; results are order-independent (proved by
-# re-running the local gate after the reorder).
+# ~50 queries() entries per round. As of round 6 EVERY oracled key has
+# at least one green driver hash row (folded CORRECTNESS_r01..r06), so
+# this round-7 rotation (the recipe VERDICT r6 item 1 asked for) is
+# pure evidence REFRESH plus the round-7 additions: the ~2 new r7 keys
+# lead (zero driver evidence), then the 31 keys whose LATEST green row
+# is from round 1, then the highest-traffic round-2 keys — the flagship
+# §2A K-Means path first, then the five streaming twins, then the
+# remaining r2 window/relational core — filling the ~50-slot window so
+# no key's latest driver evidence is older than it has to be. Declared
+# rows-only keys (no_oracle in the driver) sort BELOW the oracled tail
+# so they never burn a hashed window slot. Ordering only; results are
+# order-independent (proved by re-running the local gate after the
+# reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- the final 20 oracled keys with ZERO driver evidence ---
-    #     (9 carried from round 4:)
-    "events_survival_curve", "agg_kmv_distinct", "events_funnel_ttc",
-    "udf_arrow_grouped", "sql_parameterized", "dedup_line_level",
-    "multimodal_phash", "ts_interpolate_linear", "text_js_divergence",
-    #     (11 added in round 5:)
-    "streaming_session_window", "sim_ann_repartitioned", "events_markov_chain_2nd",
-    "scan_jsonl_gz", "text_quality_logreg", "events_bot_detection",
-    "text_bpe_pair_counts", "text_perplexity_buckets",
-    "agg_ks_test", "agg_chi2_independence", "multimodal_audio_vad",
-    # --- new in round 6 — no driver evidence yet ---
-    "text_bpe_train", "pipeline_rag",
-    "ts_resample_ohlc", "graph_label_propagation",
-    "sink_zorder", "embedding_mrl_truncate",
-    "text_feature_hashing", "ts_changepoint_binseg",
-    "embedding_pca_power", "geo_grid_knn", "mv_incremental_agg",
-    "ts_seasonal_decompose", "text_kneser_ney",
-    "agg_kmv_setops", "graph_shortest_paths",
-    "multimodal_audio_spectrogram", "table_diff", "source_python_stream",
-    "ts_autocorrelation", "data_kanonymity",
-    # --- stalest evidence refresh: r1-green keys, driver rows now
-    #     five rounds old (scan/sink/join/agg/TPC-H core) ---
+    # --- new in round 7 — no driver evidence yet ---
+    "sim_ann_incremental", "pipeline_rag_rerank",
+    # --- stalest evidence: the 31 keys whose latest driver row is r1 ---
+    "agg_cube", "agg_distinct", "agg_hash", "agg_rollup_cube", "agg_stats",
+    "join_asof", "join_cross", "join_null_aware_anti", "join_outer_full",
+    "join_range_binned", "join_semi_anti", "join_skew_salted",
+    "join_theta_range",
+    "scalar_array", "scalar_case", "scalar_date", "scalar_explode",
+    "scalar_json", "scalar_math", "scalar_null", "scalar_string",
+    "scalar_string_extra",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
+    "tpch_q17", "tpch_q18", "tpch_q19",
+    # --- r2-stale refresh: flagship §2A K-Means path first (driver rows
+    #     were four rounds old — VERDICT r6 asked for these explicitly) ---
+    "kmeans_scan_points", "kmeans_init_centroids", "kmeans_assign",
+    "kmeans_fit", "kmeans_predict", "kmeans_collection_source",
+    #     the five streaming twins:
+    "streaming_tumbling", "streaming_sliding", "streaming_session",
+    "streaming_stateful_counter", "streaming_static_join",
+    #     remaining r2 window/relational core up to the ~50-slot edge:
+    "window_rank", "set_ops", "sort_limit", "dedup_exact", "udf_surface",
+    "window_session", "window_sliding", "window_tumbling",
+    # --- next-stalest (r2) keys, in line if the window runs wider ---
+    "agg_collect", "agg_conditional", "agg_corr", "agg_minmax_by",
+    "agg_percentile", "agg_pivot", "agg_string_concat",
+    "dedup_edit_distance", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "multimodal_schema", "scalar_bitwise", "scalar_format", "sort_nulls",
+    "sim_cosine_topk", "text_fingerprint", "text_langid", "text_ngram_freq",
+    "text_pii_redact", "text_quality", "text_stats", "text_tokens",
+    "text_vocab", "window_analytic", "window_distribution",
+    "window_first_last", "window_frame", "window_rank_variants",
+    # --- r1-green keys refreshed in the r6 window (now freshest) ---
     "scan_parquet", "scan_events_ns", "scan_json", "project_filter",
     "sink_csv", "sink_parquet", "sink_upsert",
-    "join_broadcast", "join_shuffle", "join_outer", "join_semi_anti",
-    "join_null_aware_anti", "join_theta_range", "join_range_binned",
-    "join_asof", "join_cross", "join_outer_full", "join_skew_salted",
-    "agg_hash", "agg_distinct", "agg_cube", "agg_rollup_cube", "agg_stats",
-    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14", "tpch_q17",
-    "tpch_q18",
+    "join_broadcast", "join_shuffle", "join_outer",
     # --- r05-window keys, all driver-green in CORRECTNESS_r05.json ---
     "sample_hash_stratified",
     "sample_stratified", "cdc_merge_apply", "scd2_intervals",
