@@ -2133,7 +2133,9 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("graph", "mining"),
 )
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_max: int = 1_000_000
+) -> DataFrame:
     """Label-propagation community detection (GraphX LPA semantics,
     synchronous variant) over the part co-purchase graph: parts are
     linked when they ship in the same order; every node starts in its
@@ -2178,8 +2180,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list — broadcast it into the edge join (the pagerank
     # rank-vector rule: broadcast below ~10^6 nodes, shuffle-join past
     # it) so the 2|E| undirected edge relation never re-shuffles
-    # per round; one bounded count picks the strategy.
-    small_v = labels.count() < 1_000_000
+    # per round; one bounded count picks the strategy. The shuffle
+    # branch (the one a ≥10⁶-node graph runs at 100 TB) is pinned
+    # bit-identical to the broadcast branch in
+    # tests/test_analytics.py::test_graph_shuffle_branch_bit_identical.
+    small_v = labels.count() < broadcast_nodes_max
     for _ in range(3):
         lab_dst = labels.withColumnRenamed("node", "dst")
         msgs = und.join(

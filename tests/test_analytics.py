@@ -779,3 +779,90 @@ def test_data_kanonymity_matches_pandas(spark, sf_dir):
     assert r["risk_rate"] == pytest.approx(g[g < 5].sum() / len(c), abs=1e-5)
     assert r["min_group"] == int(g.min())
     assert r["unique_rows"] == int((g == 1).sum())
+
+
+def test_graph_shuffle_branch_bit_identical(spark, sf_dir):
+    """VERDICT r6 item 2: the ≥10⁶-node SHUFFLE branch of every
+    iterative graph operator (the branch that actually runs at 100 TB)
+    had never executed at test scale — every testdata graph is tiny,
+    so `bcast` was always True. Force broadcast_nodes_max=0 and assert
+    the shuffle plan produces the SAME answer as the broadcast plan on
+    the same graph.
+
+    Components and LPA are integer min/argmax fixpoints — order-
+    insensitive, so equality is exact. PageRank sums floats whose
+    partial-aggregation order is nondeterministic even WITHIN a branch,
+    so it gets a 1e-9 tolerance."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+    from flink_kmeans_spark.plans.analytics import graph_label_propagation
+
+    # --- connected components: 200 five-node chains (diameter 4,
+    #     converges inside the 10-round label-propagation budget) ---
+    nodes = spark.range(1000).select(F.col("id"))
+    pairs = (
+        spark.range(1000)
+        .filter(F.col("id") % 5 != 4)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    bc = connected_components(nodes, pairs).collect()
+    sh = connected_components(nodes, pairs, broadcast_nodes_max=0).collect()
+    assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
+    # and both equal the closed form: component = floor(id/5)*5
+    assert {(r["id"], r["component"]) for r in sh} == {
+        (i, (i // 5) * 5) for i in range(1000)
+    }
+
+    # --- pagerank: deterministic synthetic digraph, 500 nodes ---
+    edges = (
+        spark.range(500)
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("id") * 7 + 3) % 500).alias("dst"),
+        )
+        .unionByName(
+            spark.range(500).select(
+                F.col("id").alias("src"), ((F.col("id") + 1) % 500).alias("dst")
+            )
+        )
+    )
+    pr_bc = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+    pr_sh = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iter=5, broadcast_nodes_max=0).collect()
+    }
+    assert set(pr_bc) == set(pr_sh)
+    for k, v in pr_bc.items():
+        assert abs(v - pr_sh[k]) < 1e-9, (k, v, pr_sh[k])
+
+    # --- LPA: the registered key's own graph, both strategies ---
+    lpa_bc = graph_label_propagation(spark, sf_dir).collect()
+    lpa_sh = graph_label_propagation(
+        spark, sf_dir, broadcast_nodes_max=0
+    ).collect()
+    assert sorted(map(tuple, lpa_bc)) == sorted(map(tuple, lpa_sh))
+
+
+def test_components_star_shuffle_equals_broadcast_fallback(spark):
+    """The star-contraction fallback (long-chain graphs) must also be
+    strategy-independent: a 60-node chain exceeds the 10-round
+    min-propagation budget, forcing connected_components into
+    connected_components_star — run that whole path with broadcasting
+    effectively disabled via broadcast_nodes_max=0 and compare."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.operators.graph import connected_components
+
+    nodes = spark.range(60).select(F.col("id"))
+    pairs = (
+        spark.range(59)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    bc = connected_components(nodes, pairs).collect()
+    sh = connected_components(nodes, pairs, broadcast_nodes_max=0).collect()
+    assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
+    assert {r["component"] for r in sh} == {0}

@@ -98,6 +98,23 @@ PROBES = [
     ("table_diff", "orders"),
     ("ts_autocorrelation", "orders"),
     ("data_kanonymity", "customer"),
+    # round-7 new keys
+    ("sim_ann_incremental", "embeddings"),
+    ("pipeline_rag_rerank", "documents"),
+]
+
+
+def _lpa_shuffle(spark, sf_dir):
+    from flink_kmeans_spark.plans.analytics import graph_label_propagation
+
+    return graph_label_propagation(spark, sf_dir, broadcast_nodes_max=0)
+
+
+# Non-registry probe shapes: strategy branches a registered key can't
+# reach at test scale (VERDICT r6 item 2 — the ≥10⁶-node SHUFFLE branch
+# of the iterative graph family must carry a measured ratio too).
+SPECIAL_PROBES = [
+    ("graph_label_propagation_shuffle", "lineitem", _lpa_shuffle),
 ]
 
 
@@ -140,15 +157,18 @@ def main() -> None:
     # merged into SCALE_PROBE.json by the caller)
     wanted = set(sys.argv[1:])
     avail = {k for k, _ in PROBES if k in queries and (not wanted or k in wanted)}
-    for key, tables in PROBES:
-        if key not in avail:
-            continue
+    runnable = [(k, t, queries[k]) for k, t in PROBES if k in avail] + [
+        (k, t, fn)
+        for k, t, fn in SPECIAL_PROBES
+        if not wanted or k in wanted
+    ]
+    for key, tables, fn in runnable:
         times = {}
         for label, sf_dir in (("sf0.1", BASE), ("sf1x", OUT)):
             best = float("inf")
             for _ in range(3):
                 t0 = time.time()
-                queries[key](spark, sf_dir).write.mode("overwrite").format(
+                fn(spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
                 best = min(best, time.time() - t0)

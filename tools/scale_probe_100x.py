@@ -1,7 +1,10 @@
-"""Second-decade scale probe (VERDICT r5 item 5): push the two 10×
-ratios nearest 2× — join_shuffle (1.82×) and window_session (1.59×) —
-to 100× the sf0.1 data volume and record whether the curve is the
-expected linear shuffle growth or a knee.
+"""Second-decade scale probe (VERDICT r5 item 5, extended r7): push
+selected keys to 100× the sf0.1 data volume and record whether the
+curve is the expected linear shuffle growth or a knee. Round 6 ran
+join_shuffle / window_session; round 7 adds the two >2× 10×-ratios
+(mining_cooccurrence, streaming_session_window — VERDICT r6 item 3)
+plus the flagship kmeans_fit and the dedup family (documents and
+embeddings now replicate too).
 
 Replication follows tools/scale_probe.py's key-shifting rule (disjoint
 key ranges per copy so group counts and join fan-outs scale the way
@@ -37,12 +40,27 @@ SHIFTS = {
     "events": [("user_id", 1_000_000), ("event_id", 1_000_000_000)],
     "lineitem": [("l_orderkey", 1_000_000_000)],
     "orders": [("o_orderkey", 1_000_000_000), ("o_custkey", 1_000_000)],
+    # round-7: second-decade evidence for the flagship K-Means and the
+    # dedup family too (texts unchanged — dup density scales like real
+    # growth; embeddings replicate with shifted ids)
+    "documents": [("doc_id", 1_000_000)],
+    "embeddings": [("vec_id", 1_000_000)],
 }
 
 # dims copied unshifted (joins against them must keep matching)
 PLAIN = ["customer", "supplier", "part", "nation", "region"]
 
-PROBES = [("join_shuffle", "orders+lineitem"), ("window_session", "events")]
+PROBES = [
+    ("join_shuffle", "orders+lineitem"),
+    ("window_session", "events"),
+    # round-7 (VERDICT r6 item 3): the two >2× ratios from the 10× sweep
+    ("mining_cooccurrence", "lineitem"),
+    ("streaming_session_window", "events"),
+    # round-7 breadth: flagship K-Means fit and the dedup family at 100×
+    ("kmeans_fit", "embeddings"),
+    ("dedup_minhash", "documents"),
+    ("dedup_exact", "documents"),
+]
 
 
 def build(spark) -> None:
@@ -84,7 +102,10 @@ def main() -> None:
     dirs = [("sf0.1", BASE), ("sf10x", OUT100)]
     if os.path.exists(f"{OUT10}/events.parquet"):
         dirs.insert(1, ("sf1x", OUT10))
+    wanted = set(sys.argv[1:])
     for key, tables in PROBES:
+        if wanted and key not in wanted:
+            continue
         times = {}
         for label, sf_dir in dirs:
             best = float("inf")
