@@ -315,13 +315,66 @@ def streaming_late_data_stream(spark: SparkSession) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Pin the RocksDB state store provider for the duration of a
+    streaming query start (the conf is captured at .start(); restored
+    after the drain so the caller's session is left untouched).
+
+    WHY (r7 100× probe catch): the default HDFSBackedStateStoreProvider
+    keeps every partition's state map ON-HEAP. An availableNow drain of
+    a static table processes all files in one micro-batch, so the
+    watermark never gets a chance to evict — session state for the
+    ENTIRE input materializes at once, which OOMed the single-JVM 8 g
+    driver at 100× data (streaming_session_window, ~100 M events).
+    RocksDB keeps state off-heap/on-disk per partition — the standard
+    production choice for large-state Structured Streaming — and the
+    same drain completes in bounded heap. Results are bit-identical;
+    only the state backend changes."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, rocks)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_available_now(
     df: DataFrame, name: str, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:
-    """Drain the stream with the availableNow trigger into an in-memory
-    sink and return the result table (test/driver harness helper).
-    Checkpoints live under the repo's .scratch (the build environment
-    forbids writes outside /root/repo)."""
+    """Drain the stream with the availableNow trigger and return the
+    result as a DataFrame (test/driver harness helper). Checkpoints
+    live under the repo's .scratch (the build environment forbids
+    writes outside /root/repo). State runs on RocksDB (see
+    rocksdb_state).
+
+    The result is staged to PARQUET from inside ``foreachBatch`` — an
+    executor-side distributed write. The previous memory-sink harness
+    collected the whole drained aggregate into driver heap AND re-served
+    it as a driver-local parallelized collection, which OOMed the 8 g
+    single-JVM driver the first time a drain outgrew it (r7 100× probe:
+    streaming_session_window over ~100 M events — the harness, not the
+    plan, was the bottleneck). foreachBatch honours the query's output
+    mode, so complete mode still replaces the staged result per trigger
+    and the last trigger holds the full aggregate — results are
+    bit-identical to the memory sink at every scale that fit it.
+
+    ``timeout_sec`` can be overridden with $SPARK_GRAFT_STREAM_TIMEOUT
+    (the 100× probe needs more than two minutes of drain)."""
     import os
     import tempfile
 
@@ -333,25 +386,42 @@ def run_available_now(
 
     os.makedirs(base, exist_ok=True)
     prune_scratch(base)
+    timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", timeout_sec))
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=base)
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination returns False on timeout — stopping then would
-    # truncate the availableNow drain and silently return a PARTIAL
-    # memory table (a wrong result, not an error). Fail loudly instead.
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"stream {name!r} did not drain available data in {timeout_sec}s"
+    out = tempfile.mkdtemp(prefix=f"sink_{name}_", dir=base) + "/result"
+    spark = df.sparkSession
+
+    def stage(batch_df: DataFrame, batch_id: int) -> None:
+        # complete mode: each trigger carries the FULL updated result —
+        # overwrite so the last trigger wins (identical to memory-sink
+        # semantics); append/update modes stage their increments.
+        mode = "overwrite" if output_mode == "complete" else "append"
+        batch_df.write.mode(mode).parquet(out)
+
+    with rocksdb_state(spark):
+        q = (
+            df.writeStream.foreachBatch(stage)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    q.stop()
-    return df.sparkSession.table(name)
+        # awaitTermination returns False on timeout — stopping then would
+        # truncate the availableNow drain and silently return a PARTIAL
+        # result (a wrong answer, not an error). Fail loudly instead.
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"stream {name!r} did not drain available data in {timeout_sec}s"
+            )
+        q.stop()
+    if not os.path.isdir(out) or not any(
+        f.endswith(".parquet") for f in os.listdir(out)
+    ):
+        # zero triggers fired (empty source): preserve the old memory-sink
+        # behavior of an empty frame with the stream's schema
+        return spark.createDataFrame([], df.schema)
+    return spark.read.parquet(out)
 
 
 def run_foreach_batch_upsert(
