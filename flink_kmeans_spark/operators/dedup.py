@@ -257,19 +257,32 @@ def simhash_candidate_pairs(
     band buckets are shift/mask slices of sim60 and hamming is
     ``bit_count(a XOR b)`` — instead of slicing/zipping 60-element
     arrays per candidate row (~8× on the full key at sf0.1, output
-    bit-identical). The signature frame is lazily localCheckpointed so
-    the self-join's two sides read ONE materialization of the
-    token-hash/vote pass; blocks are ContextCleaner-released with the
-    plan, same pattern as ngram_jaccard_pairs."""
-    sh = (
+    bit-identical).
+
+    Round-7 rewrite (the minhash 100× probe-catch pattern applied to
+    its banded sibling): identical sketches EXACT-COLLAPSE into one
+    group before banding, so the bucket self-join runs at SKETCH grain
+    and duplicate multiplicity never inflates it — byte-equal texts
+    (and any full-sketch collision, which the pre-collapse join scored
+    hamming 0 anyway) expand to doc pairs MAP-SIDE from the group
+    member arrays after a group-pair-grain dedup. Intra-group pairs
+    are hamming 0 by construction. Output bit-identical; the hamming
+    filter runs BEFORE expansion, at group grain. The signature frame
+    is lazily localCheckpointed so the self-join's two sides read ONE
+    materialization of the token-hash/vote pass; blocks are
+    ContextCleaner-released with the plan, same pattern as
+    ngram_jaccard_pairs."""
+    groups = (
         simhash_df(docs, id_col, text_col)
-        .select(id_col, "sim60")
+        .groupBy("sim60")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("members"))
         .localCheckpoint(eager=False)
     )
     width = SIMHASH_BITS // bands
-    banded = sh.select(
-        id_col,
+    banded = groups.select(
+        F.col("members").getItem(0).alias("gid"),
         "sim60",
+        "members",
         F.explode(
             F.array(
                 *[
@@ -283,24 +296,54 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "sim60", "bb.band", "bb.bucket")
+    ).select("gid", "sim60", "members", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sim60").bitwiseXOR(F.col("b.sim60")))
-    pairs = (
+    cross_groups = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
+            F.col("a.members").alias("ma"),
+            F.col("b.members").alias("mb"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("gid_a", "gid_b")
+        .agg(
+            F.first("hamming").alias("hamming"),
+            F.first("ma").alias("ma"),
+            F.first("mb").alias("mb"),
+        )
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    cross = cross_groups.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ma, x -> transform(mb, y -> "
+                "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+            )
+        ).alias("p"),
+        "hamming",
+    ).select("p.id_a", "p.id_b", "hamming")
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(

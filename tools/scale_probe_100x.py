@@ -60,6 +60,8 @@ PROBES = [
     ("kmeans_fit", "embeddings"),
     ("dedup_minhash", "documents"),
     ("dedup_exact", "documents"),
+    ("dedup_simhash", "documents"),
+    ("graph_pagerank", "lineitem+orders"),
 ]
 
 
