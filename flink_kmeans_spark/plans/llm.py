@@ -3567,7 +3567,7 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
-    return (
+    out = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select(
@@ -3580,6 +3580,11 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phase"),
         )
     )
+    # The key rebuilds base+delta PER CALL (its contract pins the ingest
+    # mechanics), which deletes the files a PREVIOUS call's returned
+    # frame still references. The result is bounded (≤ 3·|queries| rows),
+    # so materialize it eagerly — the handle outlives any later rebuild.
+    return out.localCheckpoint(eager=True)
 
 
 def _rag_rerank_oracle() -> str:
