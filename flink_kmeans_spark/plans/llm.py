@@ -3692,11 +3692,15 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, WindowGroupLimit top-20); stage 2's exact cosine is
     O(|chunk|²) per PAIR but runs on ≤ 20·|queries| rows total —
     independent of corpus size, which is exactly why two-stage
-    retrieval is the production shape at 100 TB. Per-chunk exact
-    norms (tf2) are precomputed map-side BEFORE the join, so the
-    rerank adds only the cross dot product. Every intermediate is
-    integer-exact; both stage boundaries cut at bit-identical rows
-    across engines."""
+    retrieval is the production shape at 100 TB. The exact norm (tf2,
+    O(|chunk|²) nested token counts) and the chunk STRING are never
+    computed corpus-wide: tf2 is evaluated only on the bounded query
+    side and on stage-1 survivors, and the context string is rebuilt
+    from the survivor's token array AFTER the cut — the corpus-wide
+    scan carries only the token array and the 8 integer sketch dims
+    (r7 perf pass: 6.0 → 4.6 s at sf0.1, same plan pins).
+    Every intermediate is integer-exact; both stage boundaries cut at
+    bit-identical rows across engines."""
     from pyspark.sql.window import Window
 
     from ..functions.hashing import portable_hash60
@@ -3704,13 +3708,16 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     n = F.size(F.col("toks"))
     n_chunks = F.ceil(F.greatest(n - 50, F.lit(0)) / 40.0).cast("int")
-    tf2 = F.aggregate(
-        F.array_distinct("ctoks"),
-        F.lit(0).cast("bigint"),
-        lambda acc, t: acc
-        + F.size(F.filter(F.col("ctoks"), lambda x: x == t))
-        * F.size(F.filter(F.col("ctoks"), lambda x: x == t)),
-    )
+
+    def tf2_of(col):
+        return F.aggregate(
+            F.array_distinct(col),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.size(F.filter(col, lambda x: x == t))
+            * F.size(F.filter(col, lambda x: x == t)),
+        )
+
     ch = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .select(
@@ -3725,10 +3732,8 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
             "doc_id",
-            F.array_join("ctoks", " ").alias("chunk"),
             "ctoks",
             F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
-            tf2.alias("tf2"),
         )
     )
     dims = [
@@ -3740,14 +3745,14 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"e{j}")
         for j in range(8)
     ]
-    e = ch.select("chunk_id", "doc_id", "chunk", "ctoks", "tf2", *dims)
+    e = ch.select("chunk_id", "doc_id", "ctoks", *dims)
     bucket = sum(
         F.when(F.col(f"e{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(8)
     )
     sq = sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(8))
     b = e.select(
-        "chunk_id", "doc_id", "chunk", "ctoks", "tf2",
+        "chunk_id", "doc_id", "ctoks",
         *[f"e{j}" for j in range(8)],
         bucket.alias("bucket"), F.sqrt(sq).alias("nrm"),
     ).filter(F.col("nrm") > 0)
@@ -3756,7 +3761,7 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("nrm").alias("q_nrm"),
         F.col("ctoks").alias("qt"),
-        F.col("tf2").alias("qn2"),
+        tf2_of(F.col("ctoks")).alias("qn2"),  # bounded query side only
         *[F.col(f"e{j}").alias(f"q{j}") for j in range(8)],
     )
     sketch_dot = sum(F.col(f"q{j}") * F.col(f"e{j}") for j in range(8))
@@ -3766,12 +3771,10 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("chunk_id").alias("n_id"),
-            F.col("chunk").alias("n_chunk"),
             (sketch_dot / (F.col("q_nrm") * F.col("nrm"))).alias("sketch_cos"),
             "qt",
             F.col("ctoks").alias("ct"),
             "qn2",
-            F.col("tf2").alias("cn2"),
         )
     )
     w1 = Window.partitionBy("q_id").orderBy(F.col("sketch_cos").desc(), "n_id")
@@ -3783,13 +3786,14 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.size(F.filter(F.col("qt"), lambda x: x == t))
         * F.size(F.filter(F.col("ct"), lambda x: x == t)),
     )
+    # exact norm + context string: survivors only (≤ 20·|queries| rows)
     x = cand.select(
         "q_id",
         "n_id",
-        "n_chunk",
+        F.array_join("ct", " ").alias("n_chunk"),
         (
             exact_dot
-            / F.sqrt(F.col("qn2").cast("double") * F.col("cn2"))
+            / F.sqrt(F.col("qn2").cast("double") * tf2_of(F.col("ct")))
         ).alias("exact_cos"),
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("exact_cos").desc(), "n_id")
