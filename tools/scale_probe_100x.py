@@ -62,6 +62,12 @@ PROBES = [
     ("dedup_exact", "documents"),
     ("dedup_simhash", "documents"),
     ("graph_pagerank", "lineitem+orders"),
+    # round-7 breadth 2: the LLM serving/cleaning stack at 100×
+    ("decontam_ngram_overlap", "documents"),
+    ("text_inverted_index", "documents"),
+    ("pipeline_rag", "documents"),
+    ("pipeline_rag_rerank", "documents"),
+    ("sim_ann_incremental", "embeddings"),
 ]
 
 
