@@ -68,6 +68,7 @@ PROBES = [
     ("pipeline_rag", "documents"),
     ("pipeline_rag_rerank", "documents"),
     ("sim_ann_incremental", "embeddings"),
+    ("dedup_ngram_jaccard", "documents"),
 ]
 
 
