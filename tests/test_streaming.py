@@ -122,3 +122,31 @@ def test_transform_with_state_matches_batch_when_protobuf_present(spark, sf_dir)
         .collect()
     }
     assert got == exp
+
+
+def test_rocksdb_drain_restores_session_conf(spark, sf_dir):
+    """run_available_now pins the RocksDB state store for the drain
+    (r7 100× probe catch #6) but must leave the caller's session conf
+    exactly as it found it — both when unset and when preset."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    # case 1: unset before -> unset after
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    S.run_available_now(
+        S.streaming_tumbling_counts(spark, sf_dir), "t_conf_restore_1"
+    )
+    try:
+        leftover = spark.conf.get(key)
+    except Exception:
+        leftover = None
+    assert leftover is None or "RocksDB" not in str(leftover)
+    # case 2: preset value survives the drain
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming."
+                        "state.HDFSBackedStateStoreProvider")
+    S.run_available_now(
+        S.streaming_tumbling_counts(spark, sf_dir), "t_conf_restore_2"
+    )
+    assert "HDFSBacked" in spark.conf.get(key)
+    spark.conf.unset(key)

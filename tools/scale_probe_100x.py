@@ -69,6 +69,10 @@ PROBES = [
     ("pipeline_rag_rerank", "documents"),
     ("sim_ann_incremental", "embeddings"),
     ("dedup_ngram_jaccard", "documents"),
+    # round-7 breadth 3: the multimodal family at 100×
+    ("multimodal_audio_decode", "documents"),
+    ("multimodal_phash", "documents"),
+    ("pipeline_media_curation", "documents"),
 ]
 
 
