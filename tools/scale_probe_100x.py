@@ -73,6 +73,11 @@ PROBES = [
     ("multimodal_audio_decode", "documents"),
     ("multimodal_phash", "documents"),
     ("pipeline_media_curation", "documents"),
+    # round-7 breadth 4: dedup clustering end-to-end + tokenizer/retrieval
+    ("graph_components", "documents"),
+    ("text_bpe_train", "documents"),
+    ("text_bm25_topk", "documents"),
+    ("text_feature_hashing", "documents"),
 ]
 
 
