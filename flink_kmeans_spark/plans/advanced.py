@@ -1737,28 +1737,78 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED median (lower weighted median: smallest value whose
-    cumulative weight reaches half the total) — neither engine has a
-    native weighted percentile, so both run the same cumulative-weight
-    window formulation: sort by value within the group (orderkey/
-    linenumber tiebreaks pin equal prices), running SUM of weights,
-    first row past tw/2. Same sort-based, spill-safe shape as the
-    exact percentile rewrite (README round-2 lesson) — no per-group
-    value buffering. Quantity-weighted price medians are the
-    unit-economics version of the plain median."""
+    cumulative weight reaches half the total). Neither engine has a
+    native weighted percentile; the ORACLE keeps the one-window
+    cumulative-weight formulation, while the Spark side runs the
+    DISTRIBUTED two-phase shape (r7 probe catch #8):
+
+    the original single window partitioned the WHOLE table by
+    l_returnflag — 3 partitions, so one task sorted and prefix-summed
+    a third of the dataset (probe: 6.3× wall at 10× data; at 100 TB
+    one task owns ~33 TB). Now phase 1 is a fully parallel hash
+    aggregate of weights at (group, fixed-width price bucket) grain;
+    phase 2 prefix-sums the ~100 bucket rows per group (tiny window)
+    and finds the bucket where the cumulative weight crosses tw/2;
+    phase 3 broadcast-joins the crossing bucket back and runs the
+    exact sorted prefix scan over ONLY that bucket's rows (~1% of a
+    group). Weights are integer-valued (TPC-H quantities), so every
+    cumulative sum is exact in doubles and the crossing decisions are
+    bit-identical to the one-window formulation — same result, same
+    tie-breaks (value ties share a bucket, where the original
+    orderkey/linenumber ordering applies unchanged). Re-probed 1.18×
+    at 10× data (was 6.3×)."""
     li = _t(spark, sf_dir, "lineitem")
+    bkt = F.floor(F.col("l_extendedprice") / 1000).alias("bkt")
+    ph1 = li.groupBy("l_returnflag", bkt).agg(
+        F.sum("l_quantity").alias("bw")
+    )
+    wb = Window.partitionBy("l_returnflag").orderBy("bkt")
+    cum = ph1.select(
+        "l_returnflag",
+        "bkt",
+        "bw",
+        F.sum("bw").over(wb.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("bw").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    cross = (
+        cum.filter(F.col("cumw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("bkt").alias("bkt"),
+                    (F.col("cumw") - F.col("bw")).alias("prev_cum"),
+                    F.col("tw").alias("tw"),
+                ),
+                F.col("bkt"),
+            ).alias("c")
+        )
+        .select(
+            F.col("l_returnflag").alias("cf"),
+            F.col("c.bkt").alias("cbkt"),
+            F.col("c.prev_cum").alias("prev_cum"),
+            F.col("c.tw").alias("tw"),
+        )
+    )
     wsort = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    wall = Window.partitionBy("l_returnflag")
-    s = li.select(
+    sel = li.join(
+        F.broadcast(cross),
+        (F.col("l_returnflag") == F.col("cf"))
+        & (F.floor(F.col("l_extendedprice") / 1000) == F.col("cbkt")),
+    ).select(
         "l_returnflag",
         F.col("l_extendedprice").alias("val"),
-        F.sum("l_quantity")
-        .over(wsort.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cw"),
-        F.sum("l_quantity").over(wall).alias("tw"),
+        (
+            F.col("prev_cum")
+            + F.sum("l_quantity").over(
+                wsort.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        ).alias("cw"),
+        "tw",
     )
-    px = s.filter(F.col("cw") >= F.col("tw") / 2).withColumn(
+    px = sel.filter(F.col("cw") >= F.col("tw") / 2).withColumn(
         "rn",
         F.row_number().over(
             Window.partitionBy("l_returnflag").orderBy("cw", "val")

@@ -101,6 +101,18 @@ PROBES = [
     # round-7 new keys
     ("sim_ann_incremental", "embeddings"),
     ("pipeline_rag_rerank", "documents"),
+    # round-7 coverage sweep: the most expensive keys still unprobed
+    ("tpch_q21", "lineitem+orders+supplier+nation"),
+    ("tpch_q9", "lineitem+orders+part+supplier+partsupp-free"),
+    ("tpch_q8", "lineitem+orders+part+customer"),
+    ("window_ewma", "events"),
+    ("events_pareto_share", "events"),
+    ("agg_weighted_median", "lineitem"),
+    ("pipeline_curation", "documents"),
+    ("kmeans_assign", "embeddings"),
+    ("sim_cosine_topk", "embeddings"),
+    ("text_repetition", "documents"),
+    ("text_bigram_lm", "documents"),
 ]
 
 
