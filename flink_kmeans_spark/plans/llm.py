@@ -1654,6 +1654,84 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_graph(_emb(spark, sf_dir), k=3)
 
 
+def _data_fingerprint(spark: SparkSession, path: str) -> list:
+    """Per-file ``name:length:modificationTime`` fingerprint of a data
+    path, resolved through the Hadoop FileSystem API so it works on any
+    scheme the session can read (s3a://, hdfs://, file:) — ``os.stat``
+    is inert off the local filesystem, which would silently disable the
+    staleness detection the ANN index tag relies on (ADVICE r7; same
+    rationale as streaming/jobs.py stream_table). Local os.stat
+    fallback only if the JVM call is unavailable."""
+    import os
+
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        st = fs.getFileStatus(jpath)
+        if st.isDirectory():
+            parts = []
+            for s in fs.listStatus(jpath):
+                parts.append(
+                    f"{s.getPath().getName()}:{s.getLen()}:{s.getModificationTime()}"
+                )
+            return sorted(parts)
+        return [f"{st.getLen()}:{st.getModificationTime()}"]
+    except Exception:
+        pass
+    local = path.removeprefix("file:")
+    if os.path.isdir(local):
+        return sorted(
+            f"{name}:{os.stat(os.path.join(local, name)).st_size}:"
+            f"{os.stat(os.path.join(local, name)).st_mtime_ns}"
+            for name in os.listdir(local)
+        )
+    if os.path.exists(local):
+        st = os.stat(local)
+        return [f"{st.st_size}:{st.st_mtime_ns}"]
+    return []
+
+
+def _gc_stale_index_tags(
+    spark: SparkSession, prefix: str, keep_tbl: str, match=None
+) -> None:
+    """Drop catalog tables and .index/ dirs named ``<prefix><tag>``
+    whose tag differs from the current one. The data-fingerprinted tag
+    (ADVICE r6) means every in-place regeneration of the source data
+    mints a NEW table name; without GC the previous tag's catalog entry
+    and parquet files accumulate forever — a milder re-introduction of
+    the r5 leak (ADVICE r7). Stale tags reference superseded data, so
+    no live handle can validly depend on them. ``match`` optionally
+    narrows which prefixed names are candidates (e.g. legacy naming
+    schemes only). Best-effort: a concurrent session may own an entry
+    we try to drop."""
+    import os
+    import shutil
+
+    def stale(name: str) -> bool:
+        return (
+            name.startswith(prefix)
+            and name != keep_tbl
+            and (match is None or match(name))
+        )
+
+    try:
+        for t in spark.catalog.listTables():
+            if stale(t.name):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    except Exception:
+        pass
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx_root = os.path.join(repo_root, ".index")
+    try:
+        for name in os.listdir(idx_root):
+            if stale(name):
+                shutil.rmtree(os.path.join(idx_root, name), ignore_errors=True)
+    except OSError:
+        pass
+
+
 @register(
     "sim_ann_repartitioned",
     oracle="""
@@ -1740,20 +1818,26 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is actually REUSED across runs. ADVICE r6: the tag also folds in
     # a cheap fingerprint of the source data (per-file size + mtime of
     # embeddings.parquet) so regenerating the data IN PLACE changes the
-    # tag and forces a rebuild instead of silently reusing a stale index.
+    # tag and forces a rebuild instead of silently reusing a stale
+    # index. The fingerprint goes through the Hadoop FileSystem API
+    # (ADVICE r7) so it also fires for object-store sf_dirs
+    # (s3a://, hdfs://) where os.stat is inert; local os.stat fallback.
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    fp_parts = []
-    if os.path.isdir(emb_path):
-        for name in sorted(os.listdir(emb_path)):
-            st = os.stat(os.path.join(emb_path, name))
-            fp_parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(emb_path):
-        st = os.stat(emb_path)
-        fp_parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    tag = hashlib.md5(
-        (sf_dir + "|" + "|".join(fp_parts)).encode()
-    ).hexdigest()[:8]
-    tbl = f"ann_index_{tag}"
+    fp_parts = _data_fingerprint(spark, emb_path)
+    dir_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fp_tag = hashlib.md5("|".join(fp_parts).encode()).hexdigest()[:8]
+    tbl = f"ann_index_{dir_tag}_{fp_tag}"
+    # GC superseded fingerprints of THIS sf_dir (in-place data regen
+    # mints a new fp_tag; the old one's table + files would otherwise
+    # leak forever — ADVICE r7). Other sf_dirs' warm indexes are left
+    # alone so the tri-scale gate keeps its build-once reuse. Legacy
+    # single-tag names (pre-r8 ``ann_index_<8hex>``) are swept too —
+    # nothing can reference them under the two-part scheme.
+    _gc_stale_index_tags(spark, f"ann_index_{dir_tag}_", tbl)
+    _gc_stale_index_tags(
+        spark, "ann_index_", tbl,
+        match=lambda name: name.count("_") == 2,  # ann_index_<tag> only
+    )
     # The index lives OUTSIDE .scratch on purpose: every _scratch_dir()
     # call GCs .scratch subdirs older than 2h, which would delete the
     # index files underneath a still-live catalog entry (tableExists
@@ -3419,6 +3503,42 @@ def multimodal_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.spectrogram_audio_media(media)
 
 
+def _ann_inc_build(spark, indexed, tbl, idx_path, on_base_written=None) -> None:
+    """Base-overwrite + delta-append of the 16-bucket incremental ANN
+    index (shared by sim_ann_incremental and its mechanics test).
+    ``on_base_written(idx_path)`` fires BETWEEN the two writes so a
+    test can snapshot the base generation's files/mtimes and prove the
+    append leaves them untouched (ADVICE r7 — the old test captured
+    mtimes after both writes, so the assertion was vacuous)."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if os.path.isdir(idx_path):
+        shutil.rmtree(idx_path)
+    os.makedirs(idx_path, exist_ok=True)
+    (
+        indexed.filter(F.col("vec_id") % 10 != 0)
+        .write.bucketBy(16, "bucket")
+        .sortBy("bucket")
+        .option("path", idx_path)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    if on_base_written is not None:
+        on_base_written(idx_path)
+    # The delta: same bucket spec, append mode — new files per bucket,
+    # base files untouched (the incremental-ingest contract).
+    (
+        indexed.filter(F.col("vec_id") % 10 == 0)
+        .write.bucketBy(16, "bucket")
+        .sortBy("bucket")
+        .option("path", idx_path)
+        .mode("append")
+        .saveAsTable(tbl)
+    )
+
+
 @register(
     "sim_ann_incremental",
     oracle="""
@@ -3484,7 +3604,6 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm-reuse path is sim_ann_repartitioned's pin."""
     import hashlib
     import os
-    import shutil
 
     from pyspark.sql.window import Window
 
@@ -3503,29 +3622,11 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"ann_inc_{tag}"
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     idx_path = os.path.join(repo_root, ".index", tbl)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    if os.path.isdir(idx_path):
-        shutil.rmtree(idx_path)
-    os.makedirs(idx_path, exist_ok=True)
-    writer_opts = dict(path=idx_path)
-    (
-        indexed.filter(F.col("vec_id") % 10 != 0)
-        .write.bucketBy(16, "bucket")
-        .sortBy("bucket")
-        .options(**writer_opts)
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
-    # The delta: same bucket spec, append mode — new files per bucket,
-    # base files untouched (the incremental-ingest contract).
-    (
-        indexed.filter(F.col("vec_id") % 10 == 0)
-        .write.bucketBy(16, "bucket")
-        .sortBy("bucket")
-        .options(**writer_opts)
-        .mode("append")
-        .saveAsTable(tbl)
-    )
+    # This key rebuilds per call, so other sf_dirs' ann_inc_* leftovers
+    # are pure leak (one per probe-replica path otherwise) — GC them;
+    # results are localCheckpoint'ed, so no live handle reads the files.
+    _gc_stale_index_tags(spark, "ann_inc_", tbl)
+    _ann_inc_build(spark, indexed, tbl, idx_path)
     s2 = spark.newSession()  # shared catalog; own SQLConf for the probe
     s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     idx = s2.table(tbl)

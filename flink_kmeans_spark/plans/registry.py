@@ -59,99 +59,128 @@ def _load_all() -> None:
 
 
 # Driver-verification window priority. The driver hashes only the FIRST
-# ~50 queries() entries per round. As of round 6 EVERY oracled key has
-# at least one green driver hash row (folded CORRECTNESS_r01..r06), so
-# this round-7 rotation (the recipe VERDICT r6 item 1 asked for) is
-# pure evidence REFRESH plus the round-7 additions: the ~2 new r7 keys
-# lead (zero driver evidence), then the 31 keys whose LATEST green row
-# is from round 1, then the highest-traffic round-2 keys — the flagship
-# §2A K-Means path first, then the five streaming twins, then the
-# remaining r2 window/relational core — filling the ~50-slot window so
-# no key's latest driver evidence is older than it has to be. Declared
-# rows-only keys (no_oracle in the driver) sort BELOW the oracled tail
-# so they never burn a hashed window slot. Ordering only; results are
-# order-independent (proved by re-running the local gate after the
-# reorder).
+# ~50 queries() entries per round. Every oracled key has green driver
+# evidence (folded CORRECTNESS_r01..r07), so rotation is pure evidence
+# REFRESH: stalest-latest-green-round first (computed by folding the
+# seven CORRECTNESS files; within a round, alphabetical). The round-8
+# window leads with the 30 keys whose latest green row is round 2 —
+# after this window no oracled key's driver evidence is older than
+# round 3 and rotation becomes pure round-robin (VERDICT r7 item 1).
+# New keys with no driver evidence are inserted at the very front.
+# Declared rows-only keys (no_oracle in the driver) sort BELOW the
+# oracled tail so they never burn a hashed window slot. Ordering only;
+# results are order-independent (re-proved by re-running the local
+# gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- new in round 7 — no driver evidence yet ---
-    "sim_ann_incremental", "pipeline_rag_rerank",
-    # --- stalest evidence: the 31 keys whose latest driver row is r1 ---
-    "agg_cube", "agg_distinct", "agg_hash", "agg_rollup_cube", "agg_stats",
-    "join_asof", "join_cross", "join_null_aware_anti", "join_outer_full",
-    "join_range_binned", "join_semi_anti", "join_skew_salted",
-    "join_theta_range",
-    "scalar_array", "scalar_case", "scalar_date", "scalar_explode",
-    "scalar_json", "scalar_math", "scalar_null", "scalar_string",
-    "scalar_string_extra",
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10", "tpch_q14",
-    "tpch_q17", "tpch_q18", "tpch_q19",
-    # --- r2-stale refresh: flagship §2A K-Means path first (driver rows
-    #     were four rounds old — VERDICT r6 asked for these explicitly) ---
-    "kmeans_scan_points", "kmeans_init_centroids", "kmeans_assign",
-    "kmeans_fit", "kmeans_predict", "kmeans_collection_source",
-    #     the five streaming twins:
-    "streaming_tumbling", "streaming_sliding", "streaming_session",
-    "streaming_stateful_counter", "streaming_static_join",
-    #     remaining r2 window/relational core up to the ~50-slot edge:
-    "window_rank", "set_ops", "sort_limit", "dedup_exact", "udf_surface",
-    "window_session", "window_sliding", "window_tumbling",
-    # --- next-stalest (r2) keys, in line if the window runs wider ---
-    "agg_collect", "agg_conditional", "agg_corr", "agg_minmax_by",
-    "agg_percentile", "agg_pivot", "agg_string_concat",
-    "dedup_edit_distance", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "multimodal_schema", "scalar_bitwise", "scalar_format", "sort_nulls",
-    "sim_cosine_topk", "text_fingerprint", "text_langid", "text_ngram_freq",
-    "text_pii_redact", "text_quality", "text_stats", "text_tokens",
-    "text_vocab", "window_analytic", "window_distribution",
-    "window_first_last", "window_frame", "window_rank_variants",
-    # --- r1-green keys refreshed in the r6 window (now freshest) ---
-    "scan_parquet", "scan_events_ns", "scan_json", "project_filter",
-    "sink_csv", "sink_parquet", "sink_upsert",
-    "join_broadcast", "join_shuffle", "join_outer",
-    # --- r05-window keys, all driver-green in CORRECTNESS_r05.json ---
-    "sample_hash_stratified",
-    "sample_stratified", "cdc_merge_apply", "scd2_intervals",
-    "ts_fill_forward", "mining_cooccurrence", "orders_backlog_curve",
-    "orders_mix_shift", "forecast_snaive_backtest", "kmeans_farthest_init",
-    "join_dynamic_partition_prune", "scalar_interval", "sink_compaction",
-    "join_asof_tolerance", "text_bm25_topk", "decontam_ngram_overlap",
-    "sim_filtered_topk", "sim_knn_graph", "multimodal_resize",
-    "multimodal_audio_decode", "multimodal_video_framesample", "text_encode_ids",
-    "text_inverted_index", "pipeline_media_curation", "streaming_media_decode",
-    "text_bigram_lm", "events_entropy", "events_windowed_topk",
-    "graph_degree_dist", "events_time_weighted_avg", "events_gap_detection",
-    "events_cusum_drift", "events_ab_test", "events_next_event_baseline",
-    "window_rolling_median", "scalar_url", "data_skew_report",
-    "domain_mix_rebalance", "scan_text_lines", "events_outlier_mad",
-    "window_ewma", "dedup_url_canonical", "sink_parquet_codecs",
-    "table_fingerprint", "gdpr_user_erasure",
-    "dedup_minhash", "dedup_simhash", "agg_percentile_approx",
-    "join_skew_aqe", "sql_pipe_syntax",
-    # --- r04-window keys, all driver-green in CORRECTNESS_r04.json
-    #     (kept next so any wider-than-50 window re-confirms them) ---
-    "scalar_complex", "streaming_checkpoint_resume", "streaming_foreach_batch",
-    "streaming_stream_join", "streaming_dedup", "streaming_kmeans_assign",
-    "window_rollup", "window_count_distinct", "window_range_interval",
-    "window_ratio_to_report", "agg_histogram", "agg_grouping_sets",
-    "agg_mode", "agg_bitmap_distinct", "agg_cms_frequency",
-    "agg_approx_topk", "agg_salted_twophase", "agg_weighted_median",
-    "reshape_unpivot", "join_asof_forward", "join_asof_nearest",
-    "join_bucket_colocated", "join_bloom_pruned", "join_lateral_topn",
-    "join_point_in_time", "join_interval_overlap", "text_tfidf_exact",
-    "text_chunk", "text_pack", "text_repetition",
-    "text_boilerplate_ngrams", "text_collocations", "text_containment",
-    "text_unigram_logprob", "text_zipf_fit", "sim_range_search",
-    "sim_maxsim_topk", "multimodal_decode", "multimodal_framesample",
-    "multimodal_probe_formats", "multimodal_dedup_hash", "dedup_incremental",
-    "dedup_threshold_histogram", "embedding_quantize_int8", "udf_arrow_optimized",
-    "udtf_surface", "pipeline_curation", "data_split",
-    "split_contamination", "data_quality_checks",
-    # --- declared rows-only keys (driver records no_oracle; keep below
-    #     the oracled tail so they never burn a hashed-window slot) ---
-    "kmeans_fit_converged", "agg_hll_sketch",
-    "streaming_late_data", "text_tfidf",
-    "dedup_cluster_rep", "sim_ivf_topk", "sim_pq_topk",
-    "sim_lsh_topk", "text_quality_train", "text_compression_ratio",
+    # --- r2-stale: the 30 oracled keys whose latest green driver row is round 2
+    #     (VERDICT r7 item 1 — this window closes the rotation program) ---
+    "agg_collect", "agg_conditional", "agg_corr",
+    "agg_minmax_by", "agg_percentile", "agg_pivot",
+    "agg_string_concat", "dedup_edit_distance", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "multimodal_schema", "scalar_bitwise",
+    "scalar_format", "sim_cosine_topk", "sort_nulls",
+    "text_fingerprint", "text_langid", "text_ngram_freq",
+    "text_pii_redact", "text_quality", "text_stats",
+    "text_tokens", "text_vocab", "window_analytic",
+    "window_distribution", "window_first_last", "window_frame",
+    "window_rank_variants", "window_sliding", "window_tumbling",
+    # --- r3-vintage refreshes, next-stalest ---
+    "events_active_users", "events_anomaly", "events_attribution_linear",
+    "events_cohort_ltv", "events_funnel", "events_funnel_stages",
+    "events_pareto_share", "events_pattern_seq", "events_retention",
+    "events_rfm", "events_seasonality_heatmap", "events_session_metrics",
+    "events_streaks", "events_transitions", "events_user_paths",
+    "graph_components", "graph_components_star", "graph_link_prediction",
+    "graph_pagerank", "graph_triangles", "observe_metrics",
+    "plan_cached_reuse", "scalar_collation", "scalar_decimal",
+    "scalar_timestamp", "scalar_try_safe", "scalar_variant",
+    "scalar_xml", "scan_binary_files", "scan_csv_permissive",
+    "scan_orc", "scan_schema_evolution", "sink_partition_prune",
+    "source_python_datasource", "sql_frontdoor", "sql_recursive_cte",
+    "table_profile", "tpch_q1", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q7",
+    "tpch_q8", "tpch_q9",
+    # --- r4-vintage ---
+    "agg_approx_topk", "agg_bitmap_distinct", "agg_cms_frequency",
+    "agg_grouping_sets", "agg_histogram", "agg_mode",
+    "agg_salted_twophase", "agg_weighted_median", "data_quality_checks",
+    "data_split", "dedup_incremental", "dedup_threshold_histogram",
+    "embedding_quantize_int8", "join_asof_forward", "join_asof_nearest",
+    "join_bloom_pruned", "join_bucket_colocated", "join_interval_overlap",
+    "join_lateral_topn", "join_point_in_time", "multimodal_decode",
+    "multimodal_dedup_hash", "multimodal_framesample", "multimodal_probe_formats",
+    "pipeline_curation", "reshape_unpivot", "scalar_complex",
+    "sim_maxsim_topk", "sim_range_search", "split_contamination",
+    "streaming_checkpoint_resume", "streaming_dedup", "streaming_foreach_batch",
+    "streaming_kmeans_assign", "streaming_stream_join", "text_boilerplate_ngrams",
+    "text_chunk", "text_collocations", "text_containment",
+    "text_pack", "text_repetition", "text_tfidf_exact",
+    "text_unigram_logprob", "text_zipf_fit", "udf_arrow_optimized",
+    "udtf_surface", "window_count_distinct", "window_range_interval",
+    "window_ratio_to_report", "window_rollup",
+    # --- r5-vintage ---
+    "agg_percentile_approx", "cdc_merge_apply", "data_skew_report",
+    "decontam_ngram_overlap", "dedup_minhash", "dedup_simhash",
+    "dedup_url_canonical", "domain_mix_rebalance", "events_ab_test",
+    "events_cusum_drift", "events_entropy", "events_gap_detection",
+    "events_next_event_baseline", "events_outlier_mad", "events_time_weighted_avg",
+    "events_windowed_topk", "forecast_snaive_backtest", "gdpr_user_erasure",
+    "graph_degree_dist", "join_asof_tolerance", "join_dynamic_partition_prune",
+    "join_skew_aqe", "kmeans_farthest_init", "mining_cooccurrence",
+    "multimodal_audio_decode", "multimodal_resize", "multimodal_video_framesample",
+    "orders_backlog_curve", "orders_mix_shift", "pipeline_media_curation",
+    "sample_hash_stratified", "sample_stratified", "scalar_interval",
+    "scalar_url", "scan_text_lines", "scd2_intervals",
+    "sim_filtered_topk", "sim_knn_graph", "sink_compaction",
+    "sink_parquet_codecs", "sql_pipe_syntax", "streaming_media_decode",
+    "table_fingerprint", "text_bigram_lm", "text_bm25_topk",
+    "text_encode_ids", "text_inverted_index", "ts_fill_forward",
+    "window_ewma", "window_rolling_median",
+    # --- r6-vintage ---
+    "agg_chi2_independence", "agg_kmv_distinct", "agg_kmv_setops",
+    "agg_ks_test", "data_kanonymity", "dedup_line_level",
+    "embedding_mrl_truncate", "embedding_pca_power", "events_bot_detection",
+    "events_funnel_ttc", "events_markov_chain_2nd", "events_survival_curve",
+    "geo_grid_knn", "graph_label_propagation", "graph_shortest_paths",
+    "join_broadcast", "join_outer", "join_shuffle",
+    "multimodal_audio_spectrogram", "multimodal_audio_vad", "multimodal_phash",
+    "mv_incremental_agg", "pipeline_rag", "project_filter",
+    "scan_events_ns", "scan_json", "scan_jsonl_gz",
+    "scan_parquet", "sim_ann_repartitioned", "sink_csv",
+    "sink_parquet", "sink_upsert", "sink_zorder",
+    "source_python_stream", "sql_parameterized", "streaming_session_window",
+    "table_diff", "text_bpe_pair_counts", "text_bpe_train",
+    "text_feature_hashing", "text_js_divergence", "text_kneser_ney",
+    "text_perplexity_buckets", "text_quality_logreg", "ts_autocorrelation",
+    "ts_changepoint_binseg", "ts_interpolate_linear", "ts_resample_ohlc",
+    "ts_seasonal_decompose", "udf_arrow_grouped",
+    # --- r7-fresh (freshest oracled keys, refreshed last round) ---
+    "agg_cube", "agg_distinct", "agg_hash",
+    "agg_rollup_cube", "agg_stats", "dedup_exact",
+    "join_asof", "join_cross", "join_null_aware_anti",
+    "join_outer_full", "join_range_binned", "join_semi_anti",
+    "join_skew_salted", "join_theta_range", "kmeans_assign",
+    "kmeans_collection_source", "kmeans_fit", "kmeans_init_centroids",
+    "kmeans_predict", "kmeans_scan_points", "pipeline_rag_rerank",
+    "scalar_array", "scalar_case", "scalar_date",
+    "scalar_explode", "scalar_json", "scalar_math",
+    "scalar_null", "scalar_string", "scalar_string_extra",
+    "set_ops", "sim_ann_incremental", "sort_limit",
+    "streaming_session", "streaming_sliding", "streaming_stateful_counter",
+    "streaming_static_join", "streaming_tumbling", "tpch_q10",
+    "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q3", "tpch_q4",
+    "tpch_q5", "tpch_q6", "udf_surface",
+    "window_rank", "window_session",
+    # --- declared rows-only keys (driver records no_oracle; keep below the
+    #     oracled tail so they never burn a hashed-window slot) ---
+    "agg_approx", "agg_hll_sketch", "dedup_cluster_rep",
+    "kmeans_datagen", "kmeans_fit_converged", "kmeans_mllib",
+    "recsys_als", "sim_ivf_topk", "sim_lsh_topk",
+    "sim_pq_topk", "streaming_late_data", "text_compression_ratio",
+    "text_quality_train", "text_tfidf",
 ]
 
 

@@ -82,11 +82,26 @@ def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | No
     return builder.getOrCreate()
 
 
+# Scratch dirs the LIVE process still holds lazy DataFrame handles over
+# (e.g. run_available_now returns spark.read.parquet over a staged sink).
+# prune_scratch never deletes these, however old they get — a handle
+# returned early in a long session must not start failing mid-session
+# because a later call GC'd its files (ADVICE r7).
+_LIVE_SCRATCH: set = set()
+
+
+def protect_scratch(path: str) -> None:
+    """Mark a .scratch subdir as referenced by a live returned handle."""
+    _LIVE_SCRATCH.add(os.path.abspath(path))
+
+
 def prune_scratch(base: str, max_age_s: int = 7200) -> None:
     """Best-effort GC for .scratch temp dirs (sinks, stream checkpoints):
     every creation call prunes siblings older than ``max_age_s`` so
     repeated gate/bench runs don't accumulate unbounded spill. Errors
-    are swallowed — a concurrent run may own a dir we try to delete."""
+    are swallowed — a concurrent run may own a dir we try to delete.
+    Dirs registered via :func:`protect_scratch` (this process still
+    holds lazy handles over them) are never pruned."""
     import shutil
     import time
 
@@ -94,6 +109,8 @@ def prune_scratch(base: str, max_age_s: int = 7200) -> None:
         cutoff = time.time() - max_age_s
         for name in os.listdir(base):
             p = os.path.join(base, name)
+            if os.path.abspath(p) in _LIVE_SCRATCH:
+                continue
             try:
                 if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)

@@ -382,21 +382,31 @@ def run_available_now(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
     )
-    from ..session import prune_scratch
+    from ..session import protect_scratch, prune_scratch
 
     os.makedirs(base, exist_ok=True)
     prune_scratch(base)
     timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", timeout_sec))
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=base)
-    out = tempfile.mkdtemp(prefix=f"sink_{name}_", dir=base) + "/result"
+    sink_root = tempfile.mkdtemp(prefix=f"sink_{name}_", dir=base)
+    out = sink_root + "/result"
+    # The returned DataFrame is a LAZY read over this sink — protect it
+    # from prune_scratch for the life of the process so a handle held
+    # across a long session never loses its files (ADVICE r7).
+    protect_scratch(sink_root)
     spark = df.sparkSession
 
     def stage(batch_df: DataFrame, batch_id: int) -> None:
         # complete mode: each trigger carries the FULL updated result —
         # overwrite so the last trigger wins (identical to memory-sink
-        # semantics); append/update modes stage their increments.
-        mode = "overwrite" if output_mode == "complete" else "append"
-        batch_df.write.mode(mode).parquet(out)
+        # semantics). append/update modes stage their increments into a
+        # PER-BATCH subdir with overwrite, so a retried micro-batch
+        # (foreachBatch is at-least-once) REPLACES its own batch=N dir
+        # instead of double-appending rows (ADVICE r7).
+        if output_mode == "complete":
+            batch_df.write.mode("overwrite").parquet(out)
+        else:
+            batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
 
     with rocksdb_state(spark):
         q = (
@@ -415,13 +425,20 @@ def run_available_now(
                 f"stream {name!r} did not drain available data in {timeout_sec}s"
             )
         q.stop()
-    if not os.path.isdir(out) or not any(
-        f.endswith(".parquet") for f in os.listdir(out)
-    ):
+    have_files = os.path.isdir(out) and any(
+        f.endswith(".parquet")
+        for _, _, names in os.walk(out)
+        for f in names
+    )
+    if not have_files:
         # zero triggers fired (empty source): preserve the old memory-sink
         # behavior of an empty frame with the stream's schema
         return spark.createDataFrame([], df.schema)
-    return spark.read.parquet(out)
+    if output_mode == "complete":
+        return spark.read.parquet(out)
+    # append/update staged per-batch subdirs: recursiveFileLookup reads
+    # every generation without inferring a batch=N partition column.
+    return spark.read.option("recursiveFileLookup", "true").parquet(out)
 
 
 def run_foreach_batch_upsert(
@@ -442,7 +459,7 @@ def run_foreach_batch_upsert(
     import os
     import tempfile
 
-    from ..session import prune_scratch
+    from ..session import protect_scratch, prune_scratch
 
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -450,7 +467,9 @@ def run_foreach_batch_upsert(
     )
     os.makedirs(base, exist_ok=True)
     prune_scratch(base)
-    stage = tempfile.mkdtemp(prefix="fbu_stage_", dir=base) + "/partials"
+    stage_root = tempfile.mkdtemp(prefix="fbu_stage_", dir=base)
+    stage = stage_root + "/partials"
+    protect_scratch(stage_root)  # returned frame lazily reads this dir
     ckpt = tempfile.mkdtemp(prefix="fbu_ckpt_", dir=base)
 
     ev = stream_events(spark, sf_dir)
@@ -507,7 +526,7 @@ def run_checkpoint_resume(
     import os
     import tempfile
 
-    from ..session import prune_scratch
+    from ..session import protect_scratch, prune_scratch
     from ..sources.tables import _normalize_event_ts
 
     base = os.path.join(
@@ -517,6 +536,7 @@ def run_checkpoint_resume(
     os.makedirs(base, exist_ok=True)
     prune_scratch(base)
     root = tempfile.mkdtemp(prefix="ckpt_resume_", dir=base)
+    protect_scratch(root)  # returned frame lazily reads root/sink
     landing, ckpt, sink = f"{root}/landing", f"{root}/ckpt", f"{root}/sink"
     os.makedirs(landing, exist_ok=True)
 

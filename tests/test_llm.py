@@ -776,6 +776,49 @@ def test_sim_ann_incremental_delta_files_and_participation(spark, sf_dir):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     idx_path = os.path.join(repo_root, ".index", f"ann_inc_{tag}")
 
+    # Snapshot the base generation BETWEEN the two writes via the build
+    # hook (ADVICE r7: capturing mtimes after both writes made the
+    # untouched-base assertion vacuous).
+    base_snapshot = {}
+
+    def snap(path):
+        base_snapshot.update(
+            {
+                f: (os.path.getsize(os.path.join(path, f)),
+                    os.path.getmtime(os.path.join(path, f)))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            }
+        )
+
+    import flink_kmeans_spark.plans.llm as llm_mod
+    from flink_kmeans_spark.functions.vectors import l2norm
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    cell = sum(
+        (F.when(v.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(8)
+    )
+    indexed = e.select(
+        "vec_id", "embedding", cell.alias("bucket"), l2norm(v).alias("nrm")
+    )
+    llm_mod._ann_inc_build(spark, indexed, f"ann_inc_{tag}", idx_path,
+                           on_base_written=snap)
+    assert base_snapshot, "base generation wrote no parquet files"
+    after = {
+        f: (os.path.getsize(os.path.join(idx_path, f)),
+            os.path.getmtime(os.path.join(idx_path, f)))
+        for f in os.listdir(idx_path)
+        if f.endswith(".parquet")
+    }
+    # (a) every base file survives the append byte-for-byte (size+mtime)
+    for f, sig in base_snapshot.items():
+        assert f in after and after[f] == sig, f"base file {f} was rewritten"
+    # and the append added NEW per-bucket files on top
+    assert len(after) > len(base_snapshot)
+
     rows = specs()["sim_ann_incremental"].fn(spark, sf_dir).collect()
     files = sorted(
         f for f in os.listdir(idx_path) if f.endswith(".parquet")
@@ -784,9 +827,6 @@ def test_sim_ann_incremental_delta_files_and_participation(spark, sf_dir):
     # buckets touched by one write alone, and every file parses the
     # _NNNNN.cNNN bucket naming Spark uses for bucketed tables.
     assert len(files) > 16 / 2  # at least some buckets have 2 generations
-    base_mtimes = {
-        f: os.path.getmtime(os.path.join(idx_path, f)) for f in files
-    }
     # rows: per-query top-3 over the merged index
     assert all(r["rk"] in (1, 2, 3) for r in rows)
     phases = {r["phase"] for r in rows}
@@ -795,7 +835,6 @@ def test_sim_ann_incremental_delta_files_and_participation(spark, sf_dir):
     # re-running the key rebuilds from scratch (its documented contract)
     rows2 = specs()["sim_ann_incremental"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
-    assert base_mtimes  # path existed and held parquet files
 
 
 def test_pipeline_rag_rerank_two_stage_semantics(spark, sf_dir):
