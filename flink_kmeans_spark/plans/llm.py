@@ -3819,23 +3819,33 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.size(F.filter(col, lambda x: x == t)),
         )
 
-    ch = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks),
-                    lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
-                )
-            ).alias("chunk_idx", "ctoks"),
+    def chunk_src(src):
+        # split+slice only — no per-token hashing on this path; the
+        # survivor re-join passes a doc_id-prefiltered src so the
+        # second pass chunks only surviving documents
+        return (
+            src.select("doc_id", F.split("text", " ").alias("toks"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks),
+                        lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
+                    )
+                ).alias("chunk_idx", "ctoks"),
+            )
+            .select(
+                (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
+                "doc_id",
+                "ctoks",
+            )
         )
-        .select(
-            (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
-            "doc_id",
-            "ctoks",
-            F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
-        )
+
+    ch = chunk_src(d).select(
+        "chunk_id",
+        "doc_id",
+        "ctoks",
+        F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
     )
     dims = [
         F.aggregate(
@@ -3866,20 +3876,61 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"e{j}").alias(f"q{j}") for j in range(8)],
     )
     sketch_dot = sum(F.col(f"q{j}") * F.col(f"e{j}") for j in range(8))
+    # Stage-1 exchange carries ONLY (q_id, n_id, sketch_cos) — the
+    # 50-token arrays never ride the rank shuffle (VERDICT r7 item 3:
+    # they used to, a constant-factor bloat on every candidate row).
+    # Survivor token arrays are re-joined AFTER the rk1 ≤ 20 cut: the
+    # tiny survivor set broadcasts against a lean split+slice second
+    # pass (map-only, no shuffle of the corpus), and the query-side
+    # arrays come off the already-bounded broadcast q.
     s1 = (
         b.filter(F.col("doc_id") >= 3)
-        .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .join(
+            F.broadcast(q.select("q_id", "q_bucket", "q_nrm",
+                                 *[f"q{j}" for j in range(8)])),
+            F.col("bucket") == F.col("q_bucket"),
+        )
         .select(
             "q_id",
             F.col("chunk_id").alias("n_id"),
             (sketch_dot / (F.col("q_nrm") * F.col("nrm"))).alias("sketch_cos"),
-            "qt",
-            F.col("ctoks").alias("ct"),
-            "qn2",
         )
     )
     w1 = Window.partitionBy("q_id").orderBy(F.col("sketch_cos").desc(), "n_id")
-    cand = s1.withColumn("rk1", F.row_number().over(w1)).filter(F.col("rk1") <= 20)
+    cand = (
+        s1.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= 20)
+        .select("q_id", "n_id")
+    )
+    # Pin the stage-1 cut's WindowGroupLimit pushdown HERE, on cand's
+    # own executed plan — cand is then materialized once (it feeds two
+    # broadcasts below; without this, stage 1's corpus-wide hashing
+    # would run twice) and the tiny ≤20·|queries| id set outlives the
+    # lineage.
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" not in plan:
+        raise RuntimeError(
+            "pipeline_rag_rerank: the stage-1 top-20 cut lost its "
+            "WindowGroupLimit pushdown — the exact rerank would scan "
+            "non-candidate rows"
+        )
+    cand = cand.localCheckpoint(eager=False)
+    # decode survivor doc_ids from chunk_id (= doc_id·10⁶ + idx) so the
+    # second pass splits/slices ONLY surviving documents — the corpus
+    # text column is scanned but never re-tokenized corpus-wide
+    sur_docs = d.join(
+        F.broadcast(
+            cand.select(F.floor(F.col("n_id") / 1000000).alias("doc_id")).distinct()
+        ),
+        "doc_id",
+        "leftsemi",
+    )
+    sur = (
+        chunk_src(sur_docs)
+        .join(F.broadcast(cand), F.col("chunk_id") == F.col("n_id"))
+        .select("q_id", "n_id", F.col("ctoks").alias("ct"))
+        .join(F.broadcast(q.select("q_id", "qt", "qn2")), "q_id")
+    )
     exact_dot = F.aggregate(
         F.array_distinct("qt"),
         F.lit(0).cast("bigint"),
@@ -3888,7 +3939,7 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.size(F.filter(F.col("ct"), lambda x: x == t)),
     )
     # exact norm + context string: survivors only (≤ 20·|queries| rows)
-    x = cand.select(
+    x = sur.select(
         "q_id",
         "n_id",
         F.array_join("ct", " ").alias("n_chunk"),
@@ -3914,11 +3965,4 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " | ",
         ).alias("context"),
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    if "WindowGroupLimit" not in plan:
-        raise RuntimeError(
-            "pipeline_rag_rerank: the stage-1 top-20 cut lost its "
-            "WindowGroupLimit pushdown — the exact rerank would scan "
-            "non-candidate rows"
-        )
     return out
