@@ -1798,10 +1798,54 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle). The sign-grid cell is engine-portable, so the WHOLE
     pipeline — cells, candidate sets, ranks — is SQL-oracled, unlike
     recall-bounded random-hyperplane LSH (sim_lsh_topk)."""
+    from pyspark.sql.window import Window
+
+    tbl = _ann_index_ensure(spark, sf_dir)
+    s2 = spark.newSession()  # shared catalog; own SQLConf for the probes
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    idx = s2.table(tbl)
+    qrows = sorted(
+        idx.orderBy("vec_id").limit(10).select("vec_id", "bucket").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    out = None
+    for batch, rows in (("A", qrows[:5]), ("B", qrows[5:])):
+        cells = sorted({r["bucket"] for r in rows})
+        ids = [r["vec_id"] for r in rows]
+        cand = idx.filter(F.col("bucket").isin(cells))
+        scan_plan = cand._jdf.queryExecution().executedPlan().toString()
+        if "SelectedBucketsCount" not in scan_plan:
+            raise RuntimeError(
+                "sim_ann_repartitioned: bucket pruning did not engage "
+                "(no SelectedBucketsCount in the probe scan plan) — the "
+                "key exists to PIN the pruned-scan shape"
+            )
+        top = _ann_cell_topk(idx, cand, ids, k=3).select(
+            F.lit(batch).alias("batch"), "q_id", "n_id", "cosine", "rk"
+        )
+        out = top if out is None else out.unionByName(top)
+    return out
+
+
+def _ann_index_ensure(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once/reuse-warm 16-bucket sign-grid ANN index over the
+    embeddings table; returns the catalog table name. Shared by
+    sim_ann_repartitioned (batch probes) and streaming_ann_probe (the
+    online-serving twin).
+
+    Deterministic tag (ADVICE r5): Python's hash() is per-process
+    salted, which made the "build once" cache miss across driver
+    processes and leak uniquely-named ann_index_* tables. An md5 of
+    the sf_dir is stable everywhere, so a warm metastore + index dir
+    is actually REUSED across runs. ADVICE r6: the tag also folds in
+    a cheap fingerprint of the source data (per-file size + mtime of
+    embeddings.parquet) so regenerating the data IN PLACE changes the
+    tag and forces a rebuild instead of silently reusing a stale
+    index. The fingerprint goes through the Hadoop FileSystem API
+    (ADVICE r7) so it also fires for object-store sf_dirs
+    (s3a://, hdfs://) where os.stat is inert; local os.stat fallback."""
     import hashlib
     import os
-
-    from pyspark.sql.window import Window
 
     from ..functions.vectors import l2norm
 
@@ -1811,17 +1855,6 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(v.getItem(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
         for i in range(8)
     )
-    # Deterministic tag (ADVICE r5): Python's hash() is per-process
-    # salted, which made the "build once" cache miss across driver
-    # processes and leak uniquely-named ann_index_* tables. An md5 of
-    # the sf_dir is stable everywhere, so a warm metastore + index dir
-    # is actually REUSED across runs. ADVICE r6: the tag also folds in
-    # a cheap fingerprint of the source data (per-file size + mtime of
-    # embeddings.parquet) so regenerating the data IN PLACE changes the
-    # tag and forces a rebuild instead of silently reusing a stale
-    # index. The fingerprint goes through the Hadoop FileSystem API
-    # (ADVICE r7) so it also fires for object-store sf_dirs
-    # (s3a://, hdfs://) where os.stat is inert; local os.stat fallback.
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     fp_parts = _data_fingerprint(spark, emb_path)
     dir_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
@@ -1876,66 +1909,49 @@ def sim_ann_repartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .saveAsTable(tbl)
         )
-    s2 = spark.newSession()  # shared catalog; own SQLConf for the probes
-    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    idx = s2.table(tbl)
-    qrows = sorted(
-        idx.orderBy("vec_id").limit(10).select("vec_id", "bucket").collect(),
-        key=lambda r: r["vec_id"],
+    return tbl
+
+
+def _ann_cell_topk(idx: DataFrame, cand: DataFrame, ids: list, k: int = 3) -> DataFrame:
+    """Exact in-cell cosine top-k of ``cand`` rows for the query
+    vec_ids ``ids`` (queries broadcast off the index itself). Shared by
+    sim_ann_repartitioned's batch probes and streaming_ann_probe's
+    per-micro-batch probe."""
+    from pyspark.sql.window import Window
+
+    q = idx.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+        F.col("nrm").alias("q_nrm"),
     )
-    out = None
-    for batch, rows in (("A", qrows[:5]), ("B", qrows[5:])):
-        cells = sorted({r["bucket"] for r in rows})
-        ids = [r["vec_id"] for r in rows]
-        cand = idx.filter(F.col("bucket").isin(cells))
-        scan_plan = cand._jdf.queryExecution().executedPlan().toString()
-        if "SelectedBucketsCount" not in scan_plan:
-            raise RuntimeError(
-                "sim_ann_repartitioned: bucket pruning did not engage "
-                "(no SelectedBucketsCount in the probe scan plan) — the "
-                "key exists to PIN the pruned-scan shape"
-            )
-        q = idx.filter(F.col("vec_id").isin(ids)).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("bucket").alias("q_bucket"),
-            F.col("embedding").cast("array<double>").alias("q_vec"),
-            F.col("nrm").alias("q_nrm"),
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("embedding").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
         )
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("q_vec"),
-                F.col("embedding").cast("array<double>"),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
-        scored = (
-            cand.join(
-                F.broadcast(q),
-                (F.col("bucket") == F.col("q_bucket"))
-                & (F.col("vec_id") != F.col("q_id")),
-            )
-            .select(
-                "q_id",
-                F.col("vec_id").alias("n_id"),
-                (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
-        top = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3)
-            .select(
-                F.lit(batch).alias("batch"),
-                "q_id",
-                "n_id",
-                "cosine",
-                F.col("rk").cast("int").alias("rk"),
-            )
-        )
-        out = top if out is None else out.unionByName(top)
-    return out
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
 
 
 @register(
@@ -3966,3 +3982,355 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("context"),
     )
     return out
+
+
+def _mh_inc_build(spark, banded_base, banded_delta, tbl, idx_path,
+                  on_base_written=None) -> None:
+    """Base-overwrite + delta-append of the band-bucketed MinHash
+    signature table (shared by dedup_minhash_incremental and its
+    mechanics test — same hook contract as _ann_inc_build)."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if os.path.isdir(idx_path):
+        shutil.rmtree(idx_path)
+    os.makedirs(idx_path, exist_ok=True)
+    (
+        banded_base.write.partitionBy("gen")
+        .bucketBy(16, "bkey")
+        .sortBy("bkey")
+        .option("path", idx_path)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    if on_base_written is not None:
+        on_base_written(idx_path)
+    (
+        banded_delta.write.partitionBy("gen")
+        .bucketBy(16, "bkey")
+        .sortBy("bkey")
+        .option("path", idx_path)
+        .mode("append")
+        .saveAsTable(tbl)
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash+LSH dedup (VERDICT r7 item 8a) —
+    sim_ann_incremental's delta-ingest pattern applied to the dedup
+    index: the corpus's MinHash signatures are persisted as a
+    BAND-BUCKETED table (8 band rows per signature group, bucketBy(16)
+    on the band-slice key), 90% of documents (doc_id % 10 != 0) as the
+    base generation, the remaining 10% appended later with the same
+    bucket spec — new per-bucket files only, base files never
+    rewritten, candidate joins bucket-colocated across generations.
+
+    Candidate generation is then INCREMENTAL: base×base pairs come
+    from the base generation alone (the answer the previous run
+    already had), and the delta batch only generates pairs INVOLVING a
+    delta row — one bucket-grain join of the delta band rows against
+    the merged table. The union must equal the full recompute: the
+    DuckDB oracle is dedup_minhash's FULL-CORPUS answer, so a hash
+    match PROVES incremental candidate set ≡ full recompute.
+
+    Scale shape at 100 TB: each delta batch shuffles ONLY its own band
+    rows (8·|delta| rows) at ingest; the probe join reads base bucket
+    files in place (bucket-colocated sort-merge — the executed plan is
+    asserted to carry NO Exchange on the bucket key), and the r7
+    exact-collapse discipline holds PER GENERATION: identical
+    signatures collapse before banding, so duplicate multiplicity
+    never inflates the join (cross-generation identical signatures
+    stay two group rows sharing every band — found by the join with
+    est = 1.0, exactly what the full recompute yields).
+    """
+    import hashlib
+    import os
+
+    from ..functions.hashing import MINHASH_P, minhash_coeffs  # noqa: F401
+    from ..operators.dedup import minhash_signatures
+
+    num_hashes, bands = 32, 8
+    width = num_hashes // bands
+    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=num_hashes)
+
+    def groups_of(part):
+        return part.groupBy("minhash").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("members")
+        )
+
+    def banded_of(groups, gen):
+        # bkey = "<band>|h1,h2,h3,h4" — string equality ≡ (band, slice)
+        # equality (hash values are integers, the delimiter is
+        # unambiguous), and a plain string buckets/sorts natively
+        return groups.select(
+            F.col("members").getItem(0).alias("gid"),
+            "minhash",
+            "members",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.concat(
+                        b.cast("string"),
+                        F.lit("|"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("minhash"), b * width + 1, width),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                    ),
+                )
+            ).alias("bkey"),
+            F.lit(gen).alias("gen"),
+        )
+
+    base_g = groups_of(sigs.filter(F.col("doc_id") % 10 != 0))
+    delta_g = groups_of(sigs.filter(F.col("doc_id") % 10 == 0))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tbl = f"mh_inc_{tag}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx_path = os.path.join(repo_root, ".index", tbl)
+    _gc_stale_index_tags(spark, "mh_inc_", tbl)
+    _mh_inc_build(
+        spark, banded_of(base_g, "base"), banded_of(delta_g, "delta"), tbl, idx_path
+    )
+    s2 = spark.newSession()  # shared catalog; own SQLConf for the probe
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # broadcast off in the CLONE only: at gate scale Spark would pick a
+    # BroadcastHashJoin (no exchange either way), making the
+    # colocation assertion vacuous — forcing the sort-merge path makes
+    # the probe exercise exactly the ≥100 TB plan, where the bucketed
+    # layout is what keeps the corpus from re-shuffling on every batch
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    t = s2.table(tbl)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.minhash"), F.col("b.minhash"),
+                           lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+
+    def group_pairs(left, right, cond):
+        return (
+            left.alias("a")
+            .join(right.alias("b"), (F.col("a.bkey") == F.col("b.bkey")) & cond)
+            .select(
+                F.col("a.gid").alias("gid_a"),
+                F.col("b.gid").alias("gid_b"),
+                F.col("a.members").alias("ma"),
+                F.col("b.members").alias("mb"),
+                est.alias("jaccard_est"),
+            )
+            .groupBy("gid_a", "gid_b")
+            .agg(
+                F.first("jaccard_est").alias("jaccard_est"),
+                F.first("ma").alias("ma"),
+                F.first("mb").alias("mb"),
+            )
+        )
+
+    base_rows = t.filter(F.col("gen") == "base")
+    delta_rows = t.filter(F.col("gen") == "delta")
+    # stage 1 — what the previous run already knew: base×base
+    p_bb = group_pairs(base_rows, base_rows, F.col("a.gid") < F.col("b.gid"))
+    # the bucket-colocation pin: the self-join must read the bucketed
+    # files in place — a regression re-shuffles on the bucket key
+    plan = p_bb._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or "Exchange hashpartitioning(bkey" in plan:
+        raise RuntimeError(
+            "dedup_minhash_incremental: the base self-join must be a "
+            "bucket-colocated sort-merge join (no Exchange on bkey) — "
+            "the persisted bucket layout was not used"
+        )
+    # stage 2 — the incremental step: pairs involving ≥1 delta row.
+    # delta×base needs no gid order (delta only ever sits on side a);
+    # delta×delta orders to avoid double-count.
+    p_d = group_pairs(
+        delta_rows,
+        t,
+        ((F.col("b.gen") == "base") & (F.col("a.gid") != F.col("b.gid")))
+        | ((F.col("b.gen") == "delta") & (F.col("a.gid") < F.col("b.gid"))),
+    )
+    inter = p_bb.unionByName(p_d).filter(F.col("jaccard_est") >= 0.5)
+    cross = inter.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ma, x -> transform(mb, y -> "
+                "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+            )
+        ).alias("p"),
+        "jaccard_est",
+    ).select("p.id_a", "p.id_b", "jaccard_est")
+    # intra-group pairs per generation: identical signatures ⇒ 1.0
+    intra = (
+        base_g.unionByName(delta_g)
+        .filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard_est"))
+    )
+    # bounded output (near-dup pairs at gate scale); the per-call
+    # rebuild deletes files a previous handle may still reference —
+    # same eager-materialization contract as sim_ann_incremental
+    return cross.unionByName(intra).localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_ann_probe",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+           + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+           + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, nrm, bucket
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM n)
+      WHERE rn <= 10
+    )
+    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                           p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (q.nrm * c.nrm) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                                                      p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+                        / (q.nrm * c.nrm) DESC, c.vec_id
+             ) AS rk
+      FROM q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    WHERE rk <= 3
+    """,
+    tags=("vector", "bucketing", "streaming"),
+)
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the ANN probe path (VERDICT r7 item 8b) — the
+    online-serving shape: query batches ARRIVE as a file stream (two
+    5-query parquet files drained one per micro-batch) and each
+    micro-batch probes the SAME persisted 16-bucket index
+    sim_ann_repartitioned built, inside ``foreachBatch``: collect the
+    batch's queries (bounded: ≤ 5 rows), filter the index with a
+    literal ``bucket IN (...)`` — BUCKET PRUNING is asserted per batch
+    (``SelectedBucketsCount`` in the executed scan plan; a regression
+    to a full scan raises mid-stream) — broadcast the queries for
+    exact in-cell cosine top-3, and stage the batch's results to a
+    per-batch_id parquet dir (idempotent under foreachBatch's
+    at-least-once retries). The DuckDB oracle is the BATCH answer over
+    the full corpus, so a hash match proves stream-serving ≡ batch.
+
+    Scale shape at 100 TB: the index is paid once at ingest (shared
+    with the batch probes — same catalog table); each arriving query
+    batch reads ONLY its cells' bucket files and the per-batch work is
+    independent of corpus size outside those cells. Query arrival via
+    file stream is the lakehouse serving pattern; swapping in a Kafka
+    source changes one line of the reader."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..session import ensure_conf, protect_scratch, prune_scratch
+
+    ensure_conf(spark)
+    tbl = _ann_index_ensure(spark, sf_dir)
+    s2 = spark.newSession()  # shared catalog; own SQLConf for the stream
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    idx = s2.table(tbl)
+    qrows = sorted(
+        idx.orderBy("vec_id").limit(10).select("vec_id", "bucket").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
+    root = tempfile.mkdtemp(prefix="ann_probe_stream_", dir=base)
+    protect_scratch(root)  # returned frame lazily reads root/result
+    landing, ckpt = f"{root}/landing", f"{root}/ckpt"
+    out = f"{root}/result"
+    os.makedirs(landing, exist_ok=True)
+    for i, (name, rows) in enumerate(
+        (("qa.parquet", qrows[:5]), ("qb.parquet", qrows[5:]))
+    ):
+        t = pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+                "bucket": pa.array([r["bucket"] for r in rows], pa.int32()),
+            }
+        )
+        path = os.path.join(landing, name)
+        pq.write_table(t, path)
+        os.utime(path, (1_000_000_000.0 + i * 100, 1_000_000_000.0 + i * 100))
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()  # ≤ 5 queries per arriving batch
+        if not rows:
+            return
+        cells = sorted({r["bucket"] for r in rows})
+        ids = [r["vec_id"] for r in rows]
+        cand = idx.filter(F.col("bucket").isin(cells))
+        scan_plan = cand._jdf.queryExecution().executedPlan().toString()
+        if "SelectedBucketsCount" not in scan_plan:
+            raise RuntimeError(
+                "streaming_ann_probe: bucket pruning did not engage for "
+                f"micro-batch {batch_id} — the key exists to PIN the "
+                "pruned-scan serving shape"
+            )
+        _ann_cell_topk(idx, cand, ids, k=3).write.mode("overwrite").parquet(
+            f"{out}/batch={batch_id}"
+        )
+
+    stream = (
+        s2.readStream.schema("vec_id long, bucket int")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", 120))
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming_ann_probe did not drain queries in {timeout_sec}s"
+        )
+    q.stop()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out)

@@ -72,6 +72,8 @@ def _load_all() -> None:
 # results are order-independent (re-proved by re-running the local
 # gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
+    # --- new in round 8 — no driver evidence yet ---
+    "dedup_minhash_incremental", "streaming_ann_probe",
     # --- r2-stale: the 30 oracled keys whose latest green driver row is round 2
     #     (VERDICT r7 item 1 — this window closes the rotation program) ---
     "agg_collect", "agg_conditional", "agg_corr",

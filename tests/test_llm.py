@@ -907,3 +907,130 @@ def test_pipeline_rag_rerank_two_stage_semantics(spark, sf_dir):
         for r in rows
     }
     assert got == want
+
+
+def test_dedup_minhash_incremental_mechanics(spark, sf_dir):
+    """(a) the delta append leaves base bucket files untouched
+    (snapshot BETWEEN the writes via the build hook), (b) the result
+    equals dedup_minhash's full-recompute pairs on the same corpus,
+    (c) delta docs (doc_id % 10 == 0) actually participate in pairs —
+    so the incremental ≡ full equality is not vacuous."""
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in specs()["dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    inc_rows = specs()["dedup_minhash_incremental"].fn(spark, sf_dir).collect()
+    inc = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in inc_rows}
+    assert inc == full
+    assert any(a % 10 == 0 or b % 10 == 0 for a, b in inc), (
+        "no delta doc ever appeared in a pair — equality is vacuous"
+    )
+
+    # base-generation immutability via the build hook
+    import hashlib
+    import os
+
+    import flink_kmeans_spark.plans.llm as llm_mod
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    idx_path = os.path.join(repo_root, ".index", f"mh_inc_{tag}")
+    snapshot = {}
+
+    def walk_sig(path):
+        return {
+            os.path.join(dp, f): (os.path.getsize(os.path.join(dp, f)),
+                                  os.path.getmtime(os.path.join(dp, f)))
+            for dp, _, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        }
+
+    def snap(path):
+        snapshot.update(walk_sig(path))
+
+    from flink_kmeans_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), num_hashes=32
+    )
+
+    def groups_of(part):
+        return part.groupBy("minhash").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("members")
+        )
+
+    def banded_of(groups, gen):
+        width = 4
+        return groups.select(
+            F.col("members").getItem(0).alias("gid"),
+            "minhash",
+            "members",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda b: F.concat(
+                        b.cast("string"),
+                        F.lit("|"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("minhash"), b * width + 1, width),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                    ),
+                )
+            ).alias("bkey"),
+            F.lit(gen).alias("gen"),
+        )
+
+    base_g = groups_of(sigs.filter(F.col("doc_id") % 10 != 0))
+    delta_g = groups_of(sigs.filter(F.col("doc_id") % 10 == 0))
+    llm_mod._mh_inc_build(
+        spark,
+        banded_of(base_g, "base"),
+        banded_of(delta_g, "delta"),
+        f"mh_inc_{tag}",
+        idx_path,
+        on_base_written=snap,
+    )
+    assert snapshot, "base generation wrote no parquet files"
+    after = walk_sig(idx_path)
+    for f, sig in snapshot.items():
+        assert f in after and after[f] == sig, f"base file {f} was rewritten"
+    assert len(after) > len(snapshot), "delta appended no new files"
+
+
+def test_streaming_ann_probe_micro_batches(spark, sf_dir):
+    """The stream must drain in TWO micro-batches (one per query file)
+    each staging its own batch=N dir, and the merged result must equal
+    the batch probe semantics: top-3 per query, per-batch bucket
+    pruning asserted inside the callable itself."""
+    import glob
+    import os
+
+    df = specs()["streaming_ann_probe"].fn(spark, sf_dir)
+    rows = df.collect()
+    # the staged sink: one batch dir per micro-batch
+    src = df.inputFiles()[0].removeprefix("file://")
+    result_root = src[: src.index("/batch=")]
+    batch_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{result_root}/batch=*")
+    )
+    assert batch_dirs == ["batch=0", "batch=1"]
+    assert all(r["rk"] in (1, 2, 3) for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r["rk"])
+    # ten queries arrive across the two files; a query whose cell holds
+    # no OTHER vector legitimately yields zero neighbors, so require
+    # most — not all — to surface, with dense ranks 1..n each
+    assert len(by_q) >= 8
+    qids = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy(
+        "vec_id").limit(10).select("vec_id")
+    first10 = {r["vec_id"] for r in qids.collect()}
+    assert set(by_q) <= first10
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))

@@ -13,7 +13,7 @@ copies of the same keyspace, which would inflate skew):
     documents: doc_id += c·10⁶ (texts unchanged — dup density scales)
     embeddings: vec_id += c·10⁶
 
-Run:  python tools/scale_probe.py      (writes .scratch/sf1x, ~200 MB)
+Run:  python tools/scale_probe.py      (writes .replica/sf1x, ~200 MB)
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/root/repo/.scratch/sf1x"
+OUT = "/root/repo/.replica/sf1x"
 COPIES = 10
 
 SHIFTS = {

@@ -19,7 +19,7 @@ region (wall barely moves). At 100× the data outgrows the floor, so
 the honest linearity check is wall(100×)/wall(10×) ≤ ~10 with no
 superlinear residue.
 
-Run:  python tools/scale_probe_100x.py   (writes .scratch/sf10x, ~1.5 GB)
+Run:  python tools/scale_probe_100x.py   (writes .replica/sf10x, ~1.5 GB)
 """
 
 from __future__ import annotations
@@ -32,8 +32,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 BASE = "/root/testdata/sf0.1"
-OUT10 = "/root/repo/.scratch/sf1x"
-OUT100 = "/root/repo/.scratch/sf10x"
+OUT10 = "/root/repo/.replica/sf1x"
+OUT100 = "/root/repo/.replica/sf10x"
 COPIES = 100
 
 SHIFTS = {
@@ -78,6 +78,14 @@ PROBES = [
     ("text_bpe_train", "documents"),
     ("text_bm25_topk", "documents"),
     ("text_feature_hashing", "documents"),
+    # round-8 (VERDICT r7 items 2/9): >1.5×-at-10× stragglers and the
+    # asof-join family's first second-decade measurement
+    ("tpch_q21", "lineitem+orders"),
+    ("tpch_q9", "lineitem+orders"),
+    ("text_repetition", "documents"),
+    ("graph_label_propagation", "lineitem"),
+    ("join_asof", "events"),
+    ("join_asof_tolerance", "events"),
 ]
 
 
