@@ -172,6 +172,9 @@ HEADLINE = [
     # round-7 additions
     "sim_ann_incremental",
     "pipeline_rag_rerank",
+    # round-8 additions
+    "dedup_minhash_incremental",
+    "streaming_ann_probe",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

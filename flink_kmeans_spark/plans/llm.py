@@ -1694,7 +1694,8 @@ def _data_fingerprint(spark: SparkSession, path: str) -> list:
 
 
 def _gc_stale_index_tags(
-    spark: SparkSession, prefix: str, keep_tbl: str, match=None
+    spark: SparkSession, prefix: str, keep_tbl: str, match=None,
+    min_age_s: float = 0.0,
 ) -> None:
     """Drop catalog tables and .index/ dirs named ``<prefix><tag>``
     whose tag differs from the current one. The data-fingerprinted tag
@@ -1704,17 +1705,33 @@ def _gc_stale_index_tags(
     the r5 leak (ADVICE r7). Stale tags reference superseded data, so
     no live handle can validly depend on them. ``match`` optionally
     narrows which prefixed names are candidates (e.g. legacy naming
-    schemes only). Best-effort: a concurrent session may own an entry
-    we try to drop."""
+    schemes only); ``min_age_s`` spares recently-touched dirs so a
+    CONCURRENT process's in-flight rebuild (different sf_dir ⇒
+    different tag) is never deleted under it. Best-effort: a
+    concurrent session may still own an entry we try to drop."""
     import os
     import shutil
+    import time
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx_root = os.path.join(repo_root, ".index")
 
     def stale(name: str) -> bool:
-        return (
+        if not (
             name.startswith(prefix)
             and name != keep_tbl
             and (match is None or match(name))
-        )
+        ):
+            return False
+        if min_age_s:
+            try:
+                if time.time() - os.path.getmtime(
+                    os.path.join(idx_root, name)
+                ) < min_age_s:
+                    return False
+            except OSError:
+                pass  # dir gone / unreadable — table-only leftover, drop
+        return True
 
     try:
         for t in spark.catalog.listTables():
@@ -1722,8 +1739,6 @@ def _gc_stale_index_tags(
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     except Exception:
         pass
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    idx_root = os.path.join(repo_root, ".index")
     try:
         for name in os.listdir(idx_root):
             if stale(name):
@@ -3641,7 +3656,7 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # This key rebuilds per call, so other sf_dirs' ann_inc_* leftovers
     # are pure leak (one per probe-replica path otherwise) — GC them;
     # results are localCheckpoint'ed, so no live handle reads the files.
-    _gc_stale_index_tags(spark, "ann_inc_", tbl)
+    _gc_stale_index_tags(spark, "ann_inc_", tbl, min_age_s=3600)
     _ann_inc_build(spark, indexed, tbl, idx_path)
     s2 = spark.newSession()  # shared catalog; own SQLConf for the probe
     s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
@@ -4097,7 +4112,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"mh_inc_{tag}"
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     idx_path = os.path.join(repo_root, ".index", tbl)
-    _gc_stale_index_tags(spark, "mh_inc_", tbl)
+    _gc_stale_index_tags(spark, "mh_inc_", tbl, min_age_s=3600)
     _mh_inc_build(
         spark, banded_of(base_g, "base"), banded_of(delta_g, "delta"), tbl, idx_path
     )

@@ -86,6 +86,20 @@ PROBES = [
     ("graph_label_propagation", "lineitem"),
     ("join_asof", "events"),
     ("join_asof_tolerance", "events"),
+    # round-8 breadth: heavy/rewritten keys without second-decade evidence
+    ("agg_weighted_median", "lineitem"),
+    ("events_session_metrics", "events"),
+    ("window_rolling_median", "events"),
+    ("graph_shortest_paths", "lineitem"),
+    ("graph_triangles", "documents"),
+    ("text_bpe_pair_counts", "documents"),
+    ("multimodal_audio_spectrogram", "documents"),
+    ("window_rollup", "events"),
+    ("events_funnel", "events"),
+    ("streaming_tumbling", "events"),
+    # round-8 new keys at 100×
+    ("dedup_minhash_incremental", "documents"),
+    ("streaming_ann_probe", "embeddings"),
 ]
 
 
