@@ -377,6 +377,60 @@ def ngram_jaccard_pairs(
     10× scale probe (tools/scale_probe.py, every text ×10) measured
     graph_components at 29× wall time before this fix because dup
     groups of 10 contribute 45 pairs each."""
+    d, members, near_groups = ngram_jaccard_groups(
+        docs, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    # expand group pairs to ALL member pairs (canonical id_a < id_b)
+    ma = members.select(F.col("__gid").alias("g_a"), F.col("__id").alias("m_a"))
+    mb = members.select(F.col("__gid").alias("g_b"), F.col("__id").alias("m_b"))
+    cross = near_groups.join(ma, "g_a").join(mb, "g_b").select(
+        F.least("m_a", "m_b").alias("id_a"),
+        F.greatest("m_a", "m_b").alias("id_b"),
+        "jaccard",
+    )
+    # within-group pairs: identical non-empty shingle sets → J = 1.0
+    # exactly (empty-shingle docs can never pair — mirrors the raw
+    # formulation where they produce no prefix rows)
+    dup_groups = d.filter((F.col("__m") >= 2) & (F.size("sh") >= 1)).select("__gid")
+    wa = members.join(dup_groups, "__gid").select(
+        "__gid", F.col("__id").alias("m_a")
+    )
+    wb = members.join(dup_groups, "__gid").select(
+        "__gid", F.col("__id").alias("m_b")
+    )
+    within = (
+        wa.join(wb, "__gid")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .select(
+            F.col("m_a").alias("id_a"),
+            F.col("m_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if 1.0 < threshold:
+        within = within.filter(F.lit(False))
+    return cross.unionByName(within)
+
+
+def ngram_jaccard_groups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+):
+    """Group-grain core of :func:`ngram_jaccard_pairs` (extracted r8 so
+    graph_triangles can consume the dup graph WITHOUT expanding group
+    pairs to doc pairs — probe catch #9). Returns ``(d, members,
+    near_groups)``:
+
+    - ``d``: one row per DISTINCT text — ``__gid`` (md5), ``__m``
+      (member count), ``sh`` (sorted shingle array), lazily
+      localCheckpoint'ed (referenced several times downstream);
+    - ``members``: (__gid, __id) doc membership;
+    - ``near_groups``: (g_a, g_b, jaccard) distinct group pairs with
+      exact shingle Jaccard ≥ threshold, candidates generated by
+      lossless prefix filtering."""
     base = docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     grp = base.withColumn("__gid", F.md5("__text"))
     members = grp.select("__gid", "__id")
@@ -431,33 +485,4 @@ def ngram_jaccard_pairs(
         cand.select("g_a", "g_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    # expand group pairs to ALL member pairs (canonical id_a < id_b)
-    ma = members.select(F.col("__gid").alias("g_a"), F.col("__id").alias("m_a"))
-    mb = members.select(F.col("__gid").alias("g_b"), F.col("__id").alias("m_b"))
-    cross = near_groups.join(ma, "g_a").join(mb, "g_b").select(
-        F.least("m_a", "m_b").alias("id_a"),
-        F.greatest("m_a", "m_b").alias("id_b"),
-        "jaccard",
-    )
-    # within-group pairs: identical non-empty shingle sets → J = 1.0
-    # exactly (empty-shingle docs can never pair — mirrors the raw
-    # formulation where they produce no prefix rows)
-    dup_groups = d.filter((F.col("__m") >= 2) & (F.size("sh") >= 1)).select("__gid")
-    wa = members.join(dup_groups, "__gid").select(
-        "__gid", F.col("__id").alias("m_a")
-    )
-    wb = members.join(dup_groups, "__gid").select(
-        "__gid", F.col("__id").alias("m_b")
-    )
-    within = (
-        wa.join(wb, "__gid")
-        .filter(F.col("m_a") < F.col("m_b"))
-        .select(
-            F.col("m_a").alias("id_a"),
-            F.col("m_b").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-    if 1.0 < threshold:
-        within = within.filter(F.lit(False))
-    return cross.unionByName(within)
+    return d, members, near_groups

@@ -96,58 +96,136 @@ _PAIRS_CTE = """
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
-    exact ngram-Jaccard near-dup graph. Triangles enumerate via the
-    ordered-edge double join (edges kept as id_a < id_b, so each
-    triangle appears exactly once as its sorted orientation) — the
-    standard shuffle-on-endpoint distributed algorithm; work is
-    O(sum of deg²) candidate wedges, never |V|² pairs. The explode to
-    per-corner rows turns the triangle list into node-sized
-    aggregates. Dup-graph use: clustering≈1 flags fully-duplicated
-    clusters, low clustering flags chain-shaped near-dup drift."""
+    exact ngram-Jaccard near-dup graph. Dup-graph use: clustering≈1
+    flags fully-duplicated clusters, low clustering flags chain-shaped
+    near-dup drift.
+
+    GROUP-GRAIN enumeration (r8 rewrite — 100× probe catch #9): the
+    doc-grain ordered-edge double join is CUBIC in exact-dup clique
+    size — on the 100× replica (every text ×100, so every dup group is
+    a 100-clique) it materializes ~5 000·C(100,3) ≈ 8·10⁸ triangle
+    rows and never finishes; real web corpora have the same
+    boilerplate-clique shape. Identical texts are interchangeable
+    graph nodes, so everything collapses to the DISTINCT-text group
+    graph (ngram_jaccard_groups; a near-dup edge between two groups
+    means ALL cross member pairs are edges, an intra edge exists iff
+    the group's shingle set is non-empty):
+
+        degree(x∈g)      = (m_g − 1)·[sh_g≠∅] + S_g
+        triangles(x∈g)   = C(m_g−1, 2)·[sh_g≠∅]        (both in g)
+                         + (m_g−1)·S_g·[sh_g≠∅]        (one in g, one out)
+                         + Σ_{h~g} C(m_h, 2)           (both in one h)
+                         + Σ_{(g,h,k)∈T_G} m_h·m_k     (two different groups)
+
+    with S_g = Σ_{h~g} m_h and T_G the GROUP-grain triangles from the
+    same ordered double join — now over the distinct-text graph, whose
+    size is independent of duplication factor. Per-doc values expand
+    map-side at the end (every member of g gets g's numbers).
+    Bit-identical to the doc-grain formulation (pytest pins equality
+    on corpora with synthesized cliques; the DuckDB oracle is
+    unchanged)."""
     from ..operators import dedup as DD
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = (
-        DD.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)  # reused 4×; candidate set is tiny vs corpus
+    d, members, near_groups = DD.ngram_jaccard_groups(docs, n=3, threshold=0.8)
+    sizes = d.select(
+        "__gid",
+        F.col("__m").alias("m"),
+        (F.size("sh") >= 1).alias("has_sh"),
+    ).localCheckpoint(eager=False)  # group-grain; referenced 5×
+    gp = near_groups.select("g_a", "g_b").localCheckpoint(eager=True)
+    und = gp.unionByName(
+        gp.select(F.col("g_b").alias("g_a"), F.col("g_a").alias("g_b"))
     )
-    und = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    # per-group neighbor aggregates: S_g and Σ C(m_h, 2)
+    nbr = (
+        und.join(sizes.select(F.col("__gid").alias("g_b"),
+                              F.col("m").alias("m_b")), "g_b")
+        .groupBy(F.col("g_a").alias("__gid"))
+        .agg(
+            F.sum("m_b").alias("s_nbr"),
+            F.sum(F.col("m_b") * (F.col("m_b") - 1) / 2).cast("long").alias("t_nbr"),
+        )
     )
-    deg = und.groupBy(F.col("id_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("degree")
-    )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    # group-grain triangles (ordered double join over DISTINCT texts)
+    e1, e2, e3 = gp.alias("e1"), gp.alias("e2"), gp.alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        e1.join(e2, F.col("e1.g_b") == F.col("e2.g_a"))
         .join(
             e3,
-            (F.col("e3.id_a") == F.col("e1.id_a"))
-            & (F.col("e3.id_b") == F.col("e2.id_b")),
+            (F.col("e3.g_a") == F.col("e1.g_a"))
+            & (F.col("e3.g_b") == F.col("e2.g_b")),
         )
         .select(
-            F.col("e1.id_a").alias("a"),
-            F.col("e1.id_b").alias("b"),
-            F.col("e2.id_b").alias("c"),
+            F.col("e1.g_a").alias("a"),
+            F.col("e1.g_b").alias("b"),
+            F.col("e2.g_b").alias("c"),
         )
     )
-    pernode = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+    tri_m = (
+        tri.join(sizes.select(F.col("__gid").alias("a"), F.col("m").alias("m_a")), "a")
+        .join(sizes.select(F.col("__gid").alias("b"), F.col("m").alias("m_b")), "b")
+        .join(sizes.select(F.col("__gid").alias("c"), F.col("m").alias("m_c")), "c")
     )
+    tri_corner = (
+        tri_m.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("g"),
+                             (F.col("m_b") * F.col("m_c")).alias("t")),
+                    F.struct(F.col("b").alias("g"),
+                             (F.col("m_a") * F.col("m_c")).alias("t")),
+                    F.struct(F.col("c").alias("g"),
+                             (F.col("m_a") * F.col("m_b")).alias("t")),
+                )
+            ).alias("x")
+        )
+        .groupBy(F.col("x.g").alias("__gid"))
+        .agg(F.sum("x.t").alias("t_tri"))
+    )
+    per_group = (
+        sizes.join(nbr, "__gid", "left")
+        .join(tri_corner, "__gid", "left")
+        .select(
+            "__gid",
+            "m",
+            "has_sh",
+            F.coalesce("s_nbr", F.lit(0)).alias("s_nbr"),
+            F.coalesce("t_nbr", F.lit(0)).alias("t_nbr"),
+            F.coalesce("t_tri", F.lit(0)).alias("t_tri"),
+        )
+        .select(
+            "__gid",
+            (
+                F.when(F.col("has_sh"), F.col("m") - 1).otherwise(F.lit(0))
+                + F.col("s_nbr")
+            ).alias("degree"),
+            (
+                F.when(
+                    F.col("has_sh"),
+                    (F.col("m") - 1) * (F.col("m") - 2) / 2
+                    + (F.col("m") - 1) * F.col("s_nbr"),
+                ).otherwise(F.lit(0)).cast("long")
+                + F.col("t_nbr")
+                + F.col("t_tri")
+            ).alias("n_tri"),
+        )
+    )
+    # expand to docs map-side (every member of g carries g's numbers);
+    # docs with degree 0 (no edges at all) keep the doc-grain
+    # formulation's semantics of NOT appearing (deg came from the edge
+    # list there), so filter degree >= 1
     return (
-        deg.join(pernode, deg.doc_id == pernode.node, "left")
+        members.join(per_group, "__gid")
+        .filter(F.col("degree") >= 1)
         .select(
-            "doc_id",
+            F.col("__id").alias("doc_id"),
             "degree",
-            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            "n_tri",
             F.round(
                 F.when(
                     F.col("degree") >= 2,
-                    2.0
-                    * F.coalesce("n_tri", F.lit(0))
+                    2.0 * F.col("n_tri")
                     / (F.col("degree") * (F.col("degree") - 1)),
                 ).otherwise(F.lit(0.0)),
                 4,

@@ -167,3 +167,68 @@ def test_source_python_stream_drains_exactly_once(spark, sf_dir):
             want[i % 7][0] += 1
             want[i % 7][1] += i * i
         assert got == {b: tuple(v) for b, v in want.items()}
+
+
+def test_triangles_group_grain_equals_doc_grain(spark, sf_oracle_dir):
+    """The r8 group-grain rewrite (probe catch #9) must reproduce the
+    doc-grain ordered-edge enumeration EXACTLY, including on a corpus
+    with synthesized exact-dup cliques (where the doc-grain wedge join
+    is cubic in clique size — the failure the rewrite removes).
+    Doc-grain truth: python triangle count over the expanded pair list."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.operators import dedup as DD
+    from flink_kmeans_spark.plans.advanced import graph_triangles
+
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # synthesize 7-cliques: clone 12 docs 6x with fresh ids
+    base = docs.orderBy("doc_id").limit(12)
+    clones = None
+    for c in range(1, 7):
+        cl = base.select((F.col("doc_id") + 1_000_000 * c).alias("doc_id"), "text")
+        clones = cl if clones is None else clones.unionByName(cl)
+    corpus = docs.unionByName(clones)
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(corpus, n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for x, nb in adj.items():
+        nbl = sorted(nb)
+        t = 0
+        for i, y in enumerate(nbl):
+            for z in nbl[i + 1:]:
+                if z in adj.get(y, ()):
+                    t += 1
+        deg = len(nb)
+        clu = round(2.0 * t / (deg * (deg - 1)), 4) if deg >= 2 else 0.0
+        want[x] = (deg, t, clu)
+
+    got = _triangles_via_operator(spark, corpus)
+    assert got == want
+
+
+def _triangles_via_operator(spark, corpus):
+    """Invoke the group-grain triangle composition on an arbitrary docs
+    frame by monkeypatching the table loader the callable uses."""
+    import flink_kmeans_spark.plans.advanced as adv
+
+    orig = adv._t
+    try:
+        adv._t = lambda s, sf, name: corpus
+        out = adv.graph_triangles(spark, "unused")
+        return {
+            r["doc_id"]: (r["degree"], r["n_tri"], r["clustering"])
+            for r in out.collect()
+        }
+    finally:
+        adv._t = orig
