@@ -2933,26 +2933,33 @@ def pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     n = F.size(F.col("toks"))
     n_chunks = F.ceil(F.greatest(n - 50, F.lit(0)) / 40.0).cast("int")
-    ch = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), n_chunks),
-                    lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
-                )
-            ).alias("chunk_idx", "ctoks"),
+    def chunk_src(src):
+        return (
+            src.select("doc_id", F.split("text", " ").alias("toks"))
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(0), n_chunks),
+                        lambda i: F.slice(F.col("toks"), i * 40 + 1, 50),
+                    )
+                ).alias("chunk_idx", "ctoks"),
+            )
+            .select(
+                # 1e6 multiplier: chunk_id must stay unique up to 10^6
+                # chunks per doc (~40M tokens); 1000 collided at ~40k
+                # tokens and the shared-formula oracle could not catch
+                # the aliasing (ADVICE r6).
+                (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
+                "doc_id",
+                "ctoks",
+            )
         )
-        .select(
-            # 1e6 multiplier: chunk_id must stay unique up to 10^6 chunks
-            # per doc (~40M tokens); 1000 collided at ~40k tokens and the
-            # shared-formula oracle could not catch the aliasing (ADVICE r6).
-            (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("chunk_id"),
-            "doc_id",
-            F.array_join("ctoks", " ").alias("chunk"),
-            F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
-        )
+
+    ch = chunk_src(d).select(
+        "chunk_id",
+        "doc_id",
+        F.transform("ctoks", lambda t: portable_hash60(t)).alias("hs"),
     )
     dims = [
         F.aggregate(
@@ -2963,14 +2970,14 @@ def pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"e{j}")
         for j in range(8)
     ]
-    e = ch.select("chunk_id", "doc_id", "chunk", *dims)
+    e = ch.select("chunk_id", "doc_id", *dims)
     bucket = sum(
         F.when(F.col(f"e{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j in range(8)
     )
     sq = sum(F.col(f"e{j}") * F.col(f"e{j}") for j in range(8))
     b = e.select(
-        "chunk_id", "doc_id", "chunk", *[f"e{j}" for j in range(8)],
+        "chunk_id", "doc_id", *[f"e{j}" for j in range(8)],
         bucket.alias("bucket"), F.sqrt(sq).alias("nrm"),
     ).filter(F.col("nrm") > 0)
     q = b.filter(F.col("doc_id") < 3).select(
@@ -2982,19 +2989,41 @@ def pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = sum(F.col(f"q{j}") * F.col(f"e{j}") for j in range(8))
     from pyspark.sql.window import Window
 
+    # the rank exchange carries ONLY (q_id, n_id, cosine) — the 50-token
+    # context string is materialized for SURVIVORS after the top-2 cut
+    # (r8, same discipline as pipeline_rag_rerank's stage-1 shrink: the
+    # string used to be built corpus-wide AND ride every candidate row
+    # through the exchange)
     sc = (
         b.filter(F.col("doc_id") >= 3)
         .join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
         .select(
             "q_id",
             F.col("chunk_id").alias("n_id"),
-            F.col("chunk").alias("n_chunk"),
             (dot / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
-    top = sc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 2)
-    return top.groupBy("q_id").agg(
+    top = (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        # lazy checkpoint: top feeds the survivor-doc broadcast AND the
+        # final join — one materialization of the corpus-wide stage
+        .localCheckpoint(eager=False)
+    )
+    sur_docs = d.join(
+        F.broadcast(
+            top.select(F.floor(F.col("n_id") / 1000000).alias("doc_id")).distinct()
+        ),
+        "doc_id",
+        "leftsemi",
+    )
+    sur = (
+        chunk_src(sur_docs)
+        .select("chunk_id", F.array_join("ctoks", " ").alias("n_chunk"))
+        .join(F.broadcast(top), F.col("chunk_id") == F.col("n_id"))
+    )
+    return sur.groupBy("q_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_ctx"),
         F.round(F.max("cosine"), 6).alias("best_cosine"),
         F.array_join(
