@@ -4101,7 +4101,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     num_hashes, bands = 32, 8
     width = num_hashes // bands
-    sigs = minhash_signatures(_docs(spark, sf_dir), num_hashes=num_hashes)
+    # lazy checkpoint: the shingle-explode + 32-min signature pass is
+    # the expensive corpus scan and BOTH generation writes read it —
+    # without this it executes once per write (doc-grain frame, small)
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
 
     def groups_of(part):
         return part.groupBy("minhash").agg(
