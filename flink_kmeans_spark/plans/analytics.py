@@ -2211,23 +2211,25 @@ def graph_label_propagation(
     "ts_changepoint_binseg",
     oracle="""
     WITH o AS (
-      SELECT event_type, value,
+      SELECT event_type,
              row_number() OVER (PARTITION BY event_type
                                 ORDER BY ts, event_id) AS rn,
-             SUM(value) OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS cum
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY event_type
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cumc
       FROM events
     ),
     tot AS (
-      SELECT event_type, rn AS n, cum AS s
+      SELECT event_type, rn AS n, cumc AS sc
       FROM o QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
     ),
     stats AS (
       SELECT o.event_type, o.rn AS k,
-             o.cum / o.rn AS mean_l,
-             (t.s - o.cum) / (t.n - o.rn) AS mean_r,
-             ABS(o.cum / o.rn - (t.s - o.cum) / (t.n - o.rn))
+             (o.cumc / 100.0) / o.rn AS mean_l,
+             ((t.sc - o.cumc) / 100.0) / (t.n - o.rn) AS mean_r,
+             ABS((o.cumc / 100.0) / o.rn
+                 - ((t.sc - o.cumc) / 100.0) / (t.n - o.rn))
                * SQRT(o.rn * (t.n - o.rn) * 1.0 / t.n) AS stat
       FROM o JOIN tot t USING (event_type)
       WHERE o.rn < t.n
@@ -2247,66 +2249,97 @@ def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, event_id), find the split k maximizing
     |mean_left − mean_right| · sqrt(k(n−k)/n) — the classic
     variance-reduction statistic every changepoint library (ruptures,
-    BinSeg) scores first. Ties break to the earliest k, which keeps the
-    argmax exactly portable. The prefix-sum trick makes every candidate
-    split O(1): one ordered cumsum per series and the totals row turn
-    all n−1 splits into a single scan.
+    BinSeg) scores first. Ties break to the earliest k.
 
-    Scale shape: one window exchange on event_type (the series key —
-    changepoint scoring is inherently per-series-sequential; at 100 TB
-    the partition key is the series id and parallelism = #series); the
-    totals are the rn = n rows joined back by broadcast (|event_type|
-    rows). The argmax is a per-series top-1 window, WindowGroupLimit-
-    pruned. Cumsums accumulate in the SAME deterministic order in both
-    engines, so the float statistic is bit-identical, not just close."""
+    Scale shape (r8 probe catch #10 — two-phase distributed scan): the
+    original single window partitioned the WHOLE table by event_type —
+    a handful of series, so ONE task sorted and prefix-summed a whole
+    series (100× probe: 9.5× wall in the second decade, fully
+    data-bound; at 100 TB one task owns a series' terabytes). Values
+    are exactly 2-decimal, so cumulative sums run in integer CENTS
+    (longs — order-independent exact arithmetic, the same trick as
+    agg_weighted_median's integer weights): phase 1 hash-aggregates
+    (count, cent-sum) at (event_type, minute-bucket) grain — fully
+    parallel, map-side combined; phase 2 prefix-sums the tiny bucket
+    table per series (minute buckets are range-contiguous under the
+    (ts, event_id) sort, so bucket prefixes ARE stream prefixes);
+    phase 3 re-shuffles rows by the SAME (event_type, minute) key for
+    a bucket-local window — parallelism = #minutes, not #series — and
+    adds the bucket offsets for exact global (rn, cum). The argmax is
+    a max_by partial aggregate, not a global sort. Both engines
+    compute the statistic from IDENTICAL exact integers with the same
+    expression shape, so doubles — and the 6-dp rounding — are
+    bit-identical, addition order notwithstanding."""
     e = _t(spark, sf_dir, "events")
-    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    o = e.select(
-        "event_type", "value",
-        F.row_number().over(w_ord).cast("bigint").alias("rn"),
-        F.sum("value").over(
-            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum"),
+    cents = F.round(F.col("value") * 100).cast("long")
+    mb = F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("mb")
+    rows = e.select("event_type", "ts", "event_id", cents.alias("c"), mb)
+    ph1 = rows.groupBy("event_type", "mb").agg(
+        F.count(F.lit(1)).alias("bcnt"), F.sum("c").alias("bsum")
     )
-    tot = (
-        o.withColumn(
-            "mx", F.max("rn").over(Window.partitionBy("event_type"))
+    wb = Window.partitionBy("event_type").orderBy("mb")
+    offs = ph1.select(
+        "event_type",
+        "mb",
+        (
+            F.sum("bcnt").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("bcnt")
+        ).alias("off_cnt"),
+        (
+            F.sum("bsum").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("bsum")
+        ).alias("off_sum"),
+    )
+    tot = ph1.groupBy("event_type").agg(
+        F.sum("bcnt").alias("n"), F.sum("bsum").alias("sc")
+    )
+    wloc = Window.partitionBy("event_type", "mb").orderBy("ts", "event_id")
+    o = (
+        rows.join(offs, ["event_type", "mb"])
+        .select(
+            "event_type",
+            (
+                F.col("off_cnt")
+                + F.row_number().over(wloc).cast("bigint")
+            ).alias("rn"),
+            (
+                F.col("off_sum")
+                + F.sum("c").over(
+                    wloc.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            ).alias("cumc"),
         )
-        .filter(F.col("rn") == F.col("mx"))
-        .select("event_type", F.col("rn").alias("n"), F.col("cum").alias("s"))
     )
+    mean_l = (F.col("cumc") / 100.0) / F.col("rn")
+    mean_r = ((F.col("sc") - F.col("cumc")) / 100.0) / (F.col("n") - F.col("rn"))
     stats = (
         o.join(F.broadcast(tot), "event_type")
         .filter(F.col("rn") < F.col("n"))
         .select(
             "event_type",
             F.col("rn").alias("k"),
-            (F.col("cum") / F.col("rn")).alias("mean_l"),
-            ((F.col("s") - F.col("cum")) / (F.col("n") - F.col("rn"))).alias(
-                "mean_r"
-            ),
+            mean_l.alias("mean_l"),
+            mean_r.alias("mean_r"),
             (
-                F.abs(
-                    F.col("cum") / F.col("rn")
-                    - (F.col("s") - F.col("cum")) / (F.col("n") - F.col("rn"))
-                )
+                F.abs(mean_l - mean_r)
                 * F.sqrt(
                     F.col("rn") * (F.col("n") - F.col("rn")) * 1.0 / F.col("n")
                 )
             ).alias("stat"),
         )
     )
-    w_top = Window.partitionBy("event_type").orderBy(F.desc("stat"), F.asc("k"))
-    return (
-        stats.withColumn("r", F.row_number().over(w_top))
-        .filter(F.col("r") == 1)
-        .select(
-            "event_type",
-            F.col("k").alias("split_k"),
-            F.round("stat", 6).alias("stat"),
-            F.round("mean_l", 6).alias("mean_l"),
-            F.round("mean_r", 6).alias("mean_r"),
-        )
+    best = stats.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("k", "stat", "mean_l", "mean_r"),
+            F.struct(F.col("stat"), (-F.col("k")).alias("nk")),
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.k").alias("split_k"),
+        F.round("b.stat", 6).alias("stat"),
+        F.round("b.mean_l", 6).alias("mean_l"),
+        F.round("b.mean_r", 6).alias("mean_r"),
     )
 
 

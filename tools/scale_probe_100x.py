@@ -100,6 +100,25 @@ PROBES = [
     # round-8 new keys at 100×
     ("dedup_minhash_incremental", "documents"),
     ("streaming_ann_probe", "embeddings"),
+    # round-8 second sweep: every remaining shape >1.15× at 10× that
+    # lacked second-decade evidence (corridors sim_knn_graph /
+    # agg_percentile_approx stay declared-quadratic, probed at 10× only)
+    ("text_quality_train", "documents"),
+    ("ts_changepoint_binseg", "events"),
+    ("dedup_line_level", "documents"),
+    ("sink_compaction", "lineitem"),
+    ("multimodal_video_framesample", "documents"),
+    ("text_compression_ratio", "documents"),
+    ("text_perplexity_buckets", "documents"),
+    ("text_kneser_ney", "documents"),
+    ("embedding_mrl_truncate", "embeddings"),
+    ("geo_grid_knn", "events"),
+    ("sink_zorder", "lineitem"),
+    ("text_quality_logreg", "documents"),
+    ("text_bigram_lm", "documents"),
+    ("window_ewma", "events"),
+    ("multimodal_audio_vad", "documents"),
+    ("agg_kmv_setops", "orders"),
 ]
 
 
