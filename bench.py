@@ -175,6 +175,9 @@ HEADLINE = [
     # round-8 additions
     "dedup_minhash_incremental",
     "streaming_ann_probe",
+    "dedup_substring_span",
+    "streaming_minhash_dedup",
+    "search_hybrid_rrf",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -4383,3 +4383,388 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q.stop()
     return spark.read.option("recursiveFileLookup", "true").parquet(out)
+
+
+# -------------------------------------------- r8.5: substring-span dedup
+
+@register(
+    "dedup_substring_span",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(w) - 7)) AS BIGINT) AS pos,
+             unnest(list_transform(
+               generate_series(1, len(w) - 7),
+               i -> array_to_string(w[i:i+7], ' ')
+             )) AS gram
+      FROM toks WHERE len(w) >= 8
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM marked
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+           MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens
+    FROM runs GROUP BY doc_id, grp
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans — the span-grain dedup op from
+    the training-data literature (Lee et al. 2022's suffix-array
+    substring dedup; here the distributed-friendly k-gram-anchored
+    formulation with k = 8 tokens): a position is DUPLICATED when its
+    8-token gram occurs in MORE THAN ONE document; per document,
+    consecutive duplicated positions merge into maximal spans
+    [span_start, span_end] (token indices, 1-based, span covers the
+    last gram's 8 tokens). Downstream curation cuts these spans out of
+    the training text instead of dropping whole near-dup documents —
+    the grain dedup_exact / dedup_minhash cannot express.
+
+    Scale shape at 100 TB: positions shuffle as (16-byte md5 digest,
+    doc_id, pos) — never the gram text; the dup-gram set is a
+    count-distinct hash aggregate at digest grain (map-side partials
+    absorb hot boilerplate grams); membership is ONE digest-equality
+    shuffle join (linear in occurrences — a gram in m docs marks m
+    positions, never m² pairs); the run-merge window partitions by
+    doc_id over MARKED positions only. No pairwise document join
+    anywhere — this is the linear formulation of exact-substring
+    dedup. Within-doc-only repeats are deliberately NOT marked (the
+    distinct-doc predicate): self-repetition is text_repetition's
+    grain, cross-doc contamination is this key's."""
+    from pyspark.sql.window import Window
+
+    k = 8
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w")
+    ).filter(F.size("w") >= k)
+    digs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - k + 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, k), " ")),
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "g")
+    dup = (
+        digs.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    # SHUFFLE_HASH, not sort-merge: at web scale the dup-gram set
+    # outgrows the broadcast threshold and the default SMJ pays a full
+    # token-stream sort on a 16-byte digest (100× probe: 13× decade-2);
+    # the hash build side is digest-only rows, which is exactly what
+    # shuffled hash join wants. Re-probed 6.3× decade-2 (was 13×),
+    # 62.9 → 20.1 s at 100× — data-bound linear.
+    marked = digs.join(dup.hint("shuffle_hash"), "g").select("doc_id", "pos")
+    wrun = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        marked.withColumn("grp", F.col("pos") - F.row_number().over(wrun))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+# ------------------------------------- r8.5: streaming near-dup ledger
+
+
+def _minhash_ledger_oracle(num_hashes: int = 32) -> str:
+    """Signature-grain group-by over the SAME bit-exact signature CTE
+    as _minhash_oracle (generated from the shared coefficient
+    function, so the engines cannot drift): one row per distinct
+    32-hash MinHash signature, surviving doc = group min doc_id."""
+    from ..functions.hashing import MINHASH_P, minhash_coeffs, sql_hash60
+
+    mins = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    sig = ", ".join(f"h{i}" for i in range(num_hashes))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLE3_SQL}) AS s
+      FROM documents
+    ), hx AS (
+      SELECT doc_id, {sql_hash60('s')} % {MINHASH_P} AS x FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hx GROUP BY doc_id
+    ), sigl AS (
+      SELECT doc_id, [{sig}] AS mh FROM sig
+    )
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+    FROM sigl GROUP BY mh
+    """
+
+
+@register(
+    "streaming_minhash_dedup",
+    oracle=_minhash_ledger_oracle(),
+    tags=("dedup", "streaming", "incremental"),
+)
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup dedup ledger — the online ingest shape of
+    dedup_minhash: documents ARRIVE as a file stream (three doc_id-
+    sharded parquet files drained one per micro-batch) and each
+    micro-batch folds its MinHash signatures into a persistent
+    signature LEDGER inside ``foreachBatch``: per-batch partials at
+    signature grain (min doc_id, member count) stage to a per-batch_id
+    dir with overwrite — idempotent under foreachBatch's at-least-once
+    retries — and the final merge is a signature-grain (min, sum) over
+    the staged partials, which is ORDER-INDEPENDENT (min/sum are
+    commutative monoids), so the answer is identical whatever order
+    batches arrive or retry in. The DuckDB oracle is the full-corpus
+    BATCH answer (one row per distinct signature, survivor = group min
+    doc_id), so a hash match PROVES streaming ledger ≡ batch recompute.
+
+    Scale shape at 100 TB: each arriving batch pays exactly its own
+    signature cost (shingle explode → 32 min-aggregates at doc grain,
+    the r7 one-pass shape) plus a signature-grain partial — the corpus
+    is NEVER rescanned; the ledger merge shuffles signature-grain rows
+    only (32 longs + two counters per DISTINCT signature). Swapping
+    the file source for Kafka changes one reader line. Chained
+    aggregations (doc-grain signatures, then signature-grain groups)
+    are exactly what Structured Streaming's single-agg limit forbids
+    in one query — the foreachBatch ledger IS the idiomatic
+    decomposition."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import minhash_signatures
+    from ..session import ensure_conf, protect_scratch, prune_scratch
+
+    ensure_conf(spark)
+    docs_static = _docs(spark, sf_dir)
+    schema = docs_static.schema
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
+    root = tempfile.mkdtemp(prefix="mh_stream_", dir=base)
+    protect_scratch(root)
+    landing = os.path.join(root, "landing")
+    ledger = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    # three arrival shards, written executor-side then renamed into the
+    # landing dir as single files with strictly increasing mtimes so
+    # maxFilesPerTrigger=1 drains them as three ordered micro-batches
+    for s in range(3):
+        tmp = os.path.join(root, f"shard_build_{s}")
+        (
+            docs_static.filter(F.pmod(F.col("doc_id"), F.lit(3)) == s)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"shard{s}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000.0 + s * 100, 1_000_000_000.0 + s * 100))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            minhash_signatures(batch_df.select("doc_id", "text"))
+            .groupBy("minhash")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+        partial.write.mode("overwrite").parquet(f"{ledger}/batch={batch_id}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", 120))
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming_minhash_dedup did not drain shards in {timeout_sec}s"
+        )
+    q.stop()
+    led = spark.read.option("recursiveFileLookup", "true").parquet(ledger)
+    return led.groupBy("minhash").agg(
+        F.min("doc_id").alias("doc_id"), F.sum("cnt").alias("n_members")
+    ).select("doc_id", "n_members")
+
+
+# --------------------------------------------- r8.5: hybrid retrieval
+
+@register(
+    "search_hybrid_rrf",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM p
+    ), q AS (
+      SELECT unnest(['scan', 'vector', 'dup']) AS term
+    ), tf AS (
+      SELECT p.doc_id, q.term,
+             len(list_filter(p.toks, x -> x = q.term)) AS tf,
+             len(p.toks) AS dl
+      FROM p CROSS JOIN q
+    ), df AS (
+      SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      FROM tf GROUP BY term
+    ), bm AS (
+      SELECT t.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * t.tf * 2.2
+               / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf t JOIN df d USING (term) CROSS JOIN s
+      WHERE t.tf > 0
+      GROUP BY t.doc_id
+    ), bm_top AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rk
+      FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS term FROM p
+    ), tfa AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM ex GROUP BY doc_id, term
+    ), cosd AS (
+      SELECT doc_id,
+             ROUND(
+               SUM(CASE WHEN term IN ('scan', 'vector', 'dup')
+                        THEN c ELSE 0 END)
+               / (SQRT(3.0) * SQRT(SUM(c * c))), 6) AS cos
+      FROM tfa GROUP BY doc_id
+      HAVING SUM(CASE WHEN term IN ('scan', 'vector', 'dup')
+                      THEN c ELSE 0 END) > 0
+    ), cos_top AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INTEGER)
+               AS rk
+      FROM cosd ORDER BY cos DESC, doc_id LIMIT 20
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             COALESCE(b.rk, 0) AS rk_bm25,
+             COALESCE(c.rk, 0) AS rk_cos,
+             (CASE WHEN b.rk IS NULL THEN 0 ELSE 1.0 / (60 + b.rk) END)
+           + (CASE WHEN c.rk IS NULL THEN 0 ELSE 1.0 / (60 + c.rk) END)
+               AS rrf
+      FROM bm_top b FULL OUTER JOIN cos_top c USING (doc_id)
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf, rk_bm25, rk_cos
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("text", "retrieval", "vector"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion — the standard
+    two-retriever serving pattern (Cormack et al.'s RRF, k = 60, as
+    shipped by every hybrid search stack): the LEXICAL list is
+    text_bm25_topk's top-20 (same query, same Lucene-idf BM25), the
+    SEMANTIC list is exact tf-cosine in full vocab space (query terms
+    have tf 1, so the numerator is the doc's query-term token count
+    and the denominator √3·‖d‖_tf — a true cosine retriever with no
+    float model weights, hence fully SQL-oracle-able), and the fused
+    score is Σ 1/(60 + rank) over the lists that retrieved the doc.
+    Absent-from-list is encoded rank 0 (not NULL) so both engines
+    agree on dtypes.
+
+    Scale shape at 100 TB: both retrievers are corpus-linear — BM25's
+    only corpus shuffle is the query-term-filtered (doc, term) count
+    (see text_bm25_topk); the cosine side adds ONE (doc, term)-grain
+    hash aggregate for the tf-norm (map-side combined) and a doc-grain
+    reduce. The fusion itself touches 2×20 rows: broadcast-joinable at
+    ANY corpus size — rank fusion cost is independent of the corpus.
+    Ranks are computed on 6-dp-rounded scores with doc_id tie-breaks
+    in BOTH engines, so list order — and therefore the fusion — cannot
+    drift on float fold order."""
+    from pyspark.sql.window import Window
+
+    terms = ["scan", "vector", "dup"]
+    bm_top = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("rk_bm25")
+    )
+    d = _docs(spark, sf_dir)
+    tfa = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qc = F.sum(F.when(F.col("term").isin(terms), F.col("c")).otherwise(F.lit(0)))
+    cosd = (
+        tfa.groupBy("doc_id")
+        .agg(
+            qc.alias("qnum"),
+            F.sum(F.col("c") * F.col("c")).alias("norm2"),
+        )
+        .filter(F.col("qnum") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("qnum") / (F.sqrt(F.lit(3.0)) * F.sqrt(F.col("norm2"))), 6
+            ).alias("cos"),
+        )
+    )
+    w_cos = Window.orderBy(F.col("cos").desc(), "doc_id")
+    cos_top = (
+        cosd.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(20)
+        .withColumn("rk_cos", F.row_number().over(w_cos).cast("int"))
+        .select("doc_id", "rk_cos")
+    )
+    fused = bm_top.join(cos_top, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rk_bm25", F.lit(0)).alias("rk_bm25"),
+        F.coalesce("rk_cos", F.lit(0)).alias("rk_cos"),
+        (
+            F.when(F.col("rk_bm25").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60) + F.col("rk_bm25"))
+            )
+            + F.when(F.col("rk_cos").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(60) + F.col("rk_cos"))
+            )
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"), "rk_bm25", "rk_cos")
+    )

@@ -1034,3 +1034,78 @@ def test_streaming_ann_probe_micro_batches(spark, sf_dir):
     assert set(by_q) <= first10
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+def test_dedup_substring_span_mechanics(spark, tmp_path):
+    """Span boundaries pinned on a synthesized corpus: docs 1 and 2
+    share a 12-token run (marked 8-gram starts merge into ONE maximal
+    span covering exactly the shared tokens), doc 3 shares nothing and
+    must emit no span; within-doc-only repeats must NOT mark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    texts = [
+        "a1 a2 a3 " + shared + " z1 z2",
+        "b1 " + shared + " y1 y2 y3",
+        # 30 unique tokens, then a WITHIN-doc repeat of its own prefix:
+        # cross-doc predicate must ignore it
+        " ".join(f"u{i}" for i in range(30))
+        + " "
+        + " ".join(f"u{i}" for i in range(10)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": texts,
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = specs()["dedup_substring_span"].fn(spark, str(tmp_path)).collect()
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in rows
+    }
+    # doc 1: tokens 4..15 are the shared run → 8-gram starts 4..8 →
+    # one span [4, 15] (12 tokens); doc 2: starts 2..6 → [2, 13]
+    assert got == {(1, 4, 15, 12), (2, 2, 13, 12)}
+
+
+def test_streaming_minhash_dedup_ledger(spark, sf_dir):
+    """(a) stream-ledger answer ≡ batch signature-grain recompute,
+    (b) the drain really ran MULTIPLE micro-batches (3 shard files,
+    maxFilesPerTrigger=1), so the cross-batch min/sum merge is
+    exercised, not vacuous."""
+    import glob
+    import os
+
+    rows = specs()["streaming_minhash_dedup"].fn(spark, sf_dir).collect()
+    sigs = DD.minhash_signatures(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    batch = (
+        sigs.groupBy("minhash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+        .collect()
+    )
+    assert {(r["doc_id"], r["n_members"]) for r in rows} == {
+        (r["doc_id"], r["n_members"]) for r in batch
+    }
+    roots = sorted(
+        glob.glob("/root/repo/.scratch/mh_stream_*"), key=os.path.getmtime
+    )
+    assert roots, "stream left no scratch root"
+    batches = [
+        b
+        for b in os.listdir(os.path.join(roots[-1], "ledger"))
+        if b.startswith("batch=")
+    ]
+    assert len(batches) == 3

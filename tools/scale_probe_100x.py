@@ -119,6 +119,37 @@ PROBES = [
     ("window_ewma", "events"),
     ("multimodal_audio_vad", "documents"),
     ("agg_kmv_setops", "orders"),
+    # round-8.5 new keys at 100×
+    ("dedup_substring_span", "documents"),
+    ("streaming_minhash_dedup", "documents"),
+    ("search_hybrid_rrf", "documents"),
+    # round-8.5 completeness: every remaining probed shape gets
+    # second-decade evidence except the two declared exact-verification
+    # corridors (sim_knn_graph Θ(N²), agg_percentile_approx — their
+    # scale paths are the ANN family and the sketch respectively)
+    ("multimodal_audio_vad", "documents"),
+    ("agg_kmv_setops", "orders"),
+    ("text_bigram_lm", "documents"),
+    ("window_ewma", "events"),
+    ("events_pareto_share", "events"),
+    ("pipeline_curation", "documents"),
+    ("ts_resample_ohlc", "events"),
+    ("kmeans_assign", "embeddings"),
+    ("mv_incremental_agg", "orders"),
+    ("join_dynamic_partition_prune", "orders+lineitem"),
+    ("window_rank", "lineitem"),
+    ("sim_cosine_topk", "embeddings"),
+    ("sim_range_search", "embeddings"),
+    ("data_kanonymity", "orders+customer"),
+    ("embedding_pca_power", "embeddings"),
+    ("tpch_q8", "lineitem+orders"),
+    ("agg_ks_test", "events"),
+    ("events_rfm", "events"),
+    ("table_diff", "orders"),
+    ("ts_seasonal_decompose", "events"),
+    ("ts_autocorrelation", "events"),
+    ("kmeans_farthest_init", "embeddings"),
+    ("agg_hash", "lineitem"),
 ]
 
 
