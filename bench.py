@@ -178,6 +178,8 @@ HEADLINE = [
     "dedup_substring_span",
     "streaming_minhash_dedup",
     "search_hybrid_rrf",
+    "dedup_substring_cut",
+    "dedup_semantic_kmeans",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

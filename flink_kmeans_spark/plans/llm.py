@@ -4768,3 +4768,261 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round("rrf", 6).alias("rrf"), "rk_bm25", "rk_cos")
     )
+
+
+@register(
+    "dedup_substring_cut",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1, len(w) - 7)) AS BIGINT) AS pos,
+             unnest(list_transform(
+               generate_series(1, len(w) - 7),
+               i -> array_to_string(w[i:i+7], ' ')
+             )) AS gram
+      FROM toks WHERE len(w) >= 8
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + 7)) AS ti
+      FROM marked
+    ),
+    tok AS (
+      SELECT doc_id, unnest(w) AS tok,
+             CAST(generate_subscripts(w, 1) AS BIGINT) AS ti
+      FROM toks
+    ),
+    kept AS (
+      SELECT t.doc_id, t.ti, t.tok
+      FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.ti = c.ti
+      WHERE c.ti IS NULL
+    ),
+    ka AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY ti) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    tt AS (SELECT doc_id, len(w) AS total_tokens FROM toks)
+    SELECT tt.doc_id,
+           COALESCE(ka.kept_tokens, 0) AS kept_tokens,
+           tt.total_tokens - COALESCE(ka.kept_tokens, 0) AS cut_tokens,
+           COALESCE(ka.clean_text, '') AS clean_text
+    FROM tt LEFT JOIN ka USING (doc_id)
+    """,
+    tags=("dedup", "text"),
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY dedup_substring_span: cut every cross-doc-duplicated
+    8-gram-covered token out of every document and reassemble the
+    surviving tokens in order — the curation ACTION behind the span
+    report (exact-substring dedup removes every duplicated occurrence,
+    per the training-data literature; whole-doc survivors are
+    dedup_exact/minhash's grain). Docs shorter than the gram width or
+    with no duplicated span pass through untouched; a fully-duplicated
+    doc yields an empty clean_text (kept_tokens = 0), which downstream
+    length filters then drop.
+
+    Scale shape at 100 TB: identical front half to dedup_substring_span
+    (digest-grain shuffles, SHUFFLE_HASH dup join, no pairwise doc
+    join); the cut adds a (doc, token-index)-grain distinct for the
+    covered set (≤ 8× marked positions, integer pairs), one anti-join
+    at that same grain, and a doc-grain reassembly group whose size is
+    one document — every shuffle is token-scale with fixed-width rows.
+    Reassembly order is pinned by the token index in BOTH engines
+    (array_sort on (ti, tok) structs vs ORDER BY ti), so clean_text is
+    byte-identical."""
+    k = 8
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    g8 = toks.filter(F.size("w") >= k)
+    digs = g8.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - k + 1),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i, k), " ")),
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "g")
+    dup = (
+        digs.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    marked = digs.join(dup.hint("shuffle_hash"), "g").select("doc_id", "pos")
+    cov = marked.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("ti"),
+    ).distinct()
+    tok = toks.select(
+        "doc_id", F.posexplode("w").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("ti"), "tok")
+    kept = tok.join(cov, ["doc_id", "ti"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    tt = toks.select("doc_id", F.size("w").cast("bigint").alias("total_tokens"))
+    return tt.join(ka, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        (F.col("total_tokens") - F.coalesce("kept_tokens", F.lit(0))).alias(
+            "cut_tokens"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def _semantic_kmeans_oracle() -> str:
+    """Within-k-means-cluster cosine pairs over the SAME unrolled
+    Lloyd's CTE chain that oracles the flagship kmeans_fit/predict
+    keys (plans/kmeans_queries.py) — generated from the shared helper
+    so the clustering cannot drift from the engine's."""
+    from .kmeans_queries import K, N_ITER, _lloyd_ctes
+
+    return f"""WITH {_lloyd_ctes(K, N_ITER)},
+    asg AS (
+      SELECT vec_id, cid, v FROM (
+        SELECT p.vec_id, p.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(p.v, c.cvec),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cid) AS rn
+        FROM pts p CROSS JOIN c{N_ITER} c) WHERE rn = 1),
+    m AS (
+      SELECT vec_id, cid, v,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+               AS nrm
+      FROM asg)
+    SELECT id_a, id_b, cid, cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cid AS cid,
+             list_aggregate(list_transform(list_zip(a.v, b.v),
+                                           z -> z[1] * z[2]), 'sum')
+               / (a.nrm * b.nrm) AS cosine
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4
+    """
+
+
+@register(
+    "dedup_semantic_kmeans",
+    oracle=_semantic_kmeans_oracle(),
+    tags=("dedup", "vector", "kmeans"),
+)
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embedding corpus with the engine's OWN flagship K-Means (the exact
+    Lloyd's pipeline of kmeans_fit/predict — assignments bit-match the
+    unrolled-CTE oracle), then generate near-dup candidate pairs ONLY
+    WITHIN clusters (cosine ≥ τ; τ = 0.4 here, matching
+    dedup_embedding_cosine's demonstrative threshold on this
+    no-true-near-dup synthetic corpus — production SemDeDup uses
+    ~0.95, where near-identical vectors co-cluster by construction).
+
+    This is the dedup family's answer to the all-pairs corridor:
+    dedup_embedding_cosine is Θ(N²); clustering first cuts the pair
+    space to Σ|cluster|² ≈ N²/k (measured ~12 k of ~125 k pairs at
+    k = 10 on the gate corpus), and k grows with the corpus so cluster
+    sizes stay bounded. Scale shape at 100 TB: the clustering is the
+    flagship's linear 10-round fit; the pair join shuffles by cid
+    (parallelism = k, sized to keep clusters machine-bounded — the
+    published SemDeDup recipe); every cosine is a 64-float sequential
+    fold, bit-identical across engines (same order, same ops).
+
+    EXACT-COLLAPSE discipline (r7 catch #7, applied here pre-commit):
+    byte-identical vectors collapse to ONE group row before the pair
+    join — identical vectors share an assignment (distance depends
+    only on the vector), so the join runs at distinct-vector grain and
+    every (copy_a, copy_b) pair expands MAP-SIDE after the cosine
+    filter. Exact-dup-heavy corpora (and the 100× replica, where every
+    vector has 100 copies) pay |distinct|²/k cosines instead of
+    N²/k — the output pair count is unchanged, bit-for-bit."""
+    from .kmeans_queries import kmeans_predict
+
+    asg = kmeans_predict(spark, sf_dir).select("vec_id", "cid")
+    e = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    m = e.select("vec_id", v.alias("v")).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+    x = m.join(asg, "vec_id")
+    grp = x.groupBy("v").agg(
+        F.min("vec_id").alias("gid"),
+        F.first("nrm").alias("nrm"),
+        F.first("cid").alias("cid"),
+        F.array_sort(F.collect_list("vec_id")).alias("members"),
+    )
+
+    def fold_cos(va, vb, na, nb):
+        return (
+            F.aggregate(
+                F.zip_with(va, vb, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            / (na * nb)
+        )
+
+    cross = (
+        grp.alias("a")
+        .join(
+            grp.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(
+            F.col("a.cid").alias("cid"),
+            fold_cos(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+            ).alias("cosine"),
+            F.col("a.members").alias("ma"),
+            F.col("b.members").alias("mb"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .select("cid", "cosine", F.explode("ma").alias("ia"), "mb")
+        .select("cid", "cosine", "ia", F.explode("mb").alias("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "cid",
+            "cosine",
+        )
+    )
+    intra = (
+        grp.filter(F.size("members") >= 2)
+        .select(
+            "cid",
+            fold_cos(F.col("v"), F.col("v"), F.col("nrm"), F.col("nrm")).alias(
+                "cosine"
+            ),
+            F.explode("members").alias("ia"),
+            "members",
+        )
+        .select("cid", "cosine", "ia", F.explode("members").alias("ib"))
+        .filter((F.col("ia") < F.col("ib")) & (F.col("cosine") >= 0.4))
+        .select(
+            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cid", "cosine"
+        )
+    )
+    return cross.unionByName(intra)

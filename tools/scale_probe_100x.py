@@ -123,6 +123,8 @@ PROBES = [
     ("dedup_substring_span", "documents"),
     ("streaming_minhash_dedup", "documents"),
     ("search_hybrid_rrf", "documents"),
+    ("dedup_substring_cut", "documents"),
+    ("dedup_semantic_kmeans", "embeddings"),
     # round-8.5 completeness: every remaining probed shape gets
     # second-decade evidence except the two declared exact-verification
     # corridors (sim_knn_graph Θ(N²), agg_percentile_approx — their
