@@ -4573,24 +4573,36 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger = os.path.join(root, "ledger")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(landing, exist_ok=True)
-    # three arrival shards, written executor-side then renamed into the
-    # landing dir as single files with strictly increasing mtimes so
-    # maxFilesPerTrigger=1 drains them as three ordered micro-batches
+    # three arrival shards, written executor-side in ONE corpus pass
+    # (partitionBy over a range-repartition puts each shard value in
+    # exactly one task → exactly one part file per shard dir), then
+    # renamed into the landing dir as single files with strictly
+    # increasing mtimes so maxFilesPerTrigger=1 drains them as three
+    # ordered micro-batches (the previous per-shard filter+coalesce(1)
+    # loop scanned the corpus three times)
+    tmp = os.path.join(root, "shard_build")
+    (
+        docs_static.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(3)))
+        .repartitionByRange(3, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
     for s in range(3):
-        tmp = os.path.join(root, f"shard_build_{s}")
-        (
-            docs_static.filter(F.pmod(F.col("doc_id"), F.lit(3)) == s)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        part = next(
-            f for f in os.listdir(tmp) if f.endswith(".parquet")
-        )
+        sdir = os.path.join(tmp, f"shard={s}")
+        parts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            # range sampling put two shard values in one task (possible
+            # in principle on tiny inputs) — a lost part file would be a
+            # silent wrong answer, so fail loudly; callers retry
+            raise RuntimeError(
+                f"streaming_minhash_dedup: shard {s} wrote {len(parts)} "
+                "part files; expected exactly 1"
+            )
         dst = os.path.join(landing, f"shard{s}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
+        os.replace(os.path.join(sdir, parts[0]), dst)
         os.utime(dst, (1_000_000_000.0 + s * 100, 1_000_000_000.0 + s * 100))
+    shutil.rmtree(tmp)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         partial = (
