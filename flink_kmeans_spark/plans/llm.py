@@ -3678,13 +3678,20 @@ def sim_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed = e.select(
         "vec_id", "embedding", cell.alias("bucket"), l2norm(v).alias("nrm")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the tag: this key DROPS AND REBUILDS its dir per call, so
+    # two concurrent sessions sharing a repo (parallel gate runs, two
+    # jobs on one lake prefix) would otherwise delete files under each
+    # other's readers (observed: FAILED_READ_FILE.FILE_NOT_EXIST when
+    # three gates raced). Process-unique dirs never collide; stale
+    # processes' leftovers age out via the same GC below.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     tbl = f"ann_inc_{tag}"
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     idx_path = os.path.join(repo_root, ".index", tbl)
-    # This key rebuilds per call, so other sf_dirs' ann_inc_* leftovers
-    # are pure leak (one per probe-replica path otherwise) — GC them;
-    # results are localCheckpoint'ed, so no live handle reads the files.
+    # This key rebuilds per call, so other sf_dirs'/processes' ann_inc_*
+    # leftovers are pure leak (one per probe-replica path otherwise) —
+    # GC them; results are localCheckpoint'ed, so no live handle reads
+    # the files.
     _gc_stale_index_tags(spark, "ann_inc_", tbl, min_age_s=3600)
     _ann_inc_build(spark, indexed, tbl, idx_path)
     s2 = spark.newSession()  # shared catalog; own SQLConf for the probe
@@ -4142,7 +4149,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_g = groups_of(sigs.filter(F.col("doc_id") % 10 != 0))
     delta_g = groups_of(sigs.filter(F.col("doc_id") % 10 == 0))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the tag — per-call drop+rebuild dirs must be process-unique
+    # or concurrent sessions delete files under each other's readers
+    # (same hardening as sim_ann_incremental; GC ages out leftovers)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
     tbl = f"mh_inc_{tag}"
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     idx_path = os.path.join(repo_root, ".index", tbl)
