@@ -1109,3 +1109,84 @@ def test_streaming_minhash_dedup_ledger(spark, sf_dir):
         if b.startswith("batch=")
     ]
     assert len(batches) == 3
+
+
+def test_dedup_substring_cut_mechanics(spark, tmp_path):
+    """Cut semantics pinned on a synthesized corpus: the shared
+    12-token run is excised from BOTH docs with surrounding tokens
+    reassembled in order; within-doc-only repeats are untouched; a
+    doc shorter than the 8-gram width passes through; a pair of
+    fully-duplicated docs both collapse to empty clean_text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    full_dup = " ".join(f"d{i}" for i in range(10))
+    texts = [
+        "a1 a2 a3 " + shared + " z1 z2",
+        "b1 " + shared + " y1 y2 y3",
+        # within-doc repeat only: cross-doc predicate must ignore it
+        " ".join(f"u{i}" for i in range(30))
+        + " "
+        + " ".join(f"u{i}" for i in range(10)),
+        "short doc under gram width",
+        full_dup,
+        full_dup,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": texts,
+                "lang": ["en"] * 6,
+                "source": ["t"] * 6,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = specs()["dedup_substring_cut"].fn(spark, str(tmp_path)).collect()
+    got = {r["doc_id"]: r for r in rows}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1]["clean_text"] == "a1 a2 a3 z1 z2"
+    assert (got[1]["kept_tokens"], got[1]["cut_tokens"]) == (5, 12)
+    assert got[2]["clean_text"] == "b1 y1 y2 y3"
+    assert (got[2]["kept_tokens"], got[2]["cut_tokens"]) == (4, 12)
+    assert got[3]["clean_text"] == texts[2] and got[3]["cut_tokens"] == 0
+    assert got[4]["clean_text"] == texts[3] and got[4]["cut_tokens"] == 0
+    for d in (5, 6):
+        assert got[d]["clean_text"] == "" and got[d]["kept_tokens"] == 0
+        assert got[d]["cut_tokens"] == 10
+
+
+def test_dedup_semantic_kmeans_vs_numpy(spark, sf_dir, emb):
+    """Independent oracle: brute-force numpy within-cluster cosine over
+    the engine's OWN assignments must reproduce the pair set exactly —
+    proving the exact-collapse + map-side member expansion loses no
+    pair and fabricates none, and every pair stays within a cluster."""
+    asg = {
+        r["vec_id"]: r["cid"]
+        for r in specs()["kmeans_predict"].fn(spark, sf_dir).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    by_cid = {}
+    for vid, cid in asg.items():
+        by_cid.setdefault(cid, []).append(vid)
+    want = set()
+    for cid, ids in by_cid.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            va, na = vecs[a], np.linalg.norm(vecs[a])
+            for b in ids[i + 1 :]:
+                cos = float(va @ vecs[b]) / (na * float(np.linalg.norm(vecs[b])))
+                if cos >= 0.4:
+                    want.add((a, b, cid, round(cos, 6)))
+    rows = specs()["dedup_semantic_kmeans"].fn(spark, sf_dir).collect()
+    got = {
+        (r["id_a"], r["id_b"], r["cid"], round(r["cosine"], 6)) for r in rows
+    }
+    assert len(rows) == len(got), "duplicate pairs emitted"
+    assert got == want
