@@ -103,6 +103,7 @@ HEADLINE = [
     "events_entropy",
     "data_skew_report",
     "kmeans_farthest_init",
+    "kmeans_parallel_init",
     "join_dynamic_partition_prune",
     "events_cusum_drift",
     "events_ab_test",

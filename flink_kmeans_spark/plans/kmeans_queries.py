@@ -7,7 +7,7 @@ dataflow plus the full fit/predict loop and the MLlib path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import kmeans as km
@@ -343,3 +343,193 @@ def kmeans_farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.append((row["vec_id"], list(row["v"])))
         out.append((i, int(row["vec_id"]), round(float(row["dmin"]), 6)))
     return spark.createDataFrame(out, "cid int, vec_id bigint, sep double")
+
+
+_PAR_L = 2 * K  # kmeans|| oversampling factor l (paper recommends ~2k)
+_PAR_R = 3  # fixed oversampling rounds (paper: O(log φ) ≈ 5; 3 suffices)
+_TWO60 = float(1 << 60)
+
+
+def _kmeanspar_ctes(l: int, rounds: int) -> str:
+    """Unrolled kmeans|| oversampling rounds as DuckDB CTEs — same
+    hash-verification discipline as the Lloyd's chain: the 'random'
+    coin for point x in round r is the 60-bit md5 prefix of
+    '<vec_id>#<r>' scaled to [0,1) (functions/hashing.py's portable
+    construction), identical bit-for-bit in both engines, so the
+    WHOLE probabilistic selection is deterministic and comparable."""
+    dist = (
+        "list_aggregate(list_transform(list_zip({a}, {b}),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')"
+    )
+    parts = [
+        f"""pts AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS MATERIALIZED (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1),
+    dd0 AS MATERIALIZED (
+      SELECT p.vec_id, p.v, {dist.format(a='p.v', b='c.v')} AS d2
+      FROM pts p CROSS JOIN c0 c)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""phi{r} AS (SELECT SUM(d2) AS phi FROM dd{r-1}),
+    s{r} AS MATERIALIZED (
+      SELECT vec_id, v FROM dd{r-1}, phi{r}
+      WHERE d2 > 0 AND
+            CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#{r}'),
+                  1, 15)) AS BIGINT) / {_TWO60!r}
+            < {float(l)!r} * d2 / phi)"""
+        )
+        if r < rounds:
+            parts.append(
+                f"""dd{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.v,
+             LEAST(d.d2, COALESCE(MIN({dist.format(a='d.v', b='s.v')}),
+                                  d.d2)) AS d2
+      FROM dd{r-1} d LEFT JOIN s{r} s ON TRUE
+      GROUP BY d.vec_id, d.v, d.d2)"""
+            )
+    sels = " UNION ALL ".join(
+        f"SELECT vec_id, v FROM s{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""cand AS MATERIALIZED (
+      SELECT vec_id, v FROM c0 UNION ALL {sels}),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cand_id FROM (
+        SELECT p.vec_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+                 {dist.format(a='p.v', b='c.v')}, c.vec_id) AS rn
+        FROM pts p CROSS JOIN cand c) WHERE rn = 1),
+    w AS (SELECT cand_id, COUNT(*) AS weight FROM asg GROUP BY cand_id)"""
+    )
+    return ",\n    ".join(parts)
+
+
+_PAR_ORACLE = f"""WITH {_kmeanspar_ctes(_PAR_L, _PAR_R)}
+    SELECT cid, vec_id, weight, e0 FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY w.weight DESC, w.cand_id)
+                  - 1 AS INTEGER) AS cid,
+             w.cand_id AS vec_id, w.weight, ROUND(c.v[1], 5) AS e0
+      FROM w JOIN cand c ON w.cand_id = c.vec_id)
+    WHERE cid < {K}
+"""
+
+
+@register("kmeans_parallel_init", oracle=_PAR_ORACLE, tags=("kmeans",))
+def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans|| scalable oversampling init (Bahmani et al., VLDB 2012 —
+    the init MLlib's KMeans runs in production), made deterministic so
+    the WHOLE probabilistic pipeline is hash-verified cross-engine:
+    each point's selection coin in round r is the portable 60-bit md5
+    prefix of '<vec_id>#<r>' scaled to [0,1) (functions/hashing.py),
+    compared against the paper's l·d²(x,C)/φ threshold. Seed = lowest
+    vec_id; R = 3 rounds at l = 2k oversampling; candidates are
+    weighted by the size of their nearest-neighbor cell and the k
+    heaviest (ties → lowest vec_id) become the init set — the
+    deterministic reduction variant (the paper reclusters the weighted
+    candidates; the downstream recluster here IS kmeans_fit).
+
+    Why this beats k-means++ at 100 TB: ++ needs k sequential full
+    passes (each conditioned on the last pick); kmeans|| needs R ≈ 3
+    passes TOTAL, each a map-side distance projection against the
+    broadcast-tiny candidate set. Per round: d² update and the
+    selection filter are map-only (candidate vectors ride as plan
+    literals, the kmeans_fit collect discipline — ≤ ~l rows ≈ 2 KB
+    cross the driver per round); φ is one scalar aggregate. The only
+    keyed shuffle in the whole key is the final ~|C|-group weight
+    count with map-side combine. Selection thresholds are knife-edge
+    double comparisons — both engines compute d² as the same
+    sequential fold and u as the same nearest-double of one integer,
+    so the compare sees bit-identical operands (the φ sum's
+    partial-order difference is ~1e-13·φ, flip probability ~1e-9/key,
+    the same tolerance class the Lloyd's oracle documents)."""
+    from ..functions.vectors import sqdist
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    cand = [(int(first["vec_id"]), list(first["v"]))]
+
+    def lit_vec(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+
+    # localCheckpoint after every d² refresh: without it each round's
+    # job re-derives (and codegen-recompiles) ALL prior rounds' literal
+    # distance folds from the scan — measured 21.5 s → 9 s at sf0.01.
+    # The checkpointed row is (vec_id, v, d2), the same working set the
+    # flagship fit caches per iteration.
+    cur = e.withColumn(
+        "d2", sqdist(F.col("v"), lit_vec(first["v"]))
+    ).localCheckpoint(eager=False)
+    for r in range(1, _PAR_R + 1):
+        phi = cur.agg(F.sum("d2").alias("phi"))
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("vec_id").cast("string"),
+                                   F.lit(f"#{r}"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("double")
+            / F.lit(_TWO60)
+        )
+        new = (
+            cur.crossJoin(F.broadcast(phi))
+            .filter(
+                (F.col("d2") > 0)
+                & (u < F.lit(float(_PAR_L)) * F.col("d2") / F.col("phi"))
+            )
+            .select("vec_id", "v")
+            .collect()
+        )
+        cand.extend((int(x["vec_id"]), list(x["v"])) for x in new)
+        if r < _PAR_R and new:
+            # ONE array<array<double>> literal instead of ~l separate
+            # 64-literal folds: the codegen tree stays O(1) in l
+            mat = F.lit([[float(x) for x in row["v"]] for row in new])
+            cur = cur.withColumn(
+                "d2",
+                F.least(
+                    F.col("d2"),
+                    F.array_min(
+                        F.transform(mat, lambda c: sqdist(F.col("v"), c))
+                    ),
+                ),
+            ).localCheckpoint(eager=False)
+    cmat = F.lit([[float(x) for x in vec] for _, vec in cand])
+    cids = F.lit([vid for vid, _ in cand]).cast("array<bigint>")
+    pairs = F.zip_with(
+        cmat,
+        cids,
+        lambda c, i: F.struct(
+            sqdist(F.col("v"), c).alias("d"), i.alias("cand")
+        ),
+    )
+    w = (
+        e.select(F.array_min(pairs)["cand"].alias("cand_id"))
+        .groupBy("cand_id")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    cdf = spark.createDataFrame(
+        [(vid, round(float(vec[0]), 5)) for vid, vec in cand],
+        "cand_id bigint, e0 double",
+    )
+    ranked = (
+        w.join(F.broadcast(cdf), "cand_id")
+        .select(
+            (
+                F.row_number().over(
+                    Window.orderBy(F.col("weight").desc(), F.col("cand_id"))
+                )
+                - 1
+            ).alias("cid"),
+            F.col("cand_id").alias("vec_id"),
+            "weight",
+            "e0",
+        )
+        .filter(F.col("cid") < K)
+    )
+    return ranked

@@ -186,3 +186,55 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() == 500
     assert [f.name for f in df.schema.fields] == ["vec_id", "cid", "label"]
+
+
+def test_parallel_init_matches_numpy(spark, points):
+    """kmeans|| (Bahmani) with the portable md5 coin, replicated
+    end-to-end in numpy+hashlib: rounds, thresholds, incremental d²
+    update, cell weights, and the top-k-by-weight reduction must all
+    agree — an oracle independent of BOTH Spark and DuckDB."""
+    import hashlib
+
+    from flink_kmeans_spark.plans.kmeans_queries import (
+        _PAR_L,
+        _PAR_R,
+        _TWO60,
+        kmeans_parallel_init,
+    )
+
+    df, pdf, pts = points
+    ids = pdf["vec_id"].to_numpy()
+
+    def coin(vid, r):
+        h = hashlib.md5(f"{vid}#{r}".encode()).hexdigest()[:15]
+        return int(h, 16) / _TWO60
+
+    seed = int(ids.argmin())
+    cand_idx = [seed]
+    d2 = ((pts - pts[seed]) ** 2).sum(axis=1)
+    for r in range(1, _PAR_R + 1):
+        phi = d2.sum()
+        u = np.array([coin(int(v), r) for v in ids])
+        sel = np.where((d2 > 0) & (u < _PAR_L * d2 / phi))[0]
+        cand_idx.extend(int(i) for i in sel)
+        if r < _PAR_R and len(sel):
+            dn = ((pts[:, None, :] - pts[sel][None, :, :]) ** 2).sum(axis=2)
+            d2 = np.minimum(d2, dn.min(axis=1))
+    cmat = pts[cand_idx]
+    cvid = ids[cand_idx].astype(np.int64)
+    dall = ((pts[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+    # argmin with tie -> smallest candidate vec_id: sort columns by vec_id
+    order = np.argsort(cvid, kind="stable")
+    best = cvid[order][dall[:, order].argmin(axis=1)]
+    import collections
+
+    wts = collections.Counter(int(b) for b in best)
+    want = sorted(wts.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    got = [
+        (r["vec_id"], r["weight"])
+        for r in kmeans_parallel_init(spark, "/root/testdata/sf0.001")
+        .orderBy("cid")
+        .collect()
+    ]
+    assert got == want
+    assert sum(w for _, w in wts.items()) == len(pts)

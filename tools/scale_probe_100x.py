@@ -125,6 +125,12 @@ PROBES = [
     ("search_hybrid_rrf", "documents"),
     ("dedup_substring_cut", "documents"),
     ("dedup_semantic_kmeans", "embeddings"),
+    # the LPA shuffle branch never triggers organically on the replica
+    # (part node-ids are unshifted, so |V| stays under the broadcast
+    # bound at any COPIES) — force the dispatch to measure the branch a
+    # ≥10⁶-node graph would run
+    ("graph_label_propagation_shuffle", "lineitem"),
+    ("kmeans_parallel_init", "embeddings"),
     # round-8.5 completeness: every remaining probed shape gets
     # second-decade evidence except the two declared exact-verification
     # corridors (sim_knn_graph Θ(N²), agg_percentile_approx — their
@@ -190,6 +196,12 @@ def main() -> None:
               file=sys.stderr)
 
     queries = QUERIES()
+    # pseudo-keys: registry callables with a forced strategy knob
+    from flink_kmeans_spark.plans.analytics import graph_label_propagation
+
+    queries["graph_label_propagation_shuffle"] = (
+        lambda s, d: graph_label_propagation(s, d, broadcast_nodes_max=0)
+    )
     results = {}
     dirs = [("sf0.1", BASE), ("sf10x", OUT100)]
     if os.path.exists(f"{OUT10}/events.parquet"):
