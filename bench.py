@@ -181,6 +181,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "dedup_substring_cut",
     "dedup_semantic_kmeans",
+    "data_dsir_select",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -5048,3 +5048,140 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(intra)
+
+
+_DSIR_B = 512  # hashed-feature buckets (paper: 10^4 hashed bigrams; B
+#                scales with corpus — 512 keeps the gate corpus dense)
+_DSIR_K = 100  # docs to select
+_DSIR_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_DSIR_B}
+               AS bk
+      FROM tok),
+    src AS (SELECT bk, COUNT(*) AS sc FROM b GROUP BY bk),
+    tgt AS (SELECT bk, COUNT(*) AS tc FROM b WHERE lang = 'en' GROUP BY bk),
+    tots AS (SELECT (SELECT SUM(sc) FROM src) AS st,
+                    (SELECT SUM(tc) FROM tgt) AS tt),
+    r AS (
+      SELECT s.bk,
+             ln((COALESCE(t.tc, 0) + 0.5) / (tots.tt + {_DSIR_B/2!r}))
+             - ln((s.sc + 0.5) / (tots.st + {_DSIR_B/2!r})) AS lr
+      FROM src s LEFT JOIN tgt t USING (bk) CROSS JOIN tots),
+    dc AS (SELECT doc_id, bk, COUNT(*) AS n FROM b GROUP BY doc_id, bk),
+    dw AS (
+      SELECT doc_id,
+             list_aggregate(list(dc.n * r.lr ORDER BY dc.bk), 'sum') AS logw
+      FROM dc JOIN r USING (bk) GROUP BY doc_id),
+    g AS (
+      SELECT doc_id, logw,
+             logw - ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g'),
+                      1, 15)) AS BIGINT) + 1) / {float((1 << 60) + 1)!r}))
+               AS gk
+      FROM dw)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY gk DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, ROUND(logw, 6) AS logw, ROUND(gk, 6) AS gumbel_key
+    FROM g ORDER BY gk DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+@register("data_dsir_select", oracle=_DSIR_ORACLE, tags=("text", "sampling"))
+def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): select pretraining documents whose hashed-feature
+    distribution matches a target domain. Features = md5-hashed
+    unigrams into B={_B} buckets; target/source bag-of-buckets
+    multinomials with +0.5 smoothing (target here: the corpus's 'en'
+    slice); per-doc importance logw = Σ_b n_b·(ln p_b − ln q_b); the
+    paper's Gumbel-top-k resampling made deterministic with the
+    portable md5 coin (functions/hashing.py), so the ENTIRE selection
+    is hash-verified against DuckDB.
+
+    Scale shape at 100 TB: tokenize→bucket is map-side; the two
+    distribution fits are B-group aggregates with map-side combine
+    (B grows to ~10⁵ at web scale — still a broadcast-sized log-ratio
+    table); per-doc scoring shuffles (doc, bucket)-grain integer
+    counts once, joins the broadcast ratio table, and folds in a
+    FIXED bucket order (array_sort fold ≡ DuckDB's ORDER BY list —
+    bit-identical sums, the kmeans|| discipline); selection is a
+    TakeOrderedAndProject top-k, never a full sort. One corpus read,
+    one bounded shuffle, zero UDFs.""".replace("{_B}", str(_DSIR_B))
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    B, KSEL = _DSIR_B, _DSIR_K
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    bk = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("t"),
+    ).select(
+        "doc_id", "lang", (portable_hash60(F.col("t")) % B).alias("bk")
+    )
+    src = bk.groupBy("bk").agg(F.count(F.lit(1)).alias("sc"))
+    tgt = (
+        bk.filter(F.col("lang") == "en")
+        .groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    r = (
+        src.join(tgt, "bk", "left")
+        .crossJoin(F.broadcast(src.agg(F.sum("sc").alias("st"))))
+        .crossJoin(F.broadcast(tgt.agg(F.sum("tc").alias("tt"))))
+        .select(
+            "bk",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(0.5))
+                    / (F.col("tt") + F.lit(B / 2.0))
+                )
+                - F.log(
+                    (F.col("sc") + F.lit(0.5)) / (F.col("st") + F.lit(B / 2.0))
+                )
+            ).alias("lr"),
+        )
+    )
+    dc = bk.groupBy("doc_id", "bk").agg(F.count(F.lit(1)).alias("n"))
+    dw = (
+        dc.join(F.broadcast(r), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("bk", (F.col("n") * F.col("lr")).alias("c"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["c"],
+            ).alias("logw")
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#g"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 60) + 1))
+    top = (
+        dw.select("doc_id", "logw", (F.col("logw") - F.log(-F.log(u))).alias("gk"))
+        .orderBy(F.col("gk").desc(), "doc_id")
+        .limit(KSEL)
+    )
+    w = Window.orderBy(F.col("gk").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        F.round("logw", 6).alias("logw"),
+        F.round("gk", 6).alias("gumbel_key"),
+    )

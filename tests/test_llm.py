@@ -1190,3 +1190,49 @@ def test_dedup_semantic_kmeans_vs_numpy(spark, sf_dir, emb):
     }
     assert len(rows) == len(got), "duplicate pairs emitted"
     assert got == want
+
+
+def test_dsir_selects_target_like_docs(spark, tmp_path):
+    """DSIR's point: importance resampling shifts the selected set
+    toward the target distribution. On a corpus with a REAL vocabulary
+    split (en docs speak {e*}, others speak {z*}; the gate corpus's
+    langs all share one 31-token vocab, so the signal there drowns in
+    the Gumbel noise by design) the selected set must be almost
+    entirely en; ranks must be 1..k with non-increasing gumbel keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 300
+    texts, langs = [], []
+    for i in range(n):
+        if i % 3 == 0:  # 100 en docs over the e-vocab
+            texts.append(" ".join(f"e{(i + j) % 12}" for j in range(40)))
+            langs.append("en")
+        else:  # 200 non-en docs over a disjoint z-vocab
+            texts.append(" ".join(f"z{(i + j) % 12}" for j in range(40)))
+            langs.append("zh" if i % 3 == 1 else "de")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(1, n + 1)),
+                "text": texts,
+                "lang": langs,
+                "source": ["t"] * n,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = (
+        specs()["data_dsir_select"]
+        .fn(spark, str(tmp_path))
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r["gumbel_key"] for r in rows]
+    assert all(a >= b for a, b in zip(keys, keys[1:]))
+    lang = dict(zip(range(1, n + 1), langs))
+    sel = sum(1 for r in rows if lang[r["doc_id"]] == "en") / len(rows)
+    # base rate is 1/3; logw gap between vocabularies is >> Gumbel noise
+    assert sel >= 0.9, f"selected en share {sel} — importance shift failed"

@@ -131,6 +131,7 @@ PROBES = [
     # ≥10⁶-node graph would run
     ("graph_label_propagation_shuffle", "lineitem"),
     ("kmeans_parallel_init", "embeddings"),
+    ("data_dsir_select", "documents"),
     # round-8.5 completeness: every remaining probed shape gets
     # second-decade evidence except the two declared exact-verification
     # corridors (sim_knn_graph Θ(N²), agg_percentile_approx — their
