@@ -182,6 +182,8 @@ HEADLINE = [
     "dedup_substring_cut",
     "dedup_semantic_kmeans",
     "data_dsir_select",
+    "data_epoch_shuffle",
+    "pareto_skyline",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

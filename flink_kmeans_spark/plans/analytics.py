@@ -2660,3 +2660,159 @@ def data_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unique_rows"),
     )
+
+
+_EPOCHS = 2
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "data_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT CAST(UNNEST(generate_series(1, {_EPOCHS}))
+                      AS INTEGER) AS epoch),
+    k AS (
+      SELECT d.doc_id, e.epoch,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#e'
+                   || CAST(e.epoch AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+      FROM documents d CROSS JOIN e)
+    SELECT epoch, CAST(key % {_EPOCH_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch, key % {_EPOCH_SHARDS}
+             ORDER BY key, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM k
+    """,
+    tags=("sampling", "text"),
+)
+def data_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training-data shuffle: every epoch
+    assigns each document a fresh pseudo-random 60-bit key (portable
+    md5 of 'doc_id#e<epoch>', functions/hashing.py), shards by
+    key mod S, and orders within the shard by key — the standard way
+    to get a reproducible, resumable global shuffle of a 100 TB corpus
+    WITHOUT a global sort: shard assignment is a map-side hash, and
+    per-shard order is a partitioned window (S× parallel), so no
+    single-partition stage exists at any scale (S scales with the
+    cluster; pos is the read order a trainer consumes within its
+    shard). Epochs differ by construction (salted key), and the whole
+    permutation is independent of input partitioning — re-running on a
+    repartitioned corpus yields byte-identical shards, which
+    sampleBy/rand-based shuffles cannot promise."""
+    from ..functions.hashing import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _EPOCHS + 1)])
+            ).alias("epoch"),
+        )
+        .select(
+            "doc_id",
+            "epoch",
+            portable_hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#e"),
+                    F.col("epoch").cast("string"),
+                )
+            ).alias("key"),
+        )
+        .withColumn("shard", (F.col("key") % _EPOCH_SHARDS).cast("int"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("key", "doc_id")
+    return k.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
+
+
+_SKY_BUCKETS = 64
+
+
+@register(
+    "pareto_skyline",
+    oracle="""
+    WITH pm AS (
+      SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part),
+    g AS (SELECT price, MAX(size) AS msize FROM pm GROUP BY price),
+    w AS (
+      SELECT price, msize,
+             MAX(msize) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM g)
+    SELECT p.p_partkey, ROUND(p.price, 2) AS price, p.size
+    FROM pm p JOIN w ON p.price = w.price
+    WHERE p.size = w.msize
+      AND (w.prev_max IS NULL OR p.size > w.prev_max)
+    """,
+    tags=("window", "analytics"),
+)
+def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price, maximize size) over part —
+    the non-dominated frontier every 'best tradeoff' query wants. The
+    naive formulation is a Θ(N²) dominance anti-join; for two
+    objectives it collapses to ONE linear running-max scan: a point
+    survives iff its size is the max at its price AND strictly exceeds
+    the best size at any strictly lower price.
+
+    Scale shape at 100 TB: the running max over distinct prices is
+    computed with the two-phase bucket-prefix pattern
+    (agg_weighted_median's r7 discipline — a single-partition global
+    window would collapse parallelism): fixed-width price buckets from
+    one min/max scan; per-bucket running max is a partitioned window;
+    cross-bucket carry-in is a B-row aggregate broadcast back. Bucket
+    assignment is monotone in price, so local-prev ⊔ bucket-prefix ≡
+    the global running max, verified against DuckDB's one-window
+    formulation. Base rows join the distinct-price verdict table
+    broadcast (distinct prices ≪ rows; if not, the same two-phase
+    carry works at row grain)."""
+    B = _SKY_BUCKETS
+    pm = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    lo, hi = pm.agg(F.min("price"), F.max("price")).collect()[0]
+    width = (float(hi) - float(lo)) / B or 1.0
+    bk = F.least(
+        F.lit(B - 1), F.floor((F.col("price") - F.lit(float(lo))) / width)
+    ).cast("int")
+    g = (
+        pm.groupBy("price")
+        .agg(F.max("size").alias("msize"))
+        .withColumn("bk", bk)
+    )
+    wloc = (
+        Window.partitionBy("bk")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = g.withColumn("loc_prev", F.max("msize").over(wloc))
+    bmax = g.groupBy("bk").agg(F.max("msize").alias("bmx"))
+    wpre = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmax.withColumn("carry", F.max("bmx").over(wpre)).select("bk", "carry")
+    verdict = (
+        loc.join(F.broadcast(pre), "bk")
+        .select(
+            "price",
+            "msize",
+            F.greatest(
+                F.coalesce("loc_prev", F.lit(-(1 << 31))),
+                F.coalesce("carry", F.lit(-(1 << 31))),
+            ).alias("prev_max"),
+        )
+    )
+    return (
+        pm.join(F.broadcast(verdict), "price")
+        .filter(
+            (F.col("size") == F.col("msize"))
+            & (F.col("size") > F.col("prev_max"))
+        )
+        .select("p_partkey", F.round("price", 2).alias("price"), "size")
+    )

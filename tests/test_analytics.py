@@ -866,3 +866,70 @@ def test_components_star_shuffle_equals_broadcast_fallback(spark):
     sh = connected_components(nodes, pairs, broadcast_nodes_max=0).collect()
     assert sorted(map(tuple, bc)) == sorted(map(tuple, sh))
     assert {r["component"] for r in sh} == {0}
+
+
+def test_epoch_shuffle_permutes_and_is_partitioning_invariant(spark, sf_dir):
+    """(a) each epoch covers every doc exactly once with contiguous
+    per-shard positions; (b) epochs are DIFFERENT permutations; (c) the
+    output is byte-identical when the input is repartitioned — the
+    promise rand()-based shuffles cannot make."""
+    fn = registry.specs()["data_epoch_shuffle"].fn
+    rows = fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    by_epoch = collections.defaultdict(list)
+    for r in rows:
+        by_epoch[r["epoch"]].append(r)
+    assert set(by_epoch) == {1, 2}
+    orders = {}
+    for ep, rs in by_epoch.items():
+        assert {r["doc_id"] for r in rs} == docs
+        shard_pos = collections.defaultdict(list)
+        for r in rs:
+            shard_pos[r["shard"]].append(r["pos"])
+        for ps in shard_pos.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+        orders[ep] = [
+            r["doc_id"]
+            for r in sorted(rs, key=lambda x: (x["shard"], x["pos"]))
+        ]
+    assert orders[1] != orders[2], "epoch salt produced identical order"
+    # partitioning invariance: run over a repartitioned copy
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            7
+        ).write.parquet(f"{td}/documents.parquet")
+        again = fn(spark, td).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pareto_skyline_vs_bruteforce(spark, sf_dir):
+    """Brute-force O(N²) dominance over the full sf0.001 part table
+    must reproduce the windowed two-phase skyline exactly."""
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .toPandas()
+    )
+    pts = list(
+        zip(pdf["p_partkey"], pdf["p_retailprice"].astype(float), pdf["p_size"])
+    )
+    want = set()
+    for k, pr, sz in pts:
+        dominated = any(
+            (qpr <= pr and qsz >= sz and (qpr < pr or qsz > sz))
+            for _, qpr, qsz in pts
+        )
+        if not dominated:
+            want.add((k, round(pr, 2), sz))
+    got = {
+        (r["p_partkey"], r["price"], r["size"])
+        for r in registry.specs()["pareto_skyline"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

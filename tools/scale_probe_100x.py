@@ -132,6 +132,10 @@ PROBES = [
     ("graph_label_propagation_shuffle", "lineitem"),
     ("kmeans_parallel_init", "embeddings"),
     ("data_dsir_select", "documents"),
+    ("data_epoch_shuffle", "documents"),
+    # pareto_skyline reads only the unreplicated part dim — its scale
+    # pattern (two-phase bucket-prefix window) is probed via
+    # agg_weighted_median; a replica probe would re-read identical data
     # round-8.5 completeness: every remaining probed shape gets
     # second-decade evidence except the two declared exact-verification
     # corridors (sim_knn_graph Θ(N²), agg_percentile_approx — their
