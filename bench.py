@@ -184,6 +184,7 @@ HEADLINE = [
     "data_dsir_select",
     "data_epoch_shuffle",
     "pareto_skyline",
+    "sample_reservoir_group",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -5185,3 +5185,59 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("logw", 6).alias("logw"),
         F.round("gk", 6).alias("gumbel_key"),
     )
+
+
+_RSV_K = 5
+
+
+@register(
+    "sample_reservoir_group",
+    oracle=f"""
+    SELECT lang, rk, doc_id FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#rs'),
+                     1, 15)) AS BIGINT), doc_id) AS INTEGER) AS rk
+      FROM documents)
+    WHERE rk <= {_RSV_K}
+    """,
+    tags=("sampling", "text"),
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum reservoir sample (k = {k} docs per language),
+    deterministic: rank by the portable md5 coin of 'doc_id#rs' within
+    each stratum and keep the k smallest — equivalent in distribution
+    to a uniform reservoir but reproducible, partitioning-invariant,
+    and cross-engine verifiable, where rand()-seeded reservoirs are
+    none of those. Complements sample_hash_stratified (Bernoulli
+    THRESHOLD sampling: keeps a fixed FRACTION, count varies) with the
+    fixed-COUNT guarantee quota pipelines need.
+
+    Scale shape at 100 TB: per-group top-k is WindowGroupLimit-pruned
+    (asserted on the executed plan — partial limit before the shuffle,
+    final after), so each map task forwards at most k rows per stratum
+    and the exchange carries O(strata·k·partitions), never the corpus.
+    No full sort, no single-partition stage.""".replace(
+        "{k}", str(_RSV_K)
+    )
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    d = _docs(spark, sf_dir).select("lang", "doc_id")
+    key = portable_hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#rs"))
+    )
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    out = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RSV_K)
+        .select("lang", "rk", "doc_id")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "WindowGroupLimit" not in plan:
+        raise RuntimeError(
+            "sample_reservoir_group: per-stratum top-k lost its "
+            "WindowGroupLimit pushdown — the exchange would carry the corpus"
+        )
+    return out

@@ -1236,3 +1236,22 @@ def test_dsir_selects_target_like_docs(spark, tmp_path):
     sel = sum(1 for r in rows if lang[r["doc_id"]] == "en") / len(rows)
     # base rate is 1/3; logw gap between vocabularies is >> Gumbel noise
     assert sel >= 0.9, f"selected en share {sel} — importance shift failed"
+
+
+def test_sample_reservoir_group_exact_k_and_deterministic(spark, sf_dir, docs):
+    """Exactly k per stratum (or the whole stratum when smaller), and
+    two runs return identical rows — the fixed-count, reproducible
+    guarantee that distinguishes this from Bernoulli threshold
+    sampling (sample_hash_stratified)."""
+    import collections
+
+    fn = specs()["sample_reservoir_group"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = collections.Counter(lang for lang, _, _ in a)
+    assert got == {lg: min(5, n) for lg, n in sizes.items()}
