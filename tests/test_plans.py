@@ -540,3 +540,47 @@ def test_join_skew_aqe_takes_skew_path_and_restores_confs(spark, sf_dir):
     assert len(out) == n_keys
     hot = {r["k"]: r["n"] for r in out}
     assert hot[0] > sum(v for k, v in hot.items() if k != 0)  # skew is real
+
+
+def test_epoch_shuffle_no_single_partition_stage(spark, sf_dir):
+    """The epoch shuffle must never route the corpus through one
+    partition: shard assignment is map-side, ordering is a
+    (epoch, shard)-partitioned window — no SinglePartition exchange,
+    no global sort."""
+    plan = plan_of(specs()["data_epoch_shuffle"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "hashpartitioning(epoch" in plan
+
+
+def test_pareto_skyline_windows_are_bounded(spark, sf_dir):
+    """Two-phase running max: the only SinglePartition window runs over
+    the B-row bucket-carry table (bounded by the bucket constant, never
+    data-sized); the data-sized window is bucket-partitioned; the base
+    rows join the verdict table broadcast."""
+    plan = plan_of(specs()["pareto_skyline"].fn(spark, sf_dir))
+    assert "hashpartitioning(bk" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_broadcasts_ratio_table_and_takes_ordered(spark, sf_dir):
+    """DSIR: the per-bucket log-ratio table must broadcast (never
+    shuffle the corpus by bucket against it) and the top-k selection
+    must be TakeOrderedAndProject, not a full sort."""
+    plan = plan_of(specs()["data_dsir_select"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kmeans_parallel_init_weight_shuffle_only(spark, sf_dir):
+    """kmeans||: distance passes are map-side against literal candidate
+    arrays; the only data-sized exchange is the ~|C|-group weight
+    aggregate (hash partitioning on cand_id) with a partial aggregate
+    below it (map-side combine)."""
+    plan = plan_of(specs()["kmeans_parallel_init"].fn(spark, sf_dir))
+    assert "hashpartitioning(cand_id" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
