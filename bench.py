@@ -185,6 +185,7 @@ HEADLINE = [
     "data_epoch_shuffle",
     "pareto_skyline",
     "sample_reservoir_group",
+    "streaming_cdc_apply",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

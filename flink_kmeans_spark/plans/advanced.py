@@ -4577,3 +4577,188 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").alias("sum_sq"),
         )
     )
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle="""
+    WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 17 = 0),
+    upds AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+      FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_orderpriority,
+             o_totalprice FROM orders WHERE o_orderkey % 23 = 0
+    ),
+    merged AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             COALESCE(u.new_price, o.o_totalprice) AS price
+      FROM orders o
+      LEFT JOIN upds u ON o.o_orderkey = u.o_orderkey
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM ins
+    )
+    SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(price), 2) AS total_price
+    FROM merged GROUP BY pri
+    """,
+    tags=("cdc", "streaming", "incremental"),
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply — the online twin of ``cdc_merge_apply``:
+    a change feed ARRIVES as three ordered micro-batches (deletes,
+    then updates, then inserts — strictly increasing landing mtimes,
+    maxFilesPerTrigger=1) and ``foreachBatch`` MERGEs each batch into
+    a keyed state table as a GENERATION CHAIN: batch b reads
+    generation b-1 (or the initial snapshot) and overwrites generation
+    b, so a retried batch recomputes from the SAME input generation —
+    idempotent under foreachBatch's at-least-once contract, and
+    ORDER-CORRECT because Structured Streaming runs foreachBatch
+    strictly sequentially per query. The DuckDB oracle is the batch
+    MERGE answer, so a hash match proves 3-step sequential apply ≡
+    one-shot MERGE.
+
+    Scale shape at 100 TB: each apply is one broadcast-able anti-join
+    (deletes), one broadcast left join (updates), and a union append —
+    change batches are small relative to state, so the state table
+    streams through executor memory once per batch (the plain-parquet
+    MERGE shape; a table format with file-level pruning — or
+    sink_upsert's partition-pruned rewrite — bounds the rewrite to
+    touched partitions). State never crosses the driver; the final
+    read aggregates the last generation only."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..session import ensure_conf, protect_scratch, prune_scratch
+
+    ensure_conf(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
+    root = tempfile.mkdtemp(prefix="cdc_stream_", dir=base)
+    protect_scratch(root)
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ckpt")
+    init = os.path.join(root, "init")
+    os.makedirs(landing, exist_ok=True)
+    o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    ).write.mode("overwrite").parquet(init)
+    # one corpus pass builds the three ordered change files (the
+    # streaming_minhash_dedup shard discipline: range-repartition by
+    # seq → exactly one part file per seq dir, loud guard otherwise)
+    changes = (
+        o.filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            F.lit("D").alias("op"),
+            "o_orderkey",
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("double").alias("price"),
+            F.lit(0).alias("seq"),
+        )
+        .unionByName(
+            o.filter(
+                (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % 17 != 0)
+            ).select(
+                F.lit("U").alias("op"),
+                "o_orderkey",
+                F.lit(None).cast("string").alias("o_orderpriority"),
+                (F.col("o_totalprice") + 1000.0).alias("price"),
+                F.lit(1).alias("seq"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 23 == 0).select(
+                F.lit("I").alias("op"),
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderpriority",
+                F.col("o_totalprice").alias("price"),
+                F.lit(2).alias("seq"),
+            )
+        )
+    )
+    tmp = os.path.join(root, "seq_build")
+    changes.repartitionByRange(3, "seq").write.mode("overwrite").partitionBy(
+        "seq"
+    ).parquet(tmp)
+    for s in range(3):
+        sdir = os.path.join(tmp, f"seq={s}")
+        parts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"streaming_cdc_apply: seq {s} wrote {len(parts)} part "
+                "files; expected exactly 1"
+            )
+        dst = os.path.join(landing, f"seq{s}.parquet")
+        os.replace(os.path.join(sdir, parts[0]), dst)
+        os.utime(dst, (1_000_000_000.0 + s * 100, 1_000_000_000.0 + s * 100))
+    shutil.rmtree(tmp)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        prev_path = (
+            os.path.join(state, f"gen={batch_id - 1}") if batch_id > 0 else init
+        )
+        prev = spark.read.parquet(prev_path)
+        dels = batch_df.filter(F.col("op") == "D").select("o_orderkey")
+        upds = batch_df.filter(F.col("op") == "U").select(
+            "o_orderkey", F.col("price").alias("new_price")
+        )
+        ins = batch_df.filter(F.col("op") == "I").select(
+            "o_orderkey", "o_orderpriority", "price"
+        )
+        out = (
+            prev.join(F.broadcast(dels), "o_orderkey", "left_anti")
+            .join(F.broadcast(upds), "o_orderkey", "left")
+            .select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.coalesce("new_price", "price").alias("price"),
+            )
+            .unionByName(ins)
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(state, f"gen={batch_id}")
+        )
+
+    schema = changes.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", 120))
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming_cdc_apply did not drain change batches in {timeout_sec}s"
+        )
+    q.stop()
+    gens = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(state)
+        if d.startswith("gen=")
+    )
+    final = spark.read.parquet(os.path.join(state, f"gen={gens[-1]}"))
+    return final.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )

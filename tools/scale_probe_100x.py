@@ -133,6 +133,7 @@ PROBES = [
     ("kmeans_parallel_init", "embeddings"),
     ("data_dsir_select", "documents"),
     ("data_epoch_shuffle", "documents"),
+    ("streaming_cdc_apply", "orders"),
     # pareto_skyline reads only the unreplicated part dim — its scale
     # pattern (two-phase bucket-prefix window) is probed via
     # agg_weighted_median; a replica probe would re-read identical data
