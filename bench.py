@@ -186,6 +186,7 @@ HEADLINE = [
     "pareto_skyline",
     "sample_reservoir_group",
     "streaming_cdc_apply",
+    "sim_hard_negatives",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -5241,3 +5241,72 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WindowGroupLimit pushdown — the exchange would carry the corpus"
         )
     return out
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * x), 'sum')) AS nrm
+      FROM embeddings
+    ), q AS (SELECT * FROM n ORDER BY vec_id LIMIT 10),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * p[2]), 'sum')
+               / (q.nrm * c.nrm) AS cosine
+      FROM q JOIN n c ON c.vec_id <> q.vec_id)
+    SELECT q_id, n_id, cosine, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT q_id, n_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, n_id) AS rk
+      FROM scored WHERE cosine >= 0.3 AND cosine < 0.9
+    ) WHERE rk <= 3
+    """,
+    tags=("vector",),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor, the top-3 most-similar corpus vectors inside the band
+    0.3 ≤ cosine < 0.9 — similar enough to be informative negatives,
+    but the ≥0.9 ceiling excludes near-duplicates that would be FALSE
+    negatives (the standard in-batch-negatives curation rule; the
+    ceiling is dedup_embedding_cosine's near-dup regime, the floor
+    drops uninformative pairs).
+
+    Scale shape at 100 TB: identical to sim_cosine_topk's exact
+    baseline — anchors broadcast, corpus never shuffles, band filter
+    evaluates map-side BEFORE the per-anchor top-k
+    (WindowGroupLimit-pruned), so the rank exchange carries only
+    in-band survivors; the production corpus-scale path swaps stage 1
+    for the bucketed ANN probe (sim_ann_repartitioned) exactly as
+    pipeline_rag_rerank does."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_sim
+
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    )
+    sim = cosine_sim(F.col("q_vec"), F.col("n_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("cosine"))
+        .filter((F.col("cosine") >= 0.3) & (F.col("cosine") < 0.9))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "n_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )

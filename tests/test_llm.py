@@ -1255,3 +1255,33 @@ def test_sample_reservoir_group_exact_k_and_deterministic(spark, sf_dir, docs):
     }
     got = collections.Counter(lang for lang, _, _ in a)
     assert got == {lg: min(5, n) for lg, n in sizes.items()}
+
+
+def test_sim_hard_negatives_band_vs_numpy(spark, sf_dir, emb):
+    """Numpy brute force: per anchor, the in-band [0.3, 0.9) top-3 by
+    cosine must match exactly — and no returned negative may be a
+    near-duplicate (>= 0.9) or an uninformative pair (< 0.3)."""
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(vecs)
+    anchors = ids[:10]
+    want = set()
+    for a in anchors:
+        va, na = vecs[a], np.linalg.norm(vecs[a])
+        cands = []
+        for b in ids:
+            if b == a:
+                continue
+            cos = float(va @ vecs[b]) / (na * float(np.linalg.norm(vecs[b])))
+            if 0.3 <= cos < 0.9:
+                cands.append((-cos, b))
+        for rk, (negc, b) in enumerate(sorted(cands)[:3], start=1):
+            want.add((a, b, rk, round(-negc, 6)))
+    rows = specs()["sim_hard_negatives"].fn(spark, sf_dir).collect()
+    got = {
+        (r["q_id"], r["n_id"], r["rk"], round(r["cosine"], 6)) for r in rows
+    }
+    assert got == want
+    assert all(0.3 <= r["cosine"] < 0.9 for r in rows)

@@ -134,6 +134,7 @@ PROBES = [
     ("data_dsir_select", "documents"),
     ("data_epoch_shuffle", "documents"),
     ("streaming_cdc_apply", "orders"),
+    ("sim_hard_negatives", "embeddings"),
     # pareto_skyline reads only the unreplicated part dim — its scale
     # pattern (two-phase bucket-prefix window) is probed via
     # agg_weighted_median; a replica probe would re-read identical data
