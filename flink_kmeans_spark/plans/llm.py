@@ -5110,7 +5110,7 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED bucket order (array_sort fold ≡ DuckDB's ORDER BY list —
     bit-identical sums, the kmeans|| discipline); selection is a
     TakeOrderedAndProject top-k, never a full sort. One corpus read,
-    one bounded shuffle, zero UDFs.""".replace("{_B}", str(_DSIR_B))
+    one bounded shuffle, zero UDFs."""
     from pyspark.sql.window import Window
 
     from ..functions.hashing import portable_hash60
@@ -5204,7 +5204,7 @@ _RSV_K = 5
     tags=("sampling", "text"),
 )
 def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT-k per-stratum reservoir sample (k = {k} docs per language),
+    """EXACT-k per-stratum reservoir sample (k = 5 docs per language),
     deterministic: rank by the portable md5 coin of 'doc_id#rs' within
     each stratum and keep the k smallest — equivalent in distribution
     to a uniform reservoir but reproducible, partitioning-invariant,
@@ -5217,9 +5217,7 @@ def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted on the executed plan — partial limit before the shuffle,
     final after), so each map task forwards at most k rows per stratum
     and the exchange carries O(strata·k·partitions), never the corpus.
-    No full sort, no single-partition stage.""".replace(
-        "{k}", str(_RSV_K)
-    )
+    No full sort, no single-partition stage."""
     from pyspark.sql.window import Window
 
     from ..functions.hashing import portable_hash60
