@@ -5124,11 +5124,20 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", (portable_hash60(F.col("t")) % B).alias("bk")
     )
-    src = bk.groupBy("bk").agg(F.count(F.lit(1)).alias("sc"))
+    # ONE token-grain pass: everything downstream (both distribution
+    # fits AND the per-doc scores) derives from the (doc, lang, bucket)
+    # count table, which is checkpointed so the expensive explode is
+    # never recomputed per branch — at 100 TB the corpus is read once
+    dlb = (
+        bk.groupBy("doc_id", "lang", "bk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    src = dlb.groupBy("bk").agg(F.sum("n").alias("sc"))
     tgt = (
-        bk.filter(F.col("lang") == "en")
+        dlb.filter(F.col("lang") == "en")
         .groupBy("bk")
-        .agg(F.count(F.lit(1)).alias("tc"))
+        .agg(F.sum("n").alias("tc"))
     )
     r = (
         src.join(tgt, "bk", "left")
@@ -5147,7 +5156,7 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lr"),
         )
     )
-    dc = bk.groupBy("doc_id", "bk").agg(F.count(F.lit(1)).alias("n"))
+    dc = dlb.select("doc_id", "bk", "n")
     dw = (
         dc.join(F.broadcast(r), "bk")
         .groupBy("doc_id")
