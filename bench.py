@@ -187,6 +187,7 @@ HEADLINE = [
     "sample_reservoir_group",
     "streaming_cdc_apply",
     "sim_hard_negatives",
+    "multimodal_phash_dedup",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -5317,3 +5317,143 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def _phash_dedup_oracle(bands: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB replica of the banded image-dHash near-dup join: per-doc
+    gradient bits recomputed from the fixture pixel formulas (the
+    multimodal_phash oracle's grid), then the same band-bucket join and
+    hamming cut. With 64 bits in 4 bands, hamming ≤ 3 pairs ALWAYS
+    agree on ≥ 1 full band (pigeonhole), so banding loses nothing and
+    the pair set is exactly all-pairs-hamming≤3."""
+    width = 64 // bands
+    return f"""
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      FROM documents
+    ), grid AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 71), t ->
+               (doc_id * 31
+                + (((t // 9) * h // 8) * w + ((t % 9) * w // 9)) * 7
+               ) % 256) AS p
+      FROM g
+    ), bits AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), t ->
+               CASE WHEN p[(t // 8) * 9 + (t % 8) + 1]
+                         < p[(t // 8) * 9 + (t % 8) + 2]
+                    THEN 1 ELSE 0 END) AS b
+      FROM grid
+    ), banded AS (
+      SELECT doc_id, b, g2.k AS band,
+             b[(g2.k*{width}+1):(g2.k*{width}+{width})] AS bucket
+      FROM bits CROSS JOIN
+           (SELECT unnest(generate_series(0, {bands - 1})) AS k) g2
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             CAST(len(list_filter(list_zip(a.b, c.b), p -> p[1] <> p[2]))
+                  AS INTEGER) AS hamming
+      FROM banded a JOIN banded c
+        ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=_phash_dedup_oracle(),
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup pairs — banded dHash LSH over REAL decoded PNG
+    pixels: the multimodal answer to dedup_simhash (byte-exact image
+    dedup is multimodal_dedup_hash; THIS catches re-encoded/resampled
+    visual duplicates). 64 gradient bits split into 4 bands of 16;
+    images sharing any full band pair up; pairs at hamming ≤ 3
+    survive. Pigeonhole makes the banding LOSSLESS at this cut
+    (3 flipped bits cannot touch all 4 bands), so the output is
+    exactly all-pairs-hamming≤3 — which is what the DuckDB oracle
+    computes from the fixture pixel formulas.
+
+    EXACT-COLLAPSE discipline (r7 catch #7): identical dHashes group
+    to ONE row before banding, the band self-join runs at
+    distinct-hash grain (gid < gid), and member doc_ids expand
+    MAP-SIDE after the hamming cut — exact-dup-heavy image corpora
+    (the sf0.1 fixtures contain true byte-identical images at
+    doc_id ≡ doc_id' mod 36608) never inflate the join. Hamming is
+    two bit_count(xor) ops on 32-bit halves — codegen integer math,
+    no char loops. Scale shape: decode+hash is the embarrassingly
+    parallel Arrow pass multimodal_phash probes at 100×; the only
+    shuffles are the hash-grain collapse and the 16-bit-bucket band
+    join — dedup_simhash's probed-linear shape at image grain."""
+    ph = MM.dhash_image_media(
+        MM.to_image_table(_docs(spark, sf_dir)), hash_w=8, hash_h=8
+    ).select("doc_id", "dhash")
+    grp = ph.groupBy("dhash").agg(
+        F.min("doc_id").alias("gid"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    h = grp.select(
+        "dhash",
+        "gid",
+        "members",
+        F.conv(F.substring("dhash", 1, 32), 2, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring("dhash", 33, 32), 2, 10).cast("bigint").alias("h2"),
+    )
+    bands = h.select(
+        "gid",
+        "members",
+        "h1",
+        "h2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.substring("dhash", 1 + 16 * k, 16).alias("bucket"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("gid", "members", "h1", "h2", "bb.band", "bb.bucket")
+    ham = F.bit_count(
+        F.col("a.h1").bitwiseXOR(F.col("b.h1"))
+    ) + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+    cross = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .agg(
+            F.first(ham).alias("hamming"),
+            F.first(F.col("a.members")).alias("ma"),
+            F.first(F.col("b.members")).alias("mb"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("hamming", F.explode("ma").alias("ia"), "mb")
+        .select("hamming", "ia", F.explode("mb").alias("ib"))
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+    intra = (
+        grp.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("ia"), "members")
+        .select("ia", F.explode("members").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)

@@ -1285,3 +1285,54 @@ def test_sim_hard_negatives_band_vs_numpy(spark, sf_dir, emb):
     }
     assert got == want
     assert all(0.3 <= r["cosine"] < 0.9 for r in rows)
+
+
+def test_phash_dedup_banding_is_lossless(spark, sf_dir, docs):
+    """Pigeonhole completeness: brute-force hamming over the engine's
+    OWN dHash table must equal the banded key's pair set exactly at
+    the ≤3 cut (band logic verified against all-pairs, independent of
+    the SQL oracle's pixel formulas) — and byte-identical images
+    (doc_id ≡ doc_id' mod 36608 shares dims AND pixels) must surface
+    as hamming-0 pairs."""
+    hashes = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.dhash_image_media(
+            MM.to_image_table(docs), hash_w=8, hash_h=8
+        )
+        .select("doc_id", "dhash")
+        .collect()
+    }
+    ids = sorted(hashes)
+    want = set()
+    for i, a in enumerate(ids):
+        ha = hashes[a]
+        for b in ids[i + 1 :]:
+            d = sum(x != y for x, y in zip(ha, hashes[b]))
+            if d <= 3:
+                want.add((a, b, d))
+    rows = specs()["multimodal_phash_dedup"].fn(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}
+    assert len(rows) == len(got), "duplicate pairs emitted"
+    assert got == want
+    # synthesize a true identical-image pair: 36608 apart
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [7, 36615, 50],
+                    "text": ["a", "b", "c"],
+                    "lang": ["en"] * 3,
+                    "source": ["t"] * 3,
+                    "n_chars": [1, 1, 1],
+                }
+            ),
+            os.path.join(td, "documents.parquet"),
+        )
+        pairs = specs()["multimodal_phash_dedup"].fn(spark, td).collect()
+    assert any(
+        (r["id_a"], r["id_b"], r["hamming"]) == (7, 36615, 0) for r in pairs
+    )

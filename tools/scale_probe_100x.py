@@ -138,6 +138,12 @@ PROBES = [
     # pareto_skyline reads only the unreplicated part dim — its scale
     # pattern (two-phase bucket-prefix window) is probed via
     # agg_weighted_median; a replica probe would re-read identical data
+    # multimodal_phash_dedup is deliberately unprobed: the fixture
+    # image space has only 36608 distinct images, so the 100x replica
+    # gives every image ~137 byte-identical copies and the DOC-GRAIN
+    # PAIR OUTPUT itself is Θ(copies²) (~10^10 rows) — a fixture
+    # artifact, not a plan defect; the banded join runs at collapsed
+    # distinct-hash grain, the shape dedup_simhash probes linear
     # round-8.5 completeness: every remaining probed shape gets
     # second-decade evidence except the two declared exact-verification
     # corridors (sim_knn_graph Θ(N²), agg_percentile_approx — their
