@@ -63,6 +63,14 @@ SHOWCASE = [
     ("events_survival_curve", "lifetime-grain KM curve; at-risk = suffix sum window, no total-users pass"),
     ("agg_kmv_distinct", "distinct-collapse shuffle then per-group rank; sketch estimate from k-th smallest hash"),
     ("udf_arrow_grouped", "FlatMapGroupsInArrow grouped-map: Arrow batches, no pandas conversion"),
+    # round-8 third-pass additions
+    ("data_dsir_select", "broadcast log-ratio table; fixed-order fold; TakeOrderedAndProject top-k"),
+    ("data_epoch_shuffle", "map-side salted shard + (epoch,shard)-partitioned windows; no global sort"),
+    ("pareto_skyline", "two-phase bucket-prefix running max; only the B-row carry is single-partition"),
+    ("sample_reservoir_group", "per-stratum WindowGroupLimit: map tasks forward <= k rows per stratum"),
+    ("sim_hard_negatives", "band filter map-side BEFORE the per-anchor WindowGroupLimit rank"),
+    ("multimodal_phash_dedup", "distinct-hash collapse -> band bucket join; hamming as bit_count(xor) codegen"),
+    ("kmeans_parallel_init", "weights aggregate is the ONLY keyed exchange; distances are literal-array map passes"),
 ]
 
 
