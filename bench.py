@@ -188,6 +188,7 @@ HEADLINE = [
     "streaming_cdc_apply",
     "sim_hard_negatives",
     "multimodal_phash_dedup",
+    "agg_heavy_hitters_mg",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -4762,3 +4762,102 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.round(F.sum("price"), 2).alias("total_price"),
     )
+
+
+_MG_SHARDS = 8
+_MG_K = 16  # per-shard summary capacity (error <= n_p / (K+1) per shard)
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    oracle=f"""
+    WITH base AS (SELECT user_id AS k FROM events),
+    sh AS (
+      SELECT k,
+             CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#mg'), 1, 15))
+                  AS BIGINT) % {_MG_SHARDS} AS shard
+      FROM base),
+    c AS (SELECT shard, k, COUNT(*) AS c FROM sh GROUP BY shard, k),
+    r AS (SELECT shard, k, c,
+                 ROW_NUMBER() OVER (PARTITION BY shard
+                                    ORDER BY c DESC, k) AS rk
+          FROM c),
+    off AS (SELECT shard,
+                   COALESCE(MAX(CASE WHEN rk = {_MG_K + 1} THEN c END), 0)
+                     AS off
+            FROM r GROUP BY shard),
+    kept AS (SELECT r.k, r.c - off.off AS est_p
+             FROM r JOIN off USING (shard)
+             WHERE rk <= {_MG_K} AND r.c - off.off > 0),
+    merged AS (SELECT k, CAST(SUM(est_p) AS BIGINT) AS est
+               FROM kept GROUP BY k),
+    exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM base GROUP BY k),
+    bound AS (SELECT CAST(SUM(off) AS BIGINT) AS err_max FROM off)
+    SELECT k AS user_id, est, exact_n, err_max
+    FROM merged JOIN exact USING (k) CROSS JOIN bound
+    ORDER BY est DESC, k LIMIT 10
+    """,
+    tags=("agg", "sketch"),
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra–Gries / SpaceSaving heavy hitters with a
+    PROVABLE, REPORTED error bound — the deterministic-guarantee
+    counterpart to the probabilistic count-min sketch
+    (agg_cms_frequency): each of S shards keeps only a K-counter
+    summary (top-K exact shard counts, all decremented by the largest
+    evicted count — the classic MG decrement applied to the
+    pre-aggregated shard, so the result is ORDER-FREE and
+    engine-deterministic); merged estimates are the summed surviving
+    counters. Guarantees, both pytest-pinned per row: est ≤ exact, and
+    exact − est ≤ Σ_p offset_p (= err_max, ≤ n/(K+1)) — so any key
+    with frequency above err_max is guaranteed present (pigeonhole:
+    if f_p ≤ n_p/(K+1) in every shard then f ≤ n/(K+1)).
+
+    Scale shape at 100 TB: sharding is a map-side portable hash (NOT
+    physical partitioning, so the summary is invariant to file splits
+    and session parallelism — the perturbed/plain gates see identical
+    rows); per-shard counts are one (shard, key) hash aggregate with
+    map-side combine; the top-K cut is a WindowGroupLimit-pruned rank
+    per shard; everything after operates on ≤ S·K summary rows. The
+    exact_n column is verification display (like the CMS key) — the
+    production summary never computes it; communication cost is S·K
+    counters regardless of key cardinality."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    S, K = _MG_SHARDS, _MG_K
+    base = _t(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    sh = base.withColumn(
+        "shard",
+        portable_hash60(F.concat(F.col("k").cast("string"), F.lit("#mg"))) % S,
+    )
+    c = sh.groupBy("shard", "k").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("shard").orderBy(F.col("c").desc(), "k")
+    r = c.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= K + 1
+    )
+    off = r.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rk") == K + 1, F.col("c"))), F.lit(0)
+        ).alias("off")
+    )
+    kept = (
+        r.filter(F.col("rk") <= K)
+        .join(F.broadcast(off), "shard")
+        .select("k", (F.col("c") - F.col("off")).alias("est_p"))
+        .filter(F.col("est_p") > 0)
+    )
+    merged = kept.groupBy("k").agg(F.sum("est_p").cast("bigint").alias("est"))
+    exact = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    bound = off.agg(F.sum("off").cast("bigint").alias("err_max"))
+    return (
+        merged.join(exact, "k")
+        .crossJoin(F.broadcast(bound))
+        .orderBy(F.col("est").desc(), "k")
+        .limit(10)
+        .select(F.col("k").alias("user_id"), "est", "exact_n", "err_max")
+    )

@@ -78,7 +78,7 @@ _WINDOW_PRIORITY: list[str] = [
     "dedup_substring_cut", "dedup_semantic_kmeans", "kmeans_parallel_init",
     "data_dsir_select", "data_epoch_shuffle", "pareto_skyline",
     "sample_reservoir_group", "streaming_cdc_apply", "sim_hard_negatives",
-    "multimodal_phash_dedup",
+    "multimodal_phash_dedup", "agg_heavy_hitters_mg",
     # (7 new keys + 30 r2-stale = 37 front slots — the whole r2-stale
     # block still fits the ~50-key hashed window with ~16 r3-vintage
     # refreshes behind it, so VERDICT r7 item 1 still closes this round)

@@ -933,3 +933,35 @@ def test_pareto_skyline_vs_bruteforce(spark, sf_dir):
         for r in registry.specs()["pareto_skyline"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_mg_bounds(spark, sf_dir):
+    """The MG guarantees, recomputed independently in pandas:
+    (a) est ≤ exact for every reported key; (b) exact − est ≤ err_max;
+    (c) err_max ≤ n/(K+1) summed per shard; (d) the true top-1 user
+    (whose count exceeds err_max on this corpus) is reported."""
+    import hashlib
+
+    rows = (
+        registry.specs()["agg_heavy_hitters_mg"].fn(spark, sf_dir).collect()
+    )
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .toPandas()
+    )
+    exact = ev["user_id"].value_counts()
+    err_max = rows[0]["err_max"]
+
+    def shard(k):
+        return int(hashlib.md5(f"{k}#mg".encode()).hexdigest()[:15], 16) % 8
+
+    ev["shard"] = ev["user_id"].map(shard)
+    shard_tot = ev.groupby("shard").size()
+    assert err_max <= sum(n // (16 + 1) for n in shard_tot)
+    for r in rows:
+        assert r["est"] <= r["exact_n"] == exact[r["user_id"]]
+        assert r["exact_n"] - r["est"] <= err_max
+    top1 = exact.index[0]
+    if exact.iloc[0] > err_max:
+        assert any(r["user_id"] == top1 for r in rows)

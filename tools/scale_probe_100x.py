@@ -135,6 +135,7 @@ PROBES = [
     ("data_epoch_shuffle", "documents"),
     ("streaming_cdc_apply", "orders"),
     ("sim_hard_negatives", "embeddings"),
+    ("agg_heavy_hitters_mg", "events"),
     # pareto_skyline reads only the unreplicated part dim — its scale
     # pattern (two-phase bucket-prefix window) is probed via
     # agg_weighted_median; a replica probe would re-read identical data
