@@ -485,6 +485,16 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "v")
             .collect()
         )
+        # Loud guard (ADVICE r8): the Bahmani threshold bounds the
+        # selection only in EXPECTATION (~l rows/round); a pathological
+        # d² distribution could select far more. Fail fast rather than
+        # flood the driver — 50×l is far above any plausible draw.
+        if len(new) > 50 * _PAR_L:
+            raise RuntimeError(
+                f"kmeans|| round {r} selected {len(new)} candidates "
+                f"(> 50*l = {50 * _PAR_L}); refusing to collect an "
+                "unexpectedly large candidate set to the driver"
+            )
         cand.extend((int(x["vec_id"]), list(x["v"])) for x in new)
         if r < _PAR_R and new:
             # ONE array<array<double>> literal instead of ~l separate

@@ -60,59 +60,38 @@ def _load_all() -> None:
 
 # Driver-verification window priority. The driver hashes only the FIRST
 # ~50 queries() entries per round. Every oracled key has green driver
-# evidence (folded CORRECTNESS_r01..r07), so rotation is pure evidence
+# evidence (folded CORRECTNESS_r01..r08), so rotation is pure evidence
 # REFRESH: stalest-latest-green-round first (computed by folding the
-# seven CORRECTNESS files; within a round, alphabetical). The round-8
-# window leads with the 30 keys whose latest green row is round 2 —
-# after this window no oracled key's driver evidence is older than
-# round 3 and rotation becomes pure round-robin (VERDICT r7 item 1).
-# New keys with no driver evidence are inserted at the very front.
-# Declared rows-only keys (no_oracle in the driver) sort BELOW the
-# oracled tail so they never burn a hashed window slot. Ordering only;
-# results are order-independent (re-proved by re-running the local
-# gate after the reorder).
+# eight CORRECTNESS files; within a cohort, alphabetical). The rotation
+# program tracked by VERDICT r6/r7 is CLOSED (r8 verdict): no oracled
+# key's evidence is older than round 3 and the round-9 window is pure
+# round-robin — it leads with the 46-key d3 cohort, so the ~50-key
+# hashed window covers all of d3 plus the first few d4 keys, and after
+# r9 the oldest evidence moves to round 4. New keys with no driver
+# evidence are inserted at the very front. Declared rows-only keys
+# (no_oracle in the driver) sort BELOW the oracled tail so they never
+# burn a hashed window slot. Ordering only; results are
+# order-independent (re-proved by re-running the local gate after the
+# reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- new in round 8 — no driver evidence yet ---
-    "dedup_minhash_incremental", "streaming_ann_probe",
-    "dedup_substring_span", "streaming_minhash_dedup", "search_hybrid_rrf",
-    "dedup_substring_cut", "dedup_semantic_kmeans", "kmeans_parallel_init",
-    "data_dsir_select", "data_epoch_shuffle", "pareto_skyline",
-    "sample_reservoir_group", "streaming_cdc_apply", "sim_hard_negatives",
-    "multimodal_phash_dedup", "agg_heavy_hitters_mg",
-    # (7 new keys + 30 r2-stale = 37 front slots — the whole r2-stale
-    # block still fits the ~50-key hashed window with ~16 r3-vintage
-    # refreshes behind it, so VERDICT r7 item 1 still closes this round)
-    # --- r2-stale: the 30 oracled keys whose latest green driver row is round 2
-    #     (VERDICT r7 item 1 — this window closes the rotation program) ---
-    "agg_collect", "agg_conditional", "agg_corr",
-    "agg_minmax_by", "agg_percentile", "agg_pivot",
-    "agg_string_concat", "dedup_edit_distance", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "multimodal_schema", "scalar_bitwise",
-    "scalar_format", "sim_cosine_topk", "sort_nulls",
-    "text_fingerprint", "text_langid", "text_ngram_freq",
-    "text_pii_redact", "text_quality", "text_stats",
-    "text_tokens", "text_vocab", "window_analytic",
-    "window_distribution", "window_first_last", "window_frame",
-    "window_rank_variants", "window_sliding", "window_tumbling",
-    # --- r3-vintage refreshes, next-stalest ---
-    "events_active_users", "events_anomaly", "events_attribution_linear",
-    "events_cohort_ltv", "events_funnel", "events_funnel_stages",
-    "events_pareto_share", "events_pattern_seq", "events_retention",
-    "events_rfm", "events_seasonality_heatmap", "events_session_metrics",
-    "events_streaks", "events_transitions", "events_user_paths",
-    "graph_components", "graph_components_star", "graph_link_prediction",
-    "graph_pagerank", "graph_triangles", "observe_metrics",
-    "plan_cached_reuse", "scalar_collation", "scalar_decimal",
-    "scalar_timestamp", "scalar_try_safe", "scalar_variant",
-    "scalar_xml", "scan_binary_files", "scan_csv_permissive",
-    "scan_orc", "scan_schema_evolution", "sink_partition_prune",
-    "source_python_datasource", "sql_frontdoor", "sql_recursive_cte",
-    "table_profile", "tpch_q1", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q15",
-    "tpch_q16", "tpch_q2", "tpch_q20",
-    "tpch_q21", "tpch_q22", "tpch_q7",
-    "tpch_q8", "tpch_q9",
-    # --- r4-vintage ---
+    # --- d3-vintage (46 keys; latest green driver row is round 3) ---
+    "events_funnel", "events_funnel_stages", "events_pareto_share",
+    "events_pattern_seq", "events_retention", "events_rfm",
+    "events_seasonality_heatmap", "events_session_metrics", "events_streaks",
+    "events_transitions", "events_user_paths", "graph_components",
+    "graph_components_star", "graph_link_prediction", "graph_pagerank",
+    "graph_triangles", "observe_metrics", "plan_cached_reuse",
+    "scalar_collation", "scalar_decimal", "scalar_timestamp",
+    "scalar_try_safe", "scalar_variant", "scalar_xml",
+    "scan_binary_files", "scan_csv_permissive", "scan_orc",
+    "scan_schema_evolution", "sink_partition_prune", "source_python_datasource",
+    "sql_frontdoor", "sql_recursive_cte", "table_profile",
+    "tpch_q1", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q2", "tpch_q20", "tpch_q21",
+    "tpch_q22", "tpch_q7", "tpch_q8",
+    "tpch_q9",
+    # --- d4-vintage (50 keys; latest green driver row is round 4) ---
     "agg_approx_topk", "agg_bitmap_distinct", "agg_cms_frequency",
     "agg_grouping_sets", "agg_histogram", "agg_mode",
     "agg_salted_twophase", "agg_weighted_median", "data_quality_checks",
@@ -130,7 +109,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_unigram_logprob", "text_zipf_fit", "udf_arrow_optimized",
     "udtf_surface", "window_count_distinct", "window_range_interval",
     "window_ratio_to_report", "window_rollup",
-    # --- r5-vintage ---
+    # --- d5-vintage (50 keys; latest green driver row is round 5) ---
     "agg_percentile_approx", "cdc_merge_apply", "data_skew_report",
     "decontam_ngram_overlap", "dedup_minhash", "dedup_simhash",
     "dedup_url_canonical", "domain_mix_rebalance", "events_ab_test",
@@ -148,7 +127,7 @@ _WINDOW_PRIORITY: list[str] = [
     "table_fingerprint", "text_bigram_lm", "text_bm25_topk",
     "text_encode_ids", "text_inverted_index", "ts_fill_forward",
     "window_ewma", "window_rolling_median",
-    # --- r6-vintage ---
+    # --- d6-vintage (50 keys; latest green driver row is round 6) ---
     "agg_chi2_independence", "agg_kmv_distinct", "agg_kmv_setops",
     "agg_ks_test", "data_kanonymity", "dedup_line_level",
     "embedding_mrl_truncate", "embedding_pca_power", "events_bot_detection",
@@ -166,7 +145,7 @@ _WINDOW_PRIORITY: list[str] = [
     "text_perplexity_buckets", "text_quality_logreg", "ts_autocorrelation",
     "ts_changepoint_binseg", "ts_interpolate_linear", "ts_resample_ohlc",
     "ts_seasonal_decompose", "udf_arrow_grouped",
-    # --- r7-fresh (freshest oracled keys, refreshed last round) ---
+    # --- d7-vintage (50 keys; latest green driver row is round 7) ---
     "agg_cube", "agg_distinct", "agg_hash",
     "agg_rollup_cube", "agg_stats", "dedup_exact",
     "join_asof", "join_cross", "join_null_aware_anti",
@@ -184,6 +163,24 @@ _WINDOW_PRIORITY: list[str] = [
     "tpch_q19", "tpch_q3", "tpch_q4",
     "tpch_q5", "tpch_q6", "udf_surface",
     "window_rank", "window_session",
+    # --- d8-vintage (50 keys; latest green driver row is round 8) ---
+    "agg_collect", "agg_conditional", "agg_corr",
+    "agg_heavy_hitters_mg", "agg_minmax_by", "agg_percentile",
+    "agg_pivot", "agg_string_concat", "data_dsir_select",
+    "data_epoch_shuffle", "dedup_edit_distance", "dedup_embedding_cosine",
+    "dedup_minhash_incremental", "dedup_ngram_jaccard", "dedup_semantic_kmeans",
+    "dedup_substring_cut", "dedup_substring_span", "events_active_users",
+    "events_anomaly", "events_attribution_linear", "events_cohort_ltv",
+    "kmeans_parallel_init", "multimodal_phash_dedup", "multimodal_schema",
+    "pareto_skyline", "sample_reservoir_group", "scalar_bitwise",
+    "scalar_format", "search_hybrid_rrf", "sim_cosine_topk",
+    "sim_hard_negatives", "sort_nulls", "streaming_ann_probe",
+    "streaming_cdc_apply", "streaming_minhash_dedup", "text_fingerprint",
+    "text_langid", "text_ngram_freq", "text_pii_redact",
+    "text_quality", "text_stats", "text_tokens",
+    "text_vocab", "window_analytic", "window_distribution",
+    "window_first_last", "window_frame", "window_rank_variants",
+    "window_sliding", "window_tumbling",
     # --- declared rows-only keys (driver records no_oracle; keep below the
     #     oracled tail so they never burn a hashed-window slot) ---
     "agg_approx", "agg_hll_sketch", "dedup_cluster_rep",

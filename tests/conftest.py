@@ -3,11 +3,14 @@ import sys
 
 import pytest
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH_DIR = os.path.join(REPO_ROOT, ".scratch")
+
+sys.path.insert(0, REPO_ROOT)
 
 # pytest.ini points --basetemp at .scratch/pytest; basetemp's mkdir is
 # non-recursive, so make sure the (gitignored) parent exists.
-os.makedirs("/root/repo/.scratch", exist_ok=True)
+os.makedirs(SCRATCH_DIR, exist_ok=True)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

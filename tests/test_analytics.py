@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 
 from flink_kmeans_spark.plans import registry
+from conftest import SCRATCH_DIR
 
 
 def _q(name):
@@ -901,7 +902,7 @@ def test_epoch_shuffle_permutes_and_is_partitioning_invariant(spark, sf_dir):
     # partitioning invariance: run over a repartitioned copy
     import tempfile
 
-    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+    with tempfile.TemporaryDirectory(dir=SCRATCH_DIR) as td:
         spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
             7
         ).write.parquet(f"{td}/documents.parquet")

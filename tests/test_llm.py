@@ -10,6 +10,7 @@ from flink_kmeans_spark.operators import multimodal as MM
 from flink_kmeans_spark.operators import similarity as SIM
 from flink_kmeans_spark.plans.registry import specs
 from flink_kmeans_spark.sources import load_table
+from conftest import SCRATCH_DIR
 
 
 @pytest.fixture(scope="module")
@@ -1100,7 +1101,7 @@ def test_streaming_minhash_dedup_ledger(spark, sf_dir):
         (r["doc_id"], r["n_members"]) for r in batch
     }
     roots = sorted(
-        glob.glob("/root/repo/.scratch/mh_stream_*"), key=os.path.getmtime
+        glob.glob(os.path.join(SCRATCH_DIR, "mh_stream_*")), key=os.path.getmtime
     )
     assert roots, "stream left no scratch root"
     batches = [
@@ -1319,7 +1320,7 @@ def test_phash_dedup_banding_is_lossless(spark, sf_dir, docs):
     import pyarrow.parquet as pq
     import tempfile, os
 
-    with tempfile.TemporaryDirectory(dir="/root/repo/.scratch") as td:
+    with tempfile.TemporaryDirectory(dir=SCRATCH_DIR) as td:
         pq.write_table(
             pa.table(
                 {

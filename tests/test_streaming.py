@@ -9,6 +9,7 @@ import pytest
 
 from flink_kmeans_spark import streaming as S
 from flink_kmeans_spark.plans.registry import specs
+from conftest import SCRATCH_DIR
 
 
 def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -167,7 +168,7 @@ def test_streaming_cdc_apply_generations_and_batch_parity(spark, sf_dir):
     want = want.reindex(sorted(got.columns), axis=1)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     roots = sorted(
-        glob.glob("/root/repo/.scratch/cdc_stream_*"), key=os.path.getmtime
+        glob.glob(os.path.join(SCRATCH_DIR, "cdc_stream_*")), key=os.path.getmtime
     )
     assert roots, "cdc stream left no scratch root"
     state = os.path.join(roots[-1], "state")
