@@ -4631,10 +4631,17 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import time as _time
 
-    from ..session import ensure_conf, protect_scratch, prune_scratch
+    from ..session import (
+        PHASE_WALLS,
+        ensure_conf,
+        protect_scratch,
+        prune_scratch,
+    )
 
     ensure_conf(spark)
+    _t_scaffold = _time.time()
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -4733,6 +4740,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     schema = changes.schema
+    _t_drain = _time.time()
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -4752,6 +4760,10 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"streaming_cdc_apply did not drain change batches in {timeout_sec}s"
         )
     q.stop()
+    PHASE_WALLS["streaming_cdc_apply"] = {
+        "scaffold_s": round(_t_drain - _t_scaffold, 3),
+        "drain_s": round(_time.time() - _t_drain, 3),
+    }
     gens = sorted(
         int(d.split("=")[1])
         for d in os.listdir(state)

@@ -89,6 +89,14 @@ def get_spark(app_name: str = "flink-kmeans-spark", shuffle_partitions: int | No
 # because a later call GC'd its files (ADVICE r7).
 _LIVE_SCRATCH: set = set()
 
+# Per-key phase walls for the streaming operators (VERDICT r8 item 3):
+# the landing-dir build is TEST SCAFFOLDING (single-task coalesced
+# writes that simulate file arrival) while the drain is the operator
+# under measurement. Each streaming key records
+# {"scaffold_s": ..., "drain_s": ...} here on every run so the scale
+# probe can grade the drain ratio separately from the plumbing.
+PHASE_WALLS: dict = {}
+
 
 def protect_scratch(path: str) -> None:
     """Mark a .scratch subdir as referenced by a live returned handle."""

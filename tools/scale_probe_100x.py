@@ -172,6 +172,8 @@ PROBES = [
     ("ts_autocorrelation", "events"),
     ("kmeans_farthest_init", "embeddings"),
     ("agg_hash", "lineitem"),
+    # r9: phash banded join at 100× over fresh images (see pseudo-key)
+    ("multimodal_phash_dedup_fresh", "documents"),
 ]
 
 
@@ -216,6 +218,15 @@ def main() -> None:
     queries["graph_label_propagation_shuffle"] = (
         lambda s, d: graph_label_propagation(s, d, broadcast_nodes_max=0)
     )
+    # r9 (VERDICT r8 item 6): probe the phash banded join with FRESH
+    # synthetic images (xxhash64-mixed synthesis ids → ~|docs| distinct
+    # images) so the pair output stays bounded at 100× instead of the
+    # fixture-saturation Θ(copies²) artifact
+    from flink_kmeans_spark.plans.llm import multimodal_phash_dedup
+
+    queries["multimodal_phash_dedup_fresh"] = (
+        lambda s, d: multimodal_phash_dedup(s, d, fresh_pixels=True)
+    )
     results = {}
     dirs = [("sf0.1", BASE), ("sf10x", OUT100)]
     if os.path.exists(f"{OUT10}/events.parquet"):
@@ -225,6 +236,7 @@ def main() -> None:
         if wanted and key not in wanted:
             continue
         times = {}
+        phase_by_label = {}
         for label, sf_dir in dirs:
             best = float("inf")
             for _ in range(3):
@@ -234,10 +246,29 @@ def main() -> None:
                 ).save()
                 best = min(best, time.time() - t0)
             times[label] = round(best, 3)
+            from flink_kmeans_spark.session import PHASE_WALLS
+
+            if key in PHASE_WALLS:
+                phase_by_label[label] = dict(PHASE_WALLS[key])
         entry = {**times, "tables": tables,
                  "ratio_at_100x_data": round(times["sf10x"] / times["sf0.1"], 2)}
         if "sf1x" in times:
             entry["decade2_ratio"] = round(times["sf10x"] / times["sf1x"], 2)
+        # Streaming keys self-report scaffold (landing build — test
+        # plumbing) vs drain (the operator) walls per run; record the
+        # LAST run's split per corpus label plus a drain-only decade-2
+        # ratio so the grade excludes coalesce(1) scaffolding
+        # (VERDICT r8 item 3). phase_by_label captured per corpus in
+        # the timing loop above via session.PHASE_WALLS.
+        from flink_kmeans_spark.session import PHASE_WALLS
+
+        if key in PHASE_WALLS:
+            entry["phases_last_run"] = dict(phase_by_label)
+            if "sf1x" in phase_by_label and "sf10x" in phase_by_label:
+                d1 = phase_by_label["sf1x"]["drain_s"]
+                d2 = phase_by_label["sf10x"]["drain_s"]
+                if d1 > 0:
+                    entry["drain_decade2_ratio"] = round(d2 / d1, 2)
         results[key] = entry
         print(f"[probe] {key}: {times}", file=sys.stderr, flush=True)
     print(json.dumps(results), flush=True)
