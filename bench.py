@@ -189,6 +189,9 @@ HEADLINE = [
     "sim_hard_negatives",
     "multimodal_phash_dedup",
     "agg_heavy_hitters_mg",
+    # round-9 additions
+    "data_sequence_pack",
+    "dedup_minhash_compact",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -4035,6 +4035,42 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _mh_groups_of(part: DataFrame) -> DataFrame:
+    """Exact-collapse: identical signatures → ONE group row (r7 #7)."""
+    return part.groupBy("minhash").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("members")
+    )
+
+
+def _mh_banded_of(groups: DataFrame, gen: str, bands: int, width: int) -> DataFrame:
+    """Band rows for the bucketed signature table. bkey =
+    "<band>|h1,h2,h3,h4" — string equality ≡ (band, slice) equality
+    (hash values are integers, the delimiter is unambiguous), and a
+    plain string buckets/sorts natively."""
+    return groups.select(
+        F.col("members").getItem(0).alias("gid"),
+        "minhash",
+        "members",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat(
+                    b.cast("string"),
+                    F.lit("|"),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * width + 1, width),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ),
+            )
+        ).alias("bkey"),
+        F.lit(gen).alias("gen"),
+    )
+
+
 def _mh_inc_build(spark, banded_base, banded_delta, tbl, idx_path,
                   on_base_written=None) -> None:
     """Base-overwrite + delta-append of the band-bucketed MinHash
@@ -4116,36 +4152,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     def groups_of(part):
-        return part.groupBy("minhash").agg(
-            F.array_sort(F.collect_list("doc_id")).alias("members")
-        )
+        return _mh_groups_of(part)
 
     def banded_of(groups, gen):
-        # bkey = "<band>|h1,h2,h3,h4" — string equality ≡ (band, slice)
-        # equality (hash values are integers, the delimiter is
-        # unambiguous), and a plain string buckets/sorts natively
-        return groups.select(
-            F.col("members").getItem(0).alias("gid"),
-            "minhash",
-            "members",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.concat(
-                        b.cast("string"),
-                        F.lit("|"),
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("minhash"), b * width + 1, width),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        ),
-                    ),
-                )
-            ).alias("bkey"),
-            F.lit(gen).alias("gen"),
-        )
+        return _mh_banded_of(groups, gen, bands, width)
 
     base_g = groups_of(sigs.filter(F.col("doc_id") % 10 != 0))
     delta_g = groups_of(sigs.filter(F.col("doc_id") % 10 == 0))
@@ -4250,6 +4260,246 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded output (near-dup pairs at gate scale); the per-call
     # rebuild deletes files a previous handle may still reference —
     # same eager-materialization contract as sim_ann_incremental
+    return cross.unionByName(intra).localCheckpoint(eager=True)
+
+
+@register(
+    "dedup_minhash_compact",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "incremental"),
+)
+def dedup_minhash_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION twin of dedup_minhash_incremental (VERDICT r8 item
+    10b): fold N = 3 delta generations of the band-bucketed MinHash
+    signature table back into ONE base generation WITHOUT rescanning
+    the corpus beyond the touched buckets. The compaction job's input
+    is the touched buckets' part-FILES only (files are selected by the
+    bucket id encoded in their names — the same file-level pruning a
+    lakehouse compactor does); untouched base bucket files are carried
+    into the compacted table at FILE level (an os copy — zero Spark
+    jobs, zero reads). Correctness hinges on a bucketing invariant:
+    two group rows can merge only if they share a minhash, hence share
+    every bkey, hence live in the SAME bucket — so no merge can span a
+    touched/untouched boundary, and the bucket-local groupBy
+    (bkey, minhash) with members-union is the whole fold. The write
+    is repartitioned by the bucket function itself (murmur3(bkey) mod
+    16 — exactly Spark's bucket id), so each task writes exactly one
+    bucket and the Spark-written file count is asserted ≤ the touched
+    bucket count: the rewrite is bucket-bounded, the done-criterion.
+
+    The returned pairs are computed from the COMPACTED table alone
+    (bucket-colocated self-join, no Exchange on bkey — asserted) and
+    the oracle is the FULL-CORPUS MinHash answer, so a hash match
+    proves compacted ≡ base+deltas merged ≡ full recompute:
+    cross-generation identical signatures, two group rows pre-compact,
+    are one merged group after — their est-1.0 pair moves from the
+    join to the intra expansion with identical output.
+
+    Scale shape at 100 TB: compaction cost is Θ(touched buckets), not
+    Θ(corpus) — each delta's band rows name their buckets, the merge
+    shuffles only those buckets' rows once (and with a higher bucket
+    count the touched fraction shrinks proportionally), and the only
+    corpus-wide work is the os-level carry of untouched files, which a
+    real object store does as a metadata move."""
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    from ..operators.dedup import minhash_signatures
+
+    # 64 buckets and a ~2% delta so untouched buckets EXIST at gate
+    # scale and the file-carry path is actually exercised (with a 16
+    # bucket layout every bucket is touched and bucket-bounding is
+    # vacuous; production sizes the bucket count so the touched
+    # fraction tracks the delta fraction).
+    num_hashes, bands, n_buckets = 32, 8, 64
+    width = num_hashes // bands
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=num_hashes
+    ).localCheckpoint(eager=False)
+    base_g = _mh_groups_of(sigs.filter(F.col("doc_id") % 50 != 0))
+    deltas = [
+        _mh_groups_of(
+            sigs.filter(
+                (F.col("doc_id") % 50 == 0)
+                & (F.expr("doc_id div 50") % 3 == i)
+            )
+        )
+        for i in range(3)
+    ]
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    tbl, tblc = f"mh_cmpsrc_{tag}", f"mh_cmp_{tag}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx = os.path.join(repo_root, ".index", tbl)
+    idxc = os.path.join(repo_root, ".index", tblc)
+    _gc_stale_index_tags(spark, "mh_cmpsrc_", tbl, min_age_s=3600)
+    _gc_stale_index_tags(spark, "mh_cmp_", tblc, min_age_s=3600)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if os.path.isdir(idx):
+        shutil.rmtree(idx)
+    (
+        _mh_banded_of(base_g, "base", bands, width)
+        .write.partitionBy("gen")
+        .bucketBy(n_buckets, "bkey")
+        .sortBy("bkey")
+        .option("path", idx)
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    for i, d in enumerate(deltas):
+        (
+            _mh_banded_of(d, f"delta{i}", bands, width)
+            .write.partitionBy("gen")
+            .bucketBy(n_buckets, "bkey")
+            .sortBy("bkey")
+            .option("path", idx)
+            .mode("append")
+            .saveAsTable(tbl)
+        )
+    # Touched buckets: F.hash IS Murmur3Hash(seed 42), the exact
+    # function Spark's bucketing uses — pmod(hash(bkey), n) is the
+    # file's bucket id. Delta band rows name every bucket any merge
+    # can touch (identical minhash ⇒ identical bkey ⇒ same bucket).
+    touched = sorted(
+        r["b"]
+        for r in spark.table(tbl)
+        .filter(F.col("gen") != "base")
+        .select(F.pmod(F.hash("bkey"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    )
+    touched_set = set(touched)
+    bpat = re.compile(r"_(\d{5})(?:[._])")
+    touched_files, untouched_base = [], []
+    for d in os.listdir(idx):
+        gd = os.path.join(idx, d)
+        if not d.startswith("gen=") or not os.path.isdir(gd):
+            continue
+        for f in os.listdir(gd):
+            if not f.endswith(".parquet"):
+                continue
+            m = bpat.search(f)
+            if not m:
+                raise RuntimeError(
+                    f"dedup_minhash_compact: cannot parse bucket id "
+                    f"from {f!r}"
+                )
+            if int(m.group(1)) in touched_set:
+                touched_files.append(os.path.join(gd, f))
+            elif d == "gen=base":
+                untouched_base.append(os.path.join(gd, f))
+            else:
+                raise RuntimeError(
+                    f"dedup_minhash_compact: delta file {f!r} in an "
+                    "untouched bucket — touched-set derivation is wrong"
+                )
+    # The fold: bucket-local group merge over ONLY the touched files.
+    merged = (
+        spark.read.parquet(*touched_files)
+        .groupBy("bkey", "minhash")
+        .agg(
+            F.min("gid").alias("gid"),
+            F.array_sort(F.flatten(F.collect_list("members"))).alias(
+                "members"
+            ),
+        )
+        .select("gid", "minhash", "members", "bkey")
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tblc}")
+    if os.path.isdir(idxc):
+        shutil.rmtree(idxc)
+    (
+        merged.repartition(n_buckets, "bkey")
+        .write.bucketBy(n_buckets, "bkey")
+        .sortBy("bkey")
+        .option("path", idxc)
+        .mode("overwrite")
+        .saveAsTable(tblc)
+    )
+    written = [f for f in os.listdir(idxc) if f.endswith(".parquet")]
+    if len(written) > len(touched):
+        raise RuntimeError(
+            f"dedup_minhash_compact: wrote {len(written)} files for "
+            f"{len(touched)} touched buckets — rewrite is not "
+            "bucket-bounded"
+        )
+    for p in untouched_base:
+        shutil.copy2(p, os.path.join(idxc, os.path.basename(p)))
+    spark.catalog.refreshTable(tblc)
+
+    s2 = spark.newSession()  # shared catalog; own SQLConf for the probe
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    tc = s2.table(tblc)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.minhash"), F.col("b.minhash"),
+                           lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    pairs = (
+        tc.alias("a")
+        .join(
+            tc.alias("b"),
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
+            F.col("a.members").alias("ma"),
+            F.col("b.members").alias("mb"),
+            est.alias("jaccard_est"),
+        )
+        .groupBy("gid_a", "gid_b")
+        .agg(
+            F.first("jaccard_est").alias("jaccard_est"),
+            F.first("ma").alias("ma"),
+            F.first("mb").alias("mb"),
+        )
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or "Exchange hashpartitioning(bkey" in plan:
+        raise RuntimeError(
+            "dedup_minhash_compact: the compacted self-join must be a "
+            "bucket-colocated sort-merge join (no Exchange on bkey) — "
+            "the compacted bucket layout was not used"
+        )
+    cross = (
+        pairs.filter(F.col("jaccard_est") >= 0.5)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ma, x -> transform(mb, y -> "
+                    "struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p"),
+            "jaccard_est",
+        )
+        .select("p.id_a", "p.id_b", "jaccard_est")
+    )
+    # merged-group intra pairs: one band row per group carries the
+    # full member list — band 0 selects each group exactly once
+    intra = (
+        tc.filter(F.col("bkey").startswith("0|"))
+        .filter(F.size("members") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard_est"))
+    )
     return cross.unionByName(intra).localCheckpoint(eager=True)
 
 
@@ -4918,7 +5168,10 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only docs with ≥1 duplicated span need the token-grain rewrite;
     # everything else passes through below without exploding a single
     # token (VERDICT r8 item 2: clean corpora pay ~0 for the cut).
-    touched = marked.select("doc_id").distinct()
+    # `touched` scales WITH the corpus on dup-heavy data, so it must
+    # never be broadcast (the 100× all-dup replica OOMed the driver's
+    # broadcast build) — pin every touched-join to shuffle-hash.
+    touched = marked.select("doc_id").distinct().hint("shuffle_hash")
     tok = (
         toks.join(touched, "doc_id")
         .select("doc_id", F.posexplode("w").alias("i0", "tok"))
@@ -5266,6 +5519,106 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("logw", 6).alias("logw"),
         F.round("gk", 6).alias("gumbel_key"),
+    )
+
+
+# data_sequence_pack: budget and shard fan-out. Budget 256 tokens;
+# capacity classes are the powers of two {32, 64, 128, 256}, so a
+# class-c doc occupies exactly one of 256/c fixed slots and a packed
+# sequence can never exceed the budget by construction.
+_PACK_S = 256
+_PACK_SHARDS = 16
+
+
+@register(
+    "data_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             LEAST(n_tokens, {_PACK_S}) AS tokens_used,
+             CAST(CASE WHEN n_tokens <= 32 THEN 32
+                       WHEN n_tokens <= 64 THEN 64
+                       WHEN n_tokens <= 128 THEN 128
+                       ELSE {_PACK_S} END AS BIGINT) AS cap_bucket,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'),
+                                  1, 15)) AS BIGINT) % {_PACK_SHARDS}
+               AS shard,
+             substr(md5(CAST(doc_id AS VARCHAR) || '#pack'), 1, 16) AS ord
+      FROM t
+    ), r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY shard, cap_bucket
+                                ORDER BY ord, doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, shard, cap_bucket,
+           CAST(FLOOR((rn - 1.0) / ({_PACK_S} / cap_bucket)) AS BIGINT)
+             AS seq_id,
+           CAST((rn - 1) % ({_PACK_S} / cap_bucket) AS BIGINT) AS pos_in_seq,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tokens_used AS BIGINT) AS tokens_used
+    FROM r
+    """,
+    tags=("data", "llm"),
+)
+def data_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING into fixed-budget training rows — the last
+    operator every LLM data pipeline runs before batching: each doc is
+    assigned WHOLE (truncated at the budget, never straddling — the
+    complement of text_pack's offset-bin packing) to one slot of one
+    packed sequence of ≤ _PACK_S = 256 tokens. Deterministic
+    first-fit within md5-salted shards: a doc's capacity class is the
+    smallest power-of-two ≥ its length (min 32), giving 256/c fixed
+    slots per sequence, so slot assignment is pure window math —
+    row_number over (shard, class), ordered by the doc's md5 (a
+    deterministic pseudo-random permutation both engines compute
+    identically) — and the greedy fill is SQL-oracle-able instead of
+    inherently sequential. Waste is bounded: a class-c doc fills
+    > c/2 of its slot (except the bottom class), so fill ratio ≥ ~50%
+    on any corpus, and the pytest pins the measured packing
+    efficiency.
+
+    Scale shape at 100 TB: one narrow projection (doc_id, n_tokens),
+    ONE shuffle on (shard, class) — shard count scales with the
+    cluster so window partitions stay ~|corpus|/shards — and a
+    row_number walk per partition; no joins, no skew (md5 sharding is
+    uniform), sequence ids are (shard, class)-local so no global
+    coordination anywhere. Rows are 7 fixed-width integers."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    md = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#pack")))
+    n = F.size(F.split("text", " ")).cast("bigint")
+    b = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.least(n, F.lit(_PACK_S)).cast("bigint").alias("tokens_used"),
+        F.when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .otherwise(_PACK_S)
+        .cast("bigint")
+        .alias("cap_bucket"),
+        F.pmod(
+            F.conv(F.substring(md, 1, 15), 16, 10).cast("bigint"),
+            F.lit(_PACK_SHARDS),
+        ).alias("shard"),
+        F.substring(md, 1, 16).alias("ord"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("shard", "cap_bucket").orderBy("ord", "doc_id")
+    )
+    cap = F.lit(_PACK_S) / F.col("cap_bucket")
+    return b.withColumn("rn", rn).select(
+        "doc_id",
+        "shard",
+        "cap_bucket",
+        F.floor((F.col("rn") - 1) / cap).cast("bigint").alias("seq_id"),
+        ((F.col("rn") - 1) % cap).cast("bigint").alias("pos_in_seq"),
+        "n_tokens",
+        "tokens_used",
     )
 
 

@@ -74,6 +74,8 @@ def _load_all() -> None:
 # order-independent (re-proved by re-running the local gate after the
 # reorder).
 _WINDOW_PRIORITY: list[str] = [
+    # --- new in round 9 — no driver evidence yet ---
+    "data_sequence_pack", "dedup_minhash_compact",
     # --- d3-vintage (46 keys; latest green driver row is round 3) ---
     "events_funnel", "events_funnel_stages", "events_pareto_share",
     "events_pattern_seq", "events_retention", "events_rfm",

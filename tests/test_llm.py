@@ -1337,3 +1337,94 @@ def test_phash_dedup_banding_is_lossless(spark, sf_dir, docs):
     assert any(
         (r["id_a"], r["id_b"], r["hamming"]) == (7, 36615, 0) for r in pairs
     )
+
+
+def test_data_sequence_pack_invariants(spark, sf_dir):
+    """Packing invariants: every slot index is inside its class's
+    capacity, no sequence exceeds the 256-token budget, sequence ids
+    are dense per (shard, class), and measured packing efficiency on
+    full sequences clears the ≥0.45 structural bound."""
+    from flink_kmeans_spark.plans.llm import _PACK_S
+
+    rows = specs()["data_sequence_pack"].fn(spark, sf_dir).collect()
+    assert rows
+    by_seq = {}
+    for r in rows:
+        cap = _PACK_S // r["cap_bucket"]
+        assert 0 <= r["pos_in_seq"] < cap
+        assert r["tokens_used"] == min(r["n_tokens"], _PACK_S)
+        assert r["tokens_used"] <= r["cap_bucket"]
+        by_seq.setdefault(
+            (r["shard"], r["cap_bucket"], r["seq_id"]), []
+        ).append(r)
+    full_used = 0
+    n_full = 0
+    for (_, bucket, _), members in by_seq.items():
+        used = sum(r["tokens_used"] for r in members)
+        assert used <= _PACK_S, "sequence exceeds token budget"
+        pos = sorted(r["pos_in_seq"] for r in members)
+        assert pos == list(range(len(pos))), "slot assignment not dense"
+        if len(members) == _PACK_S // bucket:  # full sequence
+            n_full += 1
+            full_used += used
+    # every non-bottom class fills >1/2 of each slot; the gate corpus
+    # must clear 45% on its full sequences
+    assert n_full > 0
+    assert full_used / (n_full * _PACK_S) >= 0.45
+    # per-(shard, class) seq ids are contiguous from 0
+    seqs_by_class = {}
+    for (shard, bucket, seq_id) in by_seq:
+        seqs_by_class.setdefault((shard, bucket), set()).add(seq_id)
+    for ids in seqs_by_class.values():
+        assert ids == set(range(len(ids)))
+
+
+def test_dedup_minhash_compact_mechanics(spark, sf_dir):
+    """Compaction is bucket-bounded and lossless: untouched base
+    bucket files are carried into the compacted table BYTE-identical
+    (no rewrite), Spark-written file count ≤ touched buckets (the
+    in-operator assert), and the compacted pairs equal the
+    full-recompute dedup_minhash answer."""
+    import glob
+    import hashlib
+    import os
+
+    rows = specs()["dedup_minhash_compact"].fn(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"], round(r["jaccard_est"], 6)) for r in rows}
+    want_rows = specs()["dedup_minhash"].fn(spark, sf_dir).collect()
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard_est"], 6)) for r in want_rows
+    }
+    assert got == want
+    idx_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".index"
+    )
+    src = max(
+        glob.glob(os.path.join(idx_root, "mh_cmpsrc_*")), key=os.path.getmtime
+    )
+    cmp_dir = max(
+        glob.glob(os.path.join(idx_root, "mh_cmp_*")), key=os.path.getmtime
+    )
+
+    def md5_of(path):
+        return hashlib.md5(open(path, "rb").read()).hexdigest()
+
+    cmp_files = {
+        f: md5_of(os.path.join(cmp_dir, f))
+        for f in os.listdir(cmp_dir)
+        if f.endswith(".parquet")
+    }
+    base_dir = os.path.join(src, "gen=base")
+    carried = 0
+    for f in os.listdir(base_dir):
+        if not f.endswith(".parquet"):
+            continue
+        if f in cmp_files:  # carried file keeps its basename
+            assert cmp_files[f] == md5_of(os.path.join(base_dir, f)), (
+                "carried base file was rewritten"
+            )
+            carried += 1
+    assert carried > 0, (
+        "no untouched base bucket file was carried — either every "
+        "bucket was touched (fixture drift) or the carry logic broke"
+    )
