@@ -584,3 +584,37 @@ def test_kmeans_parallel_init_weight_shuffle_only(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_single_exchange_no_joins(spark, sf_dir):
+    """data_sequence_pack: ONE (shard, class) hash exchange feeding the
+    row_number window; slot math is pure projection — no joins, no
+    range partitioning, no second shuffle."""
+    plan = plan_of(specs()["data_sequence_pack"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_substring_cut_touched_joins_never_broadcast(spark, sf_dir):
+    """dedup_substring_cut: the touched-doc set scales with the corpus
+    on dup-heavy data, so its three joins (two semi, one anti) must be
+    shuffle-hash, never broadcast — the 100x all-dup replica OOMed the
+    driver's broadcast build before the hint was pinned."""
+    plan = plan_of(specs()["dedup_substring_cut"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin LeftSemi" not in plan
+    assert "BroadcastHashJoin LeftAnti" not in plan
+
+
+def test_semantic_kmeans_pair_join_salted(spark, sf_dir):
+    """dedup_semantic_kmeans: the within-cluster pair join must carry
+    the fragment-replicate band in its equi-key — (cid, jb) on both
+    sides — so parallelism is k*B and one skewed cluster cannot own a
+    single task."""
+    plan = plan_of(specs()["dedup_semantic_kmeans"].fn(spark, sf_dir))
+    m = re.search(r"SortMergeJoin \[cid#\d+, jb#\d+L?\], \[cid#\d+, jb#\d+L?\]", plan)
+    bcast = re.search(r"BroadcastHashJoin \[cid#\d+, jb#\d+L?\]", plan)
+    assert m or bcast, "pair join equi-key is not (cid, jb)"

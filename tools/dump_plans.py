@@ -71,6 +71,10 @@ SHOWCASE = [
     ("sim_hard_negatives", "band filter map-side BEFORE the per-anchor WindowGroupLimit rank"),
     ("multimodal_phash_dedup", "distinct-hash collapse -> band bucket join; hamming as bit_count(xor) codegen"),
     ("kmeans_parallel_init", "weights aggregate is the ONLY keyed exchange; distances are literal-array map passes"),
+    # round-9 additions
+    ("data_sequence_pack", "ONE (shard, class) exchange; slot math rides the row_number window, no joins"),
+    ("dedup_substring_cut", "clean docs pass through without token explode; touched-set joins pinned shuffle-hash"),
+    ("dedup_semantic_kmeans", "pair join salted to (cid, band): parallelism k*B, skewed cluster cannot own one task"),
 ]
 
 
