@@ -65,9 +65,10 @@ def _load_all() -> None:
 # eight CORRECTNESS files; within a cohort, alphabetical). The rotation
 # program tracked by VERDICT r6/r7 is CLOSED (r8 verdict): no oracled
 # key's evidence is older than round 3 and the round-9 window is pure
-# round-robin — it leads with the 46-key d3 cohort, so the ~50-key
-# hashed window covers all of d3 plus the first few d4 keys, and after
-# r9 the oldest evidence moves to round 4. New keys with no driver
+# round-robin — 2 new r9 keys lead, then the 46-key d3 cohort, so the
+# ~50-key hashed window covers both newcomers, all of d3, and the
+# first ~2 d4 keys; after r9 the oldest evidence moves to round 4.
+# New keys with no driver
 # evidence are inserted at the very front. Declared rows-only keys
 # (no_oracle in the driver) sort BELOW the oracled tail so they never
 # burn a hashed window slot. Ordering only; results are
