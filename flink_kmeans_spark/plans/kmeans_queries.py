@@ -444,7 +444,7 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the compare sees bit-identical operands (the φ sum's
     partial-order difference is ~1e-13·φ, flip probability ~1e-9/key,
     the same tolerance class the Lloyd's oracle documents)."""
-    from ..functions.vectors import sqdist
+    from ..functions.vectors import dmat_literal, sqdist
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -499,7 +499,7 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r < _PAR_R and new:
             # ONE array<array<double>> literal instead of ~l separate
             # 64-literal folds: the codegen tree stays O(1) in l
-            mat = F.lit([[float(x) for x in row["v"]] for row in new])
+            mat = dmat_literal([row["v"] for row in new])
             cur = cur.withColumn(
                 "d2",
                 F.least(
@@ -509,7 +509,7 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ),
             ).localCheckpoint(eager=False)
-    cmat = F.lit([[float(x) for x in vec] for _, vec in cand])
+    cmat = dmat_literal([vec for _, vec in cand])
     cids = F.lit([vid for vid, _ in cand]).cast("array<bigint>")
     pairs = F.zip_with(
         cmat,
@@ -518,8 +518,13 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             sqdist(F.col("v"), c).alias("d"), i.alias("cand")
         ),
     )
+    # Weight pass reads the CHECKPOINTED working set, not the raw scan:
+    # cur holds the same (vec_id, v) rows materialized executor-local by
+    # round R-1's refresh, so the final pass skips a second parquet read
+    # (and at sf0.1 a fresh whole-plan recompile of the scan branch —
+    # profiled 3.48 s from e vs 1.05 s from cur, .scratch profile r9).
     w = (
-        e.select(F.array_min(pairs)["cand"].alias("cand_id"))
+        cur.select(F.array_min(pairs)["cand"].alias("cand_id"))
         .groupBy("cand_id")
         .agg(F.count(F.lit(1)).alias("weight"))
     )

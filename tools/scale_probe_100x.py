@@ -174,6 +174,9 @@ PROBES = [
     ("agg_hash", "lineitem"),
     # r9: phash banded join at 100× over fresh images (see pseudo-key)
     ("multimodal_phash_dedup_fresh", "documents"),
+    # r9 new keys at 100×
+    ("data_sequence_pack", "documents"),
+    ("dedup_minhash_compact", "documents"),
 ]
 
 
