@@ -192,6 +192,9 @@ HEADLINE = [
     # round-9 additions
     "data_sequence_pack",
     "dedup_minhash_compact",
+    "dedup_bloom_prefilter",
+    "data_temperature_mix",
+    "agg_dp_laplace",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

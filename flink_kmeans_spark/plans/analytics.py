@@ -2816,3 +2816,68 @@ def pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", F.round("price", 2).alias("price"), "size")
     )
+
+
+# ------------------------------------------- differential-privacy agg
+
+_DP_EPS = 0.5
+_DP_TWO60 = float(1 << 60)
+
+_DP_ORACLE = f"""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY lang
+    ), u AS (
+      SELECT lang, n,
+             CAST(CAST(('0x' || substr(md5(lang || '#dp'), 1, 15))
+               AS BIGINT) AS DOUBLE) / {_DP_TWO60!r} - 0.5 AS v
+      FROM g
+    )
+    SELECT lang, CAST({_DP_EPS!r} AS DOUBLE) AS epsilon,
+           ROUND(n - (1.0 / {_DP_EPS!r}) * sign(v)
+                     * ln(greatest(1.0 - 2.0 * abs(v), 1e-15)), 6)
+             AS noisy_count
+    FROM u
+"""
+
+
+@register("agg_dp_laplace", oracle=_DP_ORACLE, tags=("agg",))
+def agg_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork et al. 2006; the standard release mechanism for COUNT with
+    sensitivity 1): noisy = n + Lap(1/ε), ε = 0.5. The Laplace draw is
+    the inverse-CDF transform −(1/ε)·sign(v)·ln(1−2|v|) of a uniform
+    v ∈ (−½, ½) derived from the repo's portable md5 hash of the group
+    key — DETERMINISTIC so the whole mechanism is hash-verified
+    cross-engine (a production system would draw v from a CSPRNG; the
+    mechanism, sensitivity bookkeeping, and plumbing are identical).
+    Raw counts are deliberately NOT output next to the noisy ones.
+
+    Scale shape: one hash aggregate with map-side combine, then
+    |groups| rows of scalar math — the noise transform never touches
+    row grain. ln() is libm on both engines (not correctly-rounded by
+    standard); operands are bit-identical so a 6 dp flip needs a ~1e-16
+    relative ulp straddling a rounding boundary — the documented
+    knife-edge class. The 1e-15 floor guards the measure-zero v = ±½
+    draw from ln(0) = −∞ identically on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    v = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("lang"), F.lit("#dp"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        / F.lit(_DP_TWO60)
+        - F.lit(0.5)
+    )
+    noise = (
+        -(1.0 / _DP_EPS)
+        * F.signum(v)
+        * F.log(F.greatest(F.lit(1.0) - 2.0 * F.abs(v), F.lit(1e-15)))
+    )
+    return g.select(
+        "lang",
+        F.lit(float(_DP_EPS)).alias("epsilon"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )

@@ -5897,3 +5897,218 @@ def multimodal_phash_dedup(
         )
     )
     return cross.unionByName(intra)
+
+
+# ---------------------------------------------- Bloom-prefilter dedup
+
+_BLOOM_M = 1 << 18  # filter bits; production sizes m ≈ 10·|distinct grams|
+_BLOOM_K = 2  # hash functions
+
+_BLOOM_SH = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 4, 0)),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS sh
+      FROM documents"""
+
+_BLOOM_ORACLE = f"""
+    WITH d AS ({_BLOOM_SH}
+    ), baseg AS (
+      SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id % 10 <> 7
+    ), bits AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(g || '#b' || CAST(j AS VARCHAR)),
+                            1, 15)) AS BIGINT) % {_BLOOM_M} AS bit
+      FROM baseg CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j)
+    ), probe AS (
+      SELECT doc_id, unnest(sh) AS g FROM d WHERE doc_id % 10 = 7
+    ), marked AS (
+      SELECT doc_id, g,
+             (CAST(('0x' || substr(md5(g || '#b0'), 1, 15)) AS BIGINT)
+                % {_BLOOM_M} IN (SELECT bit FROM bits)
+              AND CAST(('0x' || substr(md5(g || '#b1'), 1, 15)) AS BIGINT)
+                % {_BLOOM_M} IN (SELECT bit FROM bits)) AS bloom,
+             g IN (SELECT g FROM baseg) AS exact
+      FROM probe
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (bloom) AS BIGINT) AS bloom_hits,
+           CAST(COUNT(*) FILTER (exact) AS BIGINT) AS exact_hits,
+           CAST(COUNT(*) FILTER (bloom AND NOT exact) AS BIGINT) AS false_pos
+    FROM marked GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_bloom_prefilter",
+    oracle=_BLOOM_ORACLE,
+    tags=("text", "dedup"),
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter PRE-FILTER for cross-snapshot n-gram decontamination
+    (Bloom 1970; the production recipe for checking a new crawl batch
+    against a 100 TB base corpus WITHOUT joining the corpora): the base
+    side folds its distinct 5-gram shingles into a fixed-size bit set
+    (m = 2^18, k = 2 md5-derived positions — engine-portable, so the
+    whole filter is hash-verifiable); each batch doc then counts, per
+    distinct gram, Bloom candidates vs exact matches vs false
+    positives. Docs with doc_id % 10 = 7 stand in for the new batch.
+
+    Why this is THE 100 TB shape: the bit set is capped at m rows no
+    matter how large the base corpus grows — it broadcasts by
+    construction (a Bloom filter's entire point), so the batch probe is
+    a pure map + ONE broadcast bit lookup (each gram's k positions
+    explode to bit rows, present-count = k ⇒ candidate); neither corpus
+    is ever shuffled by gram. The exact-confirm join — the step Bloom
+    exists to avoid doing at corpus×batch grain — runs ONLY over
+    bloom-POSITIVE grams (true dups + the fp rate the filter was sized
+    for, NOT proportional to the batch): the base stream is semi-joined
+    against that broadcast candidate set and the survivors broadcast
+    back. Bloom has no false negatives (exact ⊆ bloom — pinned by
+    pytest), so non-candidates need no confirmation; false_pos measures
+    the fill factor both engines compute identically."""
+    from ..functions.hashing import portable_hash60
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.shingles(F.col("text"), 5).alias("sh")
+    )
+    baseg = (
+        d.where(F.col("doc_id") % 10 != 7)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    probe = d.where(F.col("doc_id") % 10 == 7).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+
+    def bit(col, j):
+        return portable_hash60(F.concat(col, F.lit(f"#b{j}"))) % _BLOOM_M
+
+    bitarr = lambda col: F.array(  # noqa: E731 — shared by build & probe
+        *[bit(col, j) for j in range(_BLOOM_K)]
+    )
+    bits = (
+        baseg.select(F.explode(bitarr(F.col("g"))).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    bloomed = (
+        probe.select("doc_id", "g", F.explode(bitarr(F.col("g"))).alias("bit"))
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "g")
+        .agg((F.sum("present") == _BLOOM_K).alias("bloom"))
+    )
+    # exact-confirm ONLY the bloom candidates: bounded by true-dup +
+    # false-positive rate (the filter's sizing), not by batch size
+    cand = bloomed.filter(F.col("bloom")).select("g").distinct()
+    matched = baseg.join(F.broadcast(cand), "g", "left_semi").withColumn(
+        "exact", F.lit(1)
+    )
+    marked = bloomed.join(F.broadcast(matched), "g", "left").select(
+        "doc_id",
+        F.coalesce(F.col("bloom"), F.lit(False)).alias("bloom"),
+        F.col("exact").isNotNull().alias("exact"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_if(F.col("bloom")).alias("bloom_hits"),
+        F.count_if(F.col("exact")).alias("exact_hits"),
+        F.count_if(F.col("bloom") & ~F.col("exact")).alias("false_pos"),
+    )
+
+
+# ------------------------------------------ temperature-scaled mixing
+
+_TEMP_ALPHA = 0.5  # temperature exponent (τ = 1/α = 2)
+_TEMP_TWO60 = float(1 << 60)
+
+_TEMP_ORACLE = f"""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ), t AS (
+      SELECT SUM(n_docs) AS total, SUM(sqrt(CAST(n_docs AS DOUBLE))) AS ssq
+      FROM g
+    ), r AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / total AS share,
+             sqrt(CAST(n_docs AS DOUBLE)) / ssq AS q,
+             LEAST(1.0, (sqrt(CAST(n_docs AS DOUBLE)) / ssq) * total
+                        / CAST(n_docs AS DOUBLE)) AS rate
+      FROM g CROSS JOIN t
+    ), sel AS (
+      SELECT d.lang, CAST(COUNT(*) FILTER (
+               CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                 || '#temp'), 1, 15)) AS BIGINT) AS DOUBLE)
+               / {_TEMP_TWO60!r} < r.rate) AS BIGINT) AS selected
+      FROM documents d JOIN r ON d.lang = r.lang GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs, ROUND(r.share, 6) AS share,
+           ROUND(r.q, 6) AS target_share, ROUND(r.rate, 6) AS rate,
+           s.selected
+    FROM r JOIN sel s ON r.lang = s.lang
+"""
+
+
+@register(
+    "data_temperature_mix",
+    oracle=_TEMP_ORACLE,
+    tags=("text", "sampling"),
+)
+def data_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling — the multilingual-corpus
+    mixing recipe (sample domain l with probability ∝ p_l^α, α = 0.5
+    here, i.e. τ = 2): computes each language's raw share, the
+    temperature-flattened target share q_l = √n_l / Σ√n_l, the
+    per-domain acceptance rate min(1, q_l·N/n_l) that resamples the
+    corpus to the same total under the new mix, and EXECUTES the plan
+    with the repo's content-stable md5 coin (u(doc) < rate ⇒ keep) so
+    selection is deterministic, replayable, and hash-verified
+    cross-engine. Complements domain_mix_rebalance (uniform-cap plan).
+
+    Scale shape: two corpus passes, both map-side — pass 1 is a
+    |domains|-group count (map-side combine), pass 2 re-scans with the
+    ≤|domains|-row rate table BROADCAST and folds the coin filter into
+    the same |domains|-group aggregate. No corpus shuffle, no collect;
+    q's Σ√p fold is a ~|domains|-element double sum whose partial
+    order can differ cross-engine by ~1 ulp — the same knife-edge
+    tolerance class the kmeans|| coin documents (flip odds ~1e-10 at
+    the 6 dp hash rounding)."""
+    from ..functions.hashing import portable_hash60
+
+    d = _docs(spark, sf_dir)
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = g.agg(
+        F.sum("n_docs").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("ssq"),
+    )
+    q = F.sqrt(F.col("n_docs").cast("double")) / F.col("ssq")
+    r = g.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+        q.alias("q"),
+        F.least(
+            F.lit(1.0), q * F.col("total") / F.col("n_docs").cast("double")
+        ).alias("rate"),
+    )
+    u = (
+        portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#temp"))
+        ).cast("double")
+        / F.lit(_TEMP_TWO60)
+    )
+    sel = (
+        d.join(F.broadcast(r.select("lang", "rate")), "lang")
+        .groupBy("lang")
+        .agg(F.count_if(u < F.col("rate")).alias("selected"))
+    )
+    return r.join(sel, "lang").select(
+        "lang",
+        "n_docs",
+        F.round("share", 6).alias("share"),
+        F.round("q", 6).alias("target_share"),
+        F.round("rate", 6).alias("rate"),
+        "selected",
+    )

@@ -65,9 +65,10 @@ def _load_all() -> None:
 # eight CORRECTNESS files; within a cohort, alphabetical). The rotation
 # program tracked by VERDICT r6/r7 is CLOSED (r8 verdict): no oracled
 # key's evidence is older than round 3 and the round-9 window is pure
-# round-robin — 2 new r9 keys lead, then the 46-key d3 cohort, so the
-# ~50-key hashed window covers both newcomers, all of d3, and the
-# first ~2 d4 keys; after r9 the oldest evidence moves to round 4.
+# round-robin — 5 new r9 keys lead, then the 46-key d3 cohort, so the
+# ~50-key hashed window covers the newcomers and ~45 of d3 (the last
+# d3 key or two slip to round 10's window); the oldest evidence still
+# moves to round 4 for everything hashed this round.
 # New keys with no driver
 # evidence are inserted at the very front. Declared rows-only keys
 # (no_oracle in the driver) sort BELOW the oracled tail so they never
@@ -76,7 +77,8 @@ def _load_all() -> None:
 # reorder).
 _WINDOW_PRIORITY: list[str] = [
     # --- new in round 9 — no driver evidence yet ---
-    "data_sequence_pack", "dedup_minhash_compact",
+    "data_sequence_pack", "dedup_minhash_compact", "dedup_bloom_prefilter",
+    "data_temperature_mix", "agg_dp_laplace",
     # --- d3-vintage (46 keys; latest green driver row is round 3) ---
     "events_funnel", "events_funnel_stages", "events_pareto_share",
     "events_pattern_seq", "events_retention", "events_rfm",

@@ -1428,3 +1428,98 @@ def test_dedup_minhash_compact_mechanics(spark, sf_dir):
         "no untouched base bucket file was carried — either every "
         "bucket was touched (fixture drift) or the carry logic broke"
     )
+
+
+def test_dedup_bloom_prefilter_invariants(spark, sf_dir, docs):
+    """Bloom has NO false negatives (exact ⊆ bloom per doc), counts are
+    consistent, and exact_hits per doc equals an independently computed
+    pandas 5-gram membership count across the %10 split."""
+    rows = specs()["dedup_bloom_prefilter"].fn(spark, sf_dir).collect()
+    assert rows, "batch side empty"
+    for r in rows:
+        assert 0 <= r["exact_hits"] <= r["bloom_hits"] <= r["n_grams"]
+        assert r["false_pos"] == r["bloom_hits"] - r["exact_hits"]
+
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    base = set()
+    for _, r in pdf[pdf.doc_id % 10 != 7].iterrows():
+        base |= grams(r.text)
+    want = {
+        int(r.doc_id): (
+            len(grams(r.text)),
+            sum(1 for g in grams(r.text) if g in base),
+        )
+        for _, r in pdf[pdf.doc_id % 10 == 7].iterrows()
+        if grams(r.text)
+    }
+    got = {int(r["doc_id"]): (r["n_grams"], r["exact_hits"]) for r in rows}
+    assert got == want
+
+
+def test_data_temperature_mix_invariants(spark, sf_dir, docs):
+    """Target shares sum to 1, flattening moves every share toward
+    uniform (q between p and 1/L on each side), rates respect the cap,
+    and 'selected' matches an independent pandas md5-coin replay."""
+    import hashlib
+
+    rows = specs()["data_temperature_mix"].fn(spark, sf_dir).collect()
+    L = len(rows)
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        lo, hi = sorted((r["share"], 1.0 / L))
+        assert lo - 1e-6 <= r["target_share"] <= hi + 1e-6, (
+            "temperature scaling must move shares toward uniform"
+        )
+        assert 0.0 <= r["rate"] <= 1.0
+        assert 0 <= r["selected"] <= r["n_docs"]
+
+    pdf = docs.select("doc_id", "lang").toPandas()
+    n = pdf.groupby("lang").size()
+    import math
+
+    ssq = sum(math.sqrt(c) for c in n)
+    total = int(n.sum())
+    sel = {}
+    for lang, cnt in n.items():
+        rate = min(1.0, (math.sqrt(cnt) / ssq) * total / cnt)
+        ids = pdf[pdf.lang == lang].doc_id
+        coin = lambda i: (
+            int(hashlib.md5(f"{i}#temp".encode()).hexdigest()[:15], 16)
+            / float(1 << 60)
+        )
+        sel[lang] = sum(1 for i in ids if coin(int(i)) < rate)
+    got = {r["lang"]: r["selected"] for r in rows}
+    assert got == sel
+
+
+def test_agg_dp_laplace_mechanism(spark, sf_dir, docs):
+    """The noise is exactly the inverse-CDF Laplace draw from the md5
+    uniform (replayed in numpy), is zero-mean-capable (sign varies with
+    the hash), and the noisy count stays within the analytic tail bound
+    |noise| ≤ (1/ε)·ln(1/δ) for δ = 1e-15."""
+    import hashlib
+    import math
+
+    rows = specs()["agg_dp_laplace"].fn(spark, sf_dir).collect()
+    counts = {
+        r["lang"]: r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    eps = 0.5
+    for r in rows:
+        u = (
+            int(hashlib.md5(f"{r['lang']}#dp".encode()).hexdigest()[:15], 16)
+            / float(1 << 60)
+        )
+        v = u - 0.5
+        noise = -(1.0 / eps) * math.copysign(1.0, v) * math.log(
+            max(1.0 - 2.0 * abs(v), 1e-15)
+        )
+        assert abs(r["noisy_count"] - round(counts[r["lang"]] + noise, 6)) < 1e-6
+        assert abs(noise) <= (1.0 / eps) * math.log(1e15) + 1e-9
+        assert r["epsilon"] == eps
