@@ -5959,8 +5959,9 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter how large the base corpus grows — it broadcasts by
     construction (a Bloom filter's entire point), so the batch probe is
     a pure map + ONE broadcast bit lookup (each gram's k positions
-    explode to bit rows, present-count = k ⇒ candidate); neither corpus
-    is ever shuffled by gram. The exact-confirm join — the step Bloom
+    explode to bit rows, present-count = k ⇒ candidate); the base
+    corpus is scanned once per phase (bit-set build, exact confirm) and
+    never shuffled at corpus-gram grain. The exact-confirm join — the step Bloom
     exists to avoid doing at corpus×batch grain — runs ONLY over
     bloom-POSITIVE grams (true dups + the fp rate the filter was sized
     for, NOT proportional to the batch): the base stream is semi-joined
@@ -5993,11 +5994,17 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("present", F.lit(1))
     )
+    # localCheckpoint: bloomed feeds BOTH the candidate set and the
+    # final mark join — without it Spark duplicates the whole probe
+    # subtree (two corpus scans + two bit joins, seen in the r9 plan
+    # audit). The checkpointed row is (doc_id, g, bloom) at batch-gram
+    # grain — the probe side's working set, spillable per partition.
     bloomed = (
         probe.select("doc_id", "g", F.explode(bitarr(F.col("g"))).alias("bit"))
         .join(F.broadcast(bits), "bit", "left")
         .groupBy("doc_id", "g")
         .agg((F.sum("present") == _BLOOM_K).alias("bloom"))
+        .localCheckpoint(eager=False)
     )
     # exact-confirm ONLY the bloom candidates: bounded by true-dup +
     # false-positive rate (the filter's sizing), not by batch size
@@ -6084,14 +6091,21 @@ def data_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("ssq"),
     )
     q = F.sqrt(F.col("n_docs").cast("double")) / F.col("ssq")
-    r = g.crossJoin(F.broadcast(t)).select(
-        "lang",
-        "n_docs",
-        (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
-        q.alias("q"),
-        F.least(
-            F.lit(1.0), q * F.col("total") / F.col("n_docs").cast("double")
-        ).alias("rate"),
+    # localCheckpoint: r feeds both the coin pass and the final join —
+    # without it the |domains|-group corpus aggregate re-runs per use
+    # (r9 plan audit found the g subtree duplicated = 3 corpus scans).
+    r = (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("total")).alias("share"),
+            q.alias("q"),
+            F.least(
+                F.lit(1.0), q * F.col("total") / F.col("n_docs").cast("double")
+            ).alias("rate"),
+        )
+        .localCheckpoint(eager=False)
     )
     u = (
         portable_hash60(

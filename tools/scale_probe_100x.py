@@ -177,6 +177,8 @@ PROBES = [
     # r9 new keys at 100×
     ("data_sequence_pack", "documents"),
     ("dedup_minhash_compact", "documents"),
+    ("dedup_bloom_prefilter", "documents"),
+    ("data_temperature_mix", "documents"),
 ]
 
 
