@@ -195,6 +195,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",
     "data_temperature_mix",
     "agg_dp_laplace",
+    "ts_holt_linear",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

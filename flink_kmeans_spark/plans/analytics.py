@@ -2881,3 +2881,131 @@ def agg_dp_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(_DP_EPS)).alias("epsilon"),
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
     )
+
+
+# ------------------------------------------ Holt linear-trend smoothing
+
+_HOLT_A = 0.5  # level smoothing α (exact binary double)
+_HOLT_B = 0.3  # trend smoothing β (same literal → same double both engines)
+
+_HOLT_T = 600  # trailing fit window (buckets) — bounds recursion depth
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE raw AS MATERIALIZED (
+      SELECT event_type, w, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w DESC)
+               AS rd
+      FROM (
+        SELECT event_type,
+               epoch_us(time_bucket(INTERVAL 10 MINUTE,
+                                    CAST(ts AS TIMESTAMP))) AS w,
+               CAST(COUNT(*) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2
+      )
+    ), s AS MATERIALIZED (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY w) AS t,
+             y,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM raw WHERE rd <= {_HOLT_T}
+    ), rec AS (
+      SELECT event_type, t, y AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS sse, n
+      FROM s WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, s.t,
+             {_HOLT_A!r} * s.y + {1 - _HOLT_A!r} * (r.l + r.b),
+             {_HOLT_B!r} * (({_HOLT_A!r} * s.y
+                             + {1 - _HOLT_A!r} * (r.l + r.b)) - r.l)
+               + {1 - _HOLT_B!r} * r.b,
+             r.sse + (s.y - (r.l + r.b)) * (s.y - (r.l + r.b)),
+             r.n
+      FROM rec r JOIN s ON s.event_type = r.event_type AND s.t = r.t + 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_steps,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS f1, ROUND(l + 2 * b, 6) AS f2,
+           ROUND(l + 3 * b, 6) AS f3, ROUND(sse, 4) AS sse
+    FROM rec WHERE t = n
+"""
+
+
+@register("ts_holt_linear", oracle=_HOLT_ORACLE, tags=("timeseries",))
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend, the
+    standard pre-seasonal forecasting recurrence; α=0.5, β=0.3,
+    l₁=y₁, b₁=0) over the per-event-type 10-minute count series —
+    fit on the TRAILING 600-bucket window (rolling-origin practice,
+    and the cap that bounds the sequential recursion by design: with
+    α=0.5 the smoother's memory is ~2/α ≪ 600 steps, so the trailing
+    window loses nothing) — with h∈{1,2,3} forecasts and the
+    one-step-ahead SSE backtest statistic. Complements
+    forecast_snaive_backtest (seasonal-naive baseline).
+
+    The recurrence is inherently sequential IN t, so the oracle is a
+    DuckDB RECURSIVE CTE stepping t→t+1 and the engine side runs the
+    identical IEEE op sequence as a per-series scalar loop inside
+    applyInPandas — series are COUNT series (exact integer doubles) and
+    every multiply-add is written in the same order on both sides, so
+    the recursion is bit-identical, not approximate. (A log-depth
+    parallel-scan formulation exists — the recurrence is affine, so
+    2×2 matrix squaring applies — but per-series sequential is the
+    right layout when |series| ≫ cores.)
+
+    Scale shape: the corpus-sized work is ONE (type, bucket) map-side
+    count; the recursion runs at series grain — bounded by
+    |types| × calendar buckets, partitioned BY series so a 100 TB
+    event log with millions of series fans out across executors; each
+    pandas group holds one bounded series."""
+    e = load_table(spark, sf_dir, "events")
+    wd = Window.partitionBy("event_type").orderBy(F.col("w").desc())
+    series = (
+        e.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("w"),
+            "y",
+        )
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= _HOLT_T)
+        .drop("rd")
+    )
+    a, bcoef = _HOLT_A, _HOLT_B
+
+    def holt(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("w")
+        ys = pdf["y"].tolist()
+        l = float(ys[0])
+        b = 0.0
+        sse = 0.0
+        for y in ys[1:]:
+            f = l + b
+            l_new = a * y + (1 - a) * f
+            b = bcoef * (l_new - l) + (1 - bcoef) * b
+            l = l_new
+            sse = sse + (y - f) * (y - f)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_steps": [len(ys)],
+                "level": [round(l, 6)],
+                "trend": [round(b, 6)],
+                "f1": [round(l + b, 6)],
+                "f2": [round(l + 2 * b, 6)],
+                "f3": [round(l + 3 * b, 6)],
+                "sse": [round(sse, 4)],
+            }
+        )
+
+    return series.groupBy("event_type").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, n_steps bigint, level double, "
+            "trend double, f1 double, f2 double, f3 double, sse double"
+        ),
+    )

@@ -966,3 +966,40 @@ def test_heavy_hitters_mg_bounds(spark, sf_dir):
     top1 = exact.index[0]
     if exact.iloc[0] > err_max:
         assert any(r["user_id"] == top1 for r in rows)
+
+
+def test_ts_holt_linear_structure(spark, sf_dir):
+    """Forecasts are collinear on the fitted trend line, SSE is
+    non-negative, the trailing-window cap holds, and the recursion
+    matches an independent pandas replay of the raw bucket counts."""
+    import pandas as pd
+    from flink_kmeans_spark.plans.registry import specs
+    from flink_kmeans_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = specs()["ts_holt_linear"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_steps"] <= 600
+        assert r["sse"] >= 0
+        assert abs((r["f2"] - r["f1"]) - (r["f3"] - r["f2"])) < 1e-5
+        assert abs((r["f1"] - r["level"]) - r["trend"]) < 1e-5
+
+    e = load_table(spark, sf_dir, "events")
+    pdf = (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select("event_type", F.unix_micros(F.col("w.start")).alias("w"), "y")
+        .toPandas()
+    )
+    got = {r["event_type"]: (r["level"], r["trend"], r["sse"]) for r in rows}
+    for et, g in pdf.groupby("event_type"):
+        ys = g.sort_values("w")["y"].tolist()[-600:]
+        l, b, sse = float(ys[0]), 0.0, 0.0
+        for y in ys[1:]:
+            f = l + b
+            ln = 0.5 * y + 0.5 * f
+            b = 0.3 * (ln - l) + 0.7 * b
+            l = ln
+            sse += (y - f) * (y - f)
+        assert got[et] == (round(l, 6), round(b, 6), round(sse, 4))

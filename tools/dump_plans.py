@@ -75,6 +75,10 @@ SHOWCASE = [
     ("data_sequence_pack", "ONE (shard, class) exchange; slot math rides the row_number window, no joins"),
     ("dedup_substring_cut", "clean docs pass through without token explode; touched-set joins pinned shuffle-hash"),
     ("dedup_semantic_kmeans", "pair join salted to (cid, band): parallelism k*B, skewed cluster cannot own one task"),
+    ("dedup_bloom_prefilter", "bit set broadcast by construction; exact confirm only over bloom-positive grams"),
+    ("data_temperature_mix", "two map-side corpus passes; |domains|-row rate table broadcast, checkpointed once"),
+    ("agg_dp_laplace", "one hash aggregate; noise transform at |groups| grain, zero extra exchanges"),
+    ("ts_holt_linear", "one map-side bucket count; recursion at series grain inside FlatMapGroupsInPandas"),
 ]
 
 

@@ -179,6 +179,7 @@ PROBES = [
     ("dedup_minhash_compact", "documents"),
     ("dedup_bloom_prefilter", "documents"),
     ("data_temperature_mix", "documents"),
+    ("ts_holt_linear", "events"),
 ]
 
 
