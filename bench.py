@@ -196,6 +196,7 @@ HEADLINE = [
     "data_temperature_mix",
     "agg_dp_laplace",
     "ts_holt_linear",
+    "sample_coreset_kmeans",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -548,3 +548,88 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cid") < K)
     )
     return ranked
+
+
+# -------------------------------------------- lightweight coreset
+
+_CS_M = 20 * K  # target coreset size m (expected; Poisson-style draw)
+_CS_TWO60 = float(1 << 60)
+
+_CS_ORACLE = f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), mu AS MATERIALIZED (
+      SELECT list(m ORDER BY dimi) AS mv FROM (
+        SELECT dimi, AVG(val) AS m FROM (
+          SELECT UNNEST(v) AS val, generate_subscripts(v, 1) AS dimi
+          FROM pts)
+        GROUP BY dimi)
+    ), d AS MATERIALIZED (
+      SELECT vec_id,
+             list_aggregate(list_transform(list_zip(p.v, mu.mv),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS d2
+      FROM pts p, mu
+    ), t AS (SELECT SUM(d2) AS phi, COUNT(*) AS n FROM d)
+    SELECT vec_id, ROUND(1.0 / ({_CS_M} * q), 6) AS weight FROM (
+      SELECT vec_id,
+             0.5 / t.n + 0.5 * d.d2 / t.phi AS q,
+             CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+               || '#cs'), 1, 15)) AS BIGINT) AS DOUBLE) / {_CS_TWO60!r} AS u
+      FROM d, t)
+    WHERE u < {_CS_M} * q
+"""
+
+
+@register("sample_coreset_kmeans", oracle=_CS_ORACLE, tags=("kmeans", "sampling"))
+def sample_coreset_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lightweight coreset for K-Means (Bachem, Lucic & Krause, KDD
+    2018): sample point x with probability ∝ q(x) = ½/N + ½·d²(x,μ)/φ
+    (μ = dataset mean, φ = Σd²) and weight it 1/(m·q(x)) — the weighted
+    subsample whose k-means cost approximates the full corpus's for ANY
+    set of centers. THE published recipe for fitting k-means at 100 TB:
+    fit on the m-point coreset, assign the corpus once. The draw is the
+    repo's deterministic md5 coin (select iff u(x) < m·q(x), expected
+    size m = _CS_M = 20k), so membership and weights are hash-verified
+    cross-engine.
+
+    Scale shape: μ is one map-side per-dimension average (64-row
+    collect→literal); d²(x,μ) is a narrow map whose (vec_id, d²) output
+    is localCheckpoint'ed — φ and the selection both read the
+    checkpoint, so the corpus is scanned exactly twice (μ pass, d²
+    pass) and never shuffled at point grain. The q/φ knife-edge is the
+    documented ulp class (unordered double sums feed a coin
+    threshold)."""
+    from ..functions.hashing import portable_hash60
+    from ..functions.vectors import sqdist
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu_rows = (
+        e.select(F.posexplode("v").alias("dimi", "val"))
+        .groupBy("dimi")
+        .agg(F.avg("val").alias("m"))
+        .orderBy("dimi")
+        .collect()
+    )
+    mu = F.array(*[F.lit(float(r["m"])) for r in mu_rows])
+    d = e.select(
+        "vec_id", sqdist(F.col("v"), mu).alias("d2")
+    ).localCheckpoint(eager=False)
+    t = d.agg(F.sum("d2").alias("phi"), F.count(F.lit(1)).alias("n"))
+    q = 0.5 / F.col("n") + 0.5 * F.col("d2") / F.col("phi")
+    u = (
+        portable_hash60(
+            F.concat(F.col("vec_id").cast("string"), F.lit("#cs"))
+        ).cast("double")
+        / F.lit(_CS_TWO60)
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select("vec_id", q.alias("q"), u.alias("u"))
+        .filter(F.col("u") < _CS_M * F.col("q"))
+        .select(
+            "vec_id", F.round(1.0 / (_CS_M * F.col("q")), 6).alias("weight")
+        )
+    )

@@ -79,6 +79,7 @@ _WINDOW_PRIORITY: list[str] = [
     # --- new in round 9 — no driver evidence yet ---
     "data_sequence_pack", "dedup_minhash_compact", "dedup_bloom_prefilter",
     "data_temperature_mix", "agg_dp_laplace", "ts_holt_linear",
+    "sample_coreset_kmeans",
     # --- d3-vintage (46 keys; latest green driver row is round 3) ---
     "events_funnel", "events_funnel_stages", "events_pareto_share",
     "events_pattern_seq", "events_retention", "events_rfm",

@@ -79,6 +79,7 @@ SHOWCASE = [
     ("data_temperature_mix", "two map-side corpus passes; |domains|-row rate table broadcast, checkpointed once"),
     ("agg_dp_laplace", "one hash aggregate; noise transform at |groups| grain, zero extra exchanges"),
     ("ts_holt_linear", "one map-side bucket count; recursion at series grain inside FlatMapGroupsInPandas"),
+    ("sample_coreset_kmeans", "two corpus passes (mean, d2-checkpoint); selection map-side, no point-grain shuffle"),
 ]
 
 

@@ -180,6 +180,7 @@ PROBES = [
     ("dedup_bloom_prefilter", "documents"),
     ("data_temperature_mix", "documents"),
     ("ts_holt_linear", "events"),
+    ("sample_coreset_kmeans", "embeddings"),
 ]
 
 
