@@ -522,7 +522,7 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cur holds the same (vec_id, v) rows materialized executor-local by
     # round R-1's refresh, so the final pass skips a second parquet read
     # (and at sf0.1 a fresh whole-plan recompile of the scan branch —
-    # profiled 3.48 s from e vs 1.05 s from cur, .scratch profile r9).
+    # profiled 3.48 s from e vs 1.05 s from cur; BENCH_NOTES.md r9).
     w = (
         cur.select(F.array_min(pairs)["cand"].alias("cand_id"))
         .groupBy("cand_id")

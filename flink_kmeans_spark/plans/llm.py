@@ -5821,10 +5821,19 @@ def multimodal_phash_dedup(
     pixel formula cycles every lcm(13, 11, 256) = 36,608 doc_ids, so a
     100× replica saturates the image space and the doc-grain pair
     OUTPUT itself becomes Θ(copies²) — a fixture artifact. With
-    fresh_pixels the synthesis id is xxhash64-mixed (effectively
-    injective here), giving ~|docs| DISTINCT images so the banded
-    join itself can be probed at second-decade scale; the registered
-    key never sets it."""
+    fresh_pixels the synthesis id is xxhash64-mixed to decorrelate the
+    byte-identity cycle — but the synthetic image space itself only
+    spans ~1.9k distinct dHash classes at sf0.1 (measured r9), so at
+    100× the DOC-GRAIN pair output is still Θ(collisions²) ≈ 10⁹ rows:
+    no plan avoids materializing its own output (the first fresh probe
+    attempt ground on exactly that map-side expansion). The probe
+    variant therefore returns the GROUP-grain result — (gid_a, gid_b,
+    hamming, n_pairs = |ma|·|mb|) plus intra-group C(n,2) rows — which
+    exercises every decode, collapse, band-bucket shuffle, join and
+    hamming cut in the plan while the doc-grain expansion (a pure
+    map-side explode, linear in its own output) is accounted by
+    n_pairs instead of materialized. The registered key never sets
+    it."""
     docs = _docs(spark, sf_dir)
     if fresh_pixels:
         docs = docs.select(F.xxhash64("doc_id").alias("doc_id"))
@@ -5877,7 +5886,30 @@ def multimodal_phash_dedup(
             F.first(F.col("b.members")).alias("mb"),
         )
         .filter(F.col("hamming") <= 3)
-        .select("hamming", F.explode("ma").alias("ia"), "mb")
+    )
+    if fresh_pixels:
+        # probe-only group-grain output (see docstring): every shuffle
+        # and join above still runs; the doc-grain explode is replaced
+        # by its row-count accounting
+        gcross = cross.select(
+            F.col("ga").alias("id_a"),
+            F.col("gb").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+            (F.size("ma").cast("bigint") * F.size("mb")).alias("n_pairs"),
+        )
+        gintra = grp.filter(F.size("members") >= 2).select(
+            F.col("gid").alias("id_a"),
+            F.col("gid").alias("id_b"),
+            F.lit(0).alias("hamming"),
+            (
+                F.size("members").cast("bigint")
+                * (F.size("members") - 1)
+                / 2
+            ).cast("bigint").alias("n_pairs"),
+        )
+        return gcross.unionByName(gintra)
+    cross = (
+        cross.select("hamming", F.explode("ma").alias("ia"), "mb")
         .select("hamming", "ia", F.explode("mb").alias("ib"))
         .select(
             F.least("ia", "ib").alias("id_a"),

@@ -65,10 +65,10 @@ def _load_all() -> None:
 # eight CORRECTNESS files; within a cohort, alphabetical). The rotation
 # program tracked by VERDICT r6/r7 is CLOSED (r8 verdict): no oracled
 # key's evidence is older than round 3 and the round-9 window is pure
-# round-robin — 5 new r9 keys lead, then the 46-key d3 cohort, so the
-# ~50-key hashed window covers the newcomers and ~45 of d3 (the last
-# d3 key or two slip to round 10's window); the oldest evidence still
-# moves to round 4 for everything hashed this round.
+# round-robin — the 7 new r9 keys lead, then the 46-key d3 cohort, so
+# the ~50-key hashed window covers the newcomers and ~43 of d3 (the
+# last few d3 keys slip to round 10's window); the oldest evidence
+# still moves to round 4 for everything hashed this round.
 # New keys with no driver
 # evidence are inserted at the very front. Declared rows-only keys
 # (no_oracle in the driver) sort BELOW the oracled tail so they never
