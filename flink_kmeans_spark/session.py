@@ -21,11 +21,16 @@ import os
 from pyspark.sql import SparkSession
 
 # Confs that are safe (and required) to set on an already-running session.
+# SPARK_GRAFT_AQE=false runs the whole engine without adaptive execution —
+# the gate-battery perturbation class proving every plan property the
+# operators rely on (broadcasts, bucket pruning, WindowGroupLimit, DPP)
+# holds without runtime re-planning.
+_AQE = os.environ.get("SPARK_GRAFT_AQE", "true")
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.enabled": _AQE,
+    "spark.sql.adaptive.coalescePartitions.enabled": _AQE,
     # test-scale shuffle sizing for sessions we didn't build (the
     # driver's default 200 costs ~10× task overhead at sf≤0.1; AQE
     # coalesces results either way, and a real cluster deployment sets
