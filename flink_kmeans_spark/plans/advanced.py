@@ -3726,6 +3726,11 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side collect is the 50-row AGGREGATE (bounded by the dim
     key space), never the fact table."""
     s2 = spark.newSession()
+    # load FIRST: load_table's ensure_conf applies RUNTIME_CONFS (which
+    # honor the SPARK_GRAFT_AQE=false gate perturbation) — this key's
+    # contract IS the adaptive skew path, so its cloned-session
+    # enablement must be applied after, not clobbered by, ensure_conf.
+    e = load_table(s2, sf_dir, "events")
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -3736,7 +3741,6 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     }.items():
         s2.conf.set(k, v)
-    e = load_table(s2, sf_dir, "events")
     fact = e.select(
         F.when(F.col("user_id") % 10 != 0, F.lit(0))
         .otherwise((F.col("user_id") / F.lit(10)).cast("long") % 49 + 1)
