@@ -197,6 +197,7 @@ HEADLINE = [
     "agg_dp_laplace",
     "ts_holt_linear",
     "sample_coreset_kmeans",
+    "agg_ttest_welch",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -3009,3 +3009,77 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend double, f1 double, f2 double, f3 double, sse double"
         ),
     )
+
+
+# --------------------------------------------------- Welch's t-test
+
+_WELCH_ORACLE = """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
+             AVG(value) FILTER (user_id % 2 = 0) AS mean_a,
+             AVG(value) FILTER (user_id % 2 <> 0) AS mean_b,
+             VAR_SAMP(value) FILTER (user_id % 2 = 0) AS var_a,
+             VAR_SAMP(value) FILTER (user_id % 2 <> 0) AS var_b
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+             var_a / n_a AS sa, var_b / n_b AS sb,
+             var_a / n_a + var_b / n_b AS se2
+      FROM g
+    )
+    SELECT event_type, n_a, n_b,
+           ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+           ROUND((mean_a - mean_b) / sqrt(se2), 4) AS t_stat,
+           ROUND(se2 * se2 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)),
+                 2) AS df
+    FROM w
+"""
+
+
+@register("agg_ttest_welch", oracle=_WELCH_ORACLE, tags=("agg", "analytics"))
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per event type (the
+    A/B readout for CONTINUOUS metrics — events_ab_test is its
+    proportion twin; agg_ks_test / agg_chi2_independence complete the
+    stats family): arms split by user_id parity, t = Δmean/√(s²ₐ/nₐ +
+    s²ᵦ/nᵦ), degrees of freedom by Welch–Satterthwaite. The classic
+    experimentation-platform aggregate.
+
+    Scale shape: ONE conditional hash aggregate at event_type grain
+    with map-side combine — both arms' moments fold in the same pass,
+    so the corpus is touched once, never shuffled at row grain, and
+    there is no arm join; the t/df scalar math runs on |types| rows.
+    Variance fold order differs across engines at ~ulp (documented
+    class); t_stat rounds at 4 dp, means at 6 dp."""
+    e = load_table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    va = F.when(even, F.col("value"))
+    vb = F.when(~even, F.col("value"))
+    g = e.groupBy("event_type").agg(
+        F.count(va).alias("n_a"),
+        F.count(vb).alias("n_b"),
+        F.avg(va).alias("mean_a"),
+        F.avg(vb).alias("mean_b"),
+        F.var_samp(va).alias("var_a"),
+        F.var_samp(vb).alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    se2 = sa + sb
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            se2 * se2
+            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
+            2,
+        ).alias("df"),
+    )

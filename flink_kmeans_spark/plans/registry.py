@@ -65,7 +65,7 @@ def _load_all() -> None:
 # eight CORRECTNESS files; within a cohort, alphabetical). The rotation
 # program tracked by VERDICT r6/r7 is CLOSED (r8 verdict): no oracled
 # key's evidence is older than round 3 and the round-9 window is pure
-# round-robin — the 7 new r9 keys lead, then the 46-key d3 cohort, so
+# round-robin — the 8 new r9 keys lead, then the 46-key d3 cohort, so
 # the ~50-key hashed window covers the newcomers and ~43 of d3 (the
 # last few d3 keys slip to round 10's window); the oldest evidence
 # still moves to round 4 for everything hashed this round.
@@ -79,7 +79,7 @@ _WINDOW_PRIORITY: list[str] = [
     # --- new in round 9 — no driver evidence yet ---
     "data_sequence_pack", "dedup_minhash_compact", "dedup_bloom_prefilter",
     "data_temperature_mix", "agg_dp_laplace", "ts_holt_linear",
-    "sample_coreset_kmeans",
+    "sample_coreset_kmeans", "agg_ttest_welch",
     # --- d3-vintage (46 keys; latest green driver row is round 3) ---
     "events_funnel", "events_funnel_stages", "events_pareto_share",
     "events_pattern_seq", "events_retention", "events_rfm",

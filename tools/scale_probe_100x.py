@@ -181,6 +181,7 @@ PROBES = [
     ("data_temperature_mix", "documents"),
     ("ts_holt_linear", "events"),
     ("sample_coreset_kmeans", "embeddings"),
+    ("agg_ttest_welch", "events"),
 ]
 
 
