@@ -62,6 +62,12 @@ def dmat_literal(vecs: Iterable[Sequence[float]]) -> Column:
     literal (verified against F.lit including 1e-17 / -3.0 /
     17-significant-digit values). The embedded literal still ships to
     executors with the task closure exactly like F.lit's."""
+    vecs = [list(row) for row in vecs]
+    if not vecs:
+        # bare SQL array() types as array<string>; surfacing that as a
+        # far-away analysis error would be hostile — fail here instead
+        # (same contract as _dlit's non-finite guard).
+        raise ValueError("dmat_literal requires at least one row")
     return F.expr(
         "array("
         + ",".join(

@@ -3016,8 +3016,8 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WELCH_ORACLE = """
     WITH g AS (
       SELECT event_type,
-             CAST(COUNT(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
-             CAST(COUNT(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
+             CAST(COUNT(value) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(value) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
              AVG(value) FILTER (user_id % 2 = 0) AS mean_a,
              AVG(value) FILTER (user_id % 2 <> 0) AS mean_b,
              VAR_SAMP(value) FILTER (user_id % 2 = 0) AS var_a,
@@ -3035,6 +3035,7 @@ _WELCH_ORACLE = """
            ROUND(se2 * se2 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)),
                  2) AS df
     FROM w
+    WHERE n_a > 1 AND n_b > 1 AND se2 > 0
 """
 
 
@@ -3052,7 +3053,17 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the corpus is touched once, never shuffled at row grain, and
     there is no arm join; the t/df scalar math runs on |types| rows.
     Variance fold order differs across engines at ~ulp (documented
-    class); t_stat rounds at 4 dp, means at 6 dp."""
+    class); t_stat rounds at 4 dp, means at 6 dp.
+
+    NULL / degenerate-arm contract (hermetic by construction): arm
+    counts are COUNT(value) on BOTH engines (`F.count(when(...))`
+    skips NULL value; the oracle's `COUNT(value) FILTER` matches), so
+    a NULL-bearing replica cannot silently diverge n_a/n_b. Groups
+    with a single-sample arm (n ≤ 1 → var_samp is NaN in Spark vs
+    NULL in DuckDB) or zero pooled variance (se2 = 0 → NULL divide in
+    Spark vs IEEE inf in DuckDB) are filtered out on both sides —
+    Welch's statistic is undefined there, and the filter removes the
+    only two cross-engine divergence classes this key has."""
     e = load_table(spark, sf_dir, "events")
     even = F.col("user_id") % 2 == 0
     va = F.when(even, F.col("value"))
@@ -3068,6 +3079,7 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = F.col("var_a") / F.col("n_a")
     sb = F.col("var_b") / F.col("n_b")
     se2 = sa + sb
+    g = g.where((F.col("n_a") > 1) & (F.col("n_b") > 1) & (se2 > 0))
     return g.select(
         "event_type",
         "n_a",

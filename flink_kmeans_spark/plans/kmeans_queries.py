@@ -483,12 +483,15 @@ def kmeans_parallel_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (u < F.lit(float(_PAR_L)) * F.col("d2") / F.col("phi"))
             )
             .select("vec_id", "v")
+            .limit(50 * _PAR_L + 1)
             .collect()
         )
-        # Loud guard (ADVICE r8): the Bahmani threshold bounds the
-        # selection only in EXPECTATION (~l rows/round); a pathological
-        # d² distribution could select far more. Fail fast rather than
-        # flood the driver — 50×l is far above any plausible draw.
+        # Loud guard (ADVICE r8, hardened r10): the Bahmani threshold
+        # bounds the selection only in EXPECTATION (~l rows/round); a
+        # pathological d² distribution could select far more. The limit
+        # above bounds what the driver can ever materialize BY
+        # CONSTRUCTION (50×l+1 rows ≈ 100 KB, far above any plausible
+        # draw), and tripping it fails fast here.
         if len(new) > 50 * _PAR_L:
             raise RuntimeError(
                 f"kmeans|| round {r} selected {len(new)} candidates "

@@ -5421,7 +5421,7 @@ def data_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.,
     NeurIPS 2023): select pretraining documents whose hashed-feature
     distribution matches a target domain. Features = md5-hashed
-    unigrams into B=_DSIR_B (512) buckets; target/source bag-of-buckets
+    unigrams into B = 512 (``_DSIR_B``) buckets; target/source bag-of-buckets
     multinomials with +0.5 smoothing (target here: the corpus's 'en'
     slice); per-doc importance logw = Σ_b n_b·(ln p_b − ln q_b); the
     paper's Gumbel-top-k resampling made deterministic with the
