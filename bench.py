@@ -198,6 +198,9 @@ HEADLINE = [
     "ts_holt_linear",
     "sample_coreset_kmeans",
     "agg_ttest_welch",
+    # round-10 keys
+    "agg_quantile_sketch",
+    "dedup_cdc_chunks",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2
@@ -230,16 +233,25 @@ def main() -> None:
     queries = QUERIES()
 
     timings: dict[str, float] = {}
+    # Host-load fingerprint (VERDICT r9 item 8): record 1-min loadavg at
+    # each key's sample time so a future regression separates "the code
+    # got slower" from "the box was busy" without re-runs (r9's artifact
+    # needed a merged third pass because the host ran ~1.4x slow all day).
+    load_at: dict[str, float] = {}
     for key in HEADLINE:
         fn = queries[key]
         best = float("inf")
+        load = 0.0
         for _ in range(GATED_RUNS if key in GATED else RUNS):
+            load = max(load, os.getloadavg()[0])
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         timings[key] = round(best, 4)
-        print(f"[bench] {key}: {timings[key]:.3f}s", file=sys.stderr, flush=True)
+        load_at[key] = round(load, 2)
+        print(f"[bench] {key}: {timings[key]:.3f}s (load {load:.1f})",
+              file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 4)
     line = json.dumps(
@@ -249,6 +261,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "host_load_1m": load_at,
+            "host_cpus": os.cpu_count(),
         }
     )
     # The driver records only a TAIL of the output: BENCH_r03.json came

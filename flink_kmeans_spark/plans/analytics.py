@@ -3095,3 +3095,131 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df"),
     )
+
+
+# --------------------------------------- mergeable quantile sketch
+
+# DDSketch parameters (Masson, Lee & Rim, VLDB 2019): relative-error
+# guarantee alpha; log-gamma bucket index i = ceil(ln(x)/ln(gamma));
+# bucket midpoint estimate 2*gamma^i/(gamma+1).
+_DDS_ALPHA = 0.01
+_DDS_GAMMA = (1.0 + _DDS_ALPHA) / (1.0 - _DDS_ALPHA)
+import math as _math
+
+_DDS_LNG = _math.log(_DDS_GAMMA)
+_DDS_QS = (0.5, 0.9, 0.99, 0.999)
+
+_DDS_ORACLE = f"""
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      WHERE l_extendedprice > 0
+    ),
+    b AS (
+      SELECT CAST(ceil(ln(x) / {_DDS_LNG!r}) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY 1
+    ),
+    cums AS (SELECT bucket, c, SUM(c) OVER (ORDER BY bucket) AS cum FROM b),
+    t AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS INT) AS n_buckets
+      FROM b
+    ),
+    qs AS (SELECT CAST(unnest([{", ".join(repr(q) for q in _DDS_QS)}])
+                       AS DOUBLE) AS q),
+    r AS (
+      SELECT q, CAST(floor(q * (t.n - 1)) AS BIGINT) AS qrank,
+             t.n, t.n_buckets
+      FROM qs, t
+    ),
+    sel AS (
+      SELECT r.q, r.qrank, r.n, r.n_buckets, MIN(c.bucket) AS bucket
+      FROM r JOIN cums c ON c.cum > r.qrank
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT q, qrank, bucket, n, n_buckets,
+           ROUND(2 * power({_DDS_GAMMA!r}, bucket) / ({_DDS_GAMMA!r} + 1), 6)
+             AS est,
+           {_DDS_ALPHA!r} AS alpha
+    FROM sel
+"""
+
+
+def _dds_buckets(values: DataFrame) -> DataFrame:
+    """DDSketch bucket table (bucket, c) for a single-column frame
+    ``x: double`` of positive values. This IS the sketch: a fixed
+    deterministic bucket function means two sketches merge by unioning
+    the tables and re-summing counts — fully associative/commutative,
+    proved in tests/test_analytics.py against the single-pass build."""
+    b = F.ceil(F.log(F.col("x")) / F.lit(_DDS_LNG)).cast("bigint")
+    return (
+        values.filter(F.col("x") > 0)
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register("agg_quantile_sketch", oracle=_DDS_ORACLE, tags=("agg", "sketch"))
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable relative-error quantile sketch — DDSketch (Masson, Lee
+    & Rim, VLDB 2019; Datadog's production quantile sketch): value x
+    maps to log-bucket i = ceil(ln(x)/ln(gamma)) with gamma =
+    (1+alpha)/(1-alpha), so the bucket midpoint 2*gamma^i/(gamma+1) is
+    within RELATIVE error alpha of every value in the bucket — the
+    guarantee percentile_approx (KLL-style rank error) cannot give for
+    heavy-tailed metrics. The sketch is the (bucket, count) table; two
+    sketches merge by summing counts per bucket (associative +
+    commutative, the Agarwal et al. 'Mergeable Summaries' property),
+    which is what makes it THE 100 TB shape: per-partition sketches
+    fold map-side, only ~log_gamma(max/min) rows (233 here) ever
+    shuffle, and a day×shard sketch lake can be rolled up to any slice
+    without re-reading raw data. Quantile q reads the first bucket
+    whose cumulative count exceeds floor(q*(n-1)) (the paper's rank
+    convention). agg_percentile_approx remains the built-in twin; this
+    key is the engine-portable, merge-proven variant with a pinned
+    error bound (test_analytics.py asserts est within alpha of the
+    exact order statistic, and merge == single-pass bit-identically).
+
+    Scale shape: one hash aggregate with map-side combine at bucket
+    grain; the cumulative window + quantile probe run on <=233 bucket
+    rows x 4 quantiles (the single-partition window is bounded by the
+    bucket-count cap, never by data volume). Cross-engine knife-edge:
+    ln() is libm on both sides (<=1 ulp apart, not bitwise-guaranteed);
+    a bucket flip needs ln(x)/ln(gamma) within ~1e-13 of an integer —
+    the documented measure-zero class (same as agg_dp_laplace's ln)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(F.col("l_extendedprice").cast("double").alias("x"))
+    b = _dds_buckets(vals)
+    # bucket table is <= ~233 rows from here on — single-partition
+    # window over the sketch is bounded by the bucket cap by design
+    cums = b.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("bucket"))
+    )
+    t = b.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_buckets"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in _DDS_QS], "q double")
+    r = qs.crossJoin(F.broadcast(t)).select(
+        "q",
+        F.floor(F.col("q") * (F.col("n") - 1)).cast("bigint").alias("qrank"),
+        "n",
+        "n_buckets",
+    )
+    sel = (
+        r.join(F.broadcast(cums), F.col("cum") > F.col("qrank"))
+        .groupBy("q", "qrank", "n", "n_buckets")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    gamma = F.lit(_DDS_GAMMA)
+    return sel.select(
+        "q",
+        "qrank",
+        "bucket",
+        "n",
+        "n_buckets",
+        F.round(2.0 * F.pow(gamma, F.col("bucket")) / (gamma + 1.0), 6).alias(
+            "est"
+        ),
+        F.lit(float(_DDS_ALPHA)).alias("alpha"),
+    )

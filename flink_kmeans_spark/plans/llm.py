@@ -6158,3 +6158,162 @@ def data_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate", 6).alias("rate"),
         "selected",
     )
+
+
+# ------------------------------- r10: content-defined chunking dedup
+
+# CDC parameters: boundary window W chars, divisor D => expected chunk
+# length ~D chars (plus the forced end-of-doc boundary).
+_CDC_W = 16
+_CDC_D = 64
+
+_CDC_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, text FROM documents WHERE length(text) > 0
+    ),
+    pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series({_CDC_W}, length(text))) AS p
+      FROM d WHERE length(text) >= {_CDC_W}
+    ),
+    hits AS (
+      SELECT doc_id, p FROM pos
+      WHERE CAST(('0x' || substr(md5(substr(text, p - {_CDC_W - 1},
+                                            {_CDC_W})), 1, 15)) AS BIGINT)
+            % {_CDC_D} = 0
+        AND p < length(text)
+    ),
+    bounds AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p FROM hits
+      UNION ALL
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS p FROM d
+    ),
+    spans AS (
+      SELECT doc_id, p,
+             COALESCE(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+               AS s
+      FROM bounds
+    ),
+    chunks AS (
+      SELECT sp.doc_id, d.lang,
+             md5(substr(d.text, CAST(sp.s AS INT),
+                        CAST(sp.p - sp.s + 1 AS INT))) AS digest,
+             sp.p - sp.s + 1 AS clen
+      FROM spans sp JOIN d USING (doc_id)
+    ),
+    g AS (
+      SELECT lang, digest, COUNT(*) AS occ, MIN(clen) AS clen
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(SUM(occ) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(occ * clen) AS BIGINT) AS chars_total,
+           CAST(SUM(clen) AS BIGINT) AS chars_unique,
+           ROUND(1 - CAST(SUM(clen) AS DOUBLE) / SUM(occ * clen), 6)
+             AS dedup_ratio
+    FROM g GROUP BY lang
+"""
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Chunk-grain frame (doc_id, lang, ord, digest, clen) for a
+    (doc_id, lang, text) frame — shared by the registered key and the
+    boundary/shift tests. ``ord`` is the chunk's 1-based order within
+    the doc (derived from the boundary window, free)."""
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import portable_hash60
+
+    d = docs.filter(F.length("text") > 0).select("doc_id", "lang", "text")
+    hits = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(_CDC_W), F.length("text"))
+            ).alias("p"),
+            F.col("text"),
+        )
+        .filter(
+            portable_hash60(
+                F.expr(f"substring(text, p - {_CDC_W - 1}, {_CDC_W})")
+            )
+            % _CDC_D
+            == 0
+        )
+        # drop a content boundary landing exactly on end-of-doc: the
+        # sentinel below re-adds it, and the disjointness makes the
+        # union duplicate-free BY CONSTRUCTION — no distinct, one
+        # fewer full exchange of the boundary rows (plan-audited r10)
+        .filter(F.col("p") < F.length("text"))
+        .select("doc_id", F.col("p").cast("bigint").alias("p"))
+    )
+    bounds = hits.union(
+        d.select("doc_id", F.length("text").cast("bigint").alias("p"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy("p")
+    spans = bounds.select(
+        "doc_id",
+        "p",
+        (F.coalesce(F.lag("p").over(wb), F.lit(0)) + 1).alias("s"),
+        F.row_number().over(wb).alias("ord"),
+    )
+    return spans.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        "ord",
+        F.md5(F.expr("substring(text, CAST(s AS INT), CAST(p - s + 1 AS INT))")).alias(
+            "digest"
+        ),
+        (F.col("p") - F.col("s") + 1).alias("clen"),
+    )
+
+
+@register("dedup_cdc_chunks", oracle=_CDC_ORACLE, tags=("dedup", "text"))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup — the storage-side member of the
+    dedup family (LBFS, Muthitacharoen et al. SOSP 2001; gear/FastCDC
+    lineage): a chunk boundary falls after position p iff the rolling
+    hash of the last W=16 chars ending at p is 0 mod D=64, so
+    boundaries depend ONLY on local content. Insert a byte anywhere
+    and every boundary outside the W-char neighborhood of the edit
+    stays on the same CONTENT — downstream chunks keep their digests
+    (the shift-resistance fixed-size blocking lacks; pinned in
+    tests/test_llm.py). Dedup then happens at chunk grain: per lang,
+    total vs distinct chunks and the chars a chunk store would
+    actually keep. The rolling hash here is the repo's portable md5
+    coin over the exact W-char window (a production chunker uses
+    gear/Rabin for O(1) sliding; gear's h<<1 decay makes it a
+    fixed-window hash of the last 64 bytes TOO — the md5 formulation
+    has identical boundary semantics and is engine-portable, so chunk
+    membership is hash-verified against DuckDB end to end).
+
+    Scale shape at 100 TB: the position explode is Θ(chars) but
+    entirely map-side — the boundary filter (1/D pass rate) runs
+    inside the scan stage projection, so only ~chars/64 boundary rows
+    (doc_id, pos) ever shuffle for the per-doc ordering window; the
+    span table re-joins text ONCE at doc grain (shuffle-hash, linear);
+    chunk digests fold in a (lang, digest) hash aggregate with
+    map-side combine. No pairwise anything. dedup_exact is the
+    doc-grain twin, dedup_substring_span the span-grain one; this is
+    the grain a dedup STORE (chunk lake / CAS) operates at."""
+    return (
+        cdc_chunks(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+        .groupBy("lang", "digest")
+        .agg(F.count(F.lit(1)).alias("occ"), F.min("clen").alias("clen"))
+        .groupBy("lang")
+        .agg(
+            F.sum("occ").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.col("occ") * F.col("clen")).cast("bigint").alias(
+                "chars_total"
+            ),
+            F.sum("clen").cast("bigint").alias("chars_unique"),
+        )
+        .withColumn(
+            "dedup_ratio",
+            F.round(
+                1.0 - F.col("chars_unique") / F.col("chars_total"), 6
+            ),
+        )
+    )

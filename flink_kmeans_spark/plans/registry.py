@@ -59,42 +59,35 @@ def _load_all() -> None:
 
 
 # Driver-verification window priority. The driver hashes only the FIRST
-# ~50 queries() entries per round. Every oracled key has green driver
-# evidence (folded CORRECTNESS_r01..r08), so rotation is pure evidence
-# REFRESH: stalest-latest-green-round first (computed by folding the
-# eight CORRECTNESS files; within a cohort, alphabetical). The rotation
-# program tracked by VERDICT r6/r7 is CLOSED (r8 verdict): no oracled
-# key's evidence is older than round 3 and the round-9 window is pure
-# round-robin — the 8 new r9 keys lead, then the 46-key d3 cohort, so
-# the ~50-key hashed window covers the newcomers and ~43 of d3 (the
-# last few d3 keys slip to round 10's window); the oldest evidence
-# still moves to round 4 for everything hashed this round.
-# New keys with no driver
-# evidence are inserted at the very front. Declared rows-only keys
-# (no_oracle in the driver) sort BELOW the oracled tail so they never
-# burn a hashed window slot. Ordering only; results are
-# order-independent (re-proved by re-running the local gate after the
-# reorder).
+# ~50 queries() entries per round. Rotation is pure evidence REFRESH:
+# new keys with no driver evidence lead, then
+# stalest-latest-green-round first (computed by folding the nine
+# CORRECTNESS files; within a cohort, alphabetical). Round-10 window
+# (per VERDICT r9 items 1+3), front to back:
+#   2 new r10 keys
+# + 11 never-driver-checked rows-only keys — deliberately spending one
+#   round's slots on them: each records a `no_oracle` row, which is
+#   driver-ENVIRONMENT execution evidence the judge noted these keys
+#   lack (their semantic oracles live in pytest and the local gate).
+#   This is a ONE-TIME rotation; afterwards they return to the
+#   below-the-tail position rows-only keys normally hold.
+# + 4 d3-vintage TPC-H keys that slipped r9's window (their latest
+#   driver hash is round 3 — the stalest oracled evidence on file)
+# + the d4 cohort (50 keys, alphabetical; the ~33 that fit the window
+#   move to r10, the tail slips to r11's window)
+# Ordering only; results are order-independent (re-proved by re-running
+# the local gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- new in round 9 — no driver evidence yet ---
-    "data_sequence_pack", "dedup_minhash_compact", "dedup_bloom_prefilter",
-    "data_temperature_mix", "agg_dp_laplace", "ts_holt_linear",
-    "sample_coreset_kmeans", "agg_ttest_welch",
-    # --- d3-vintage (46 keys; latest green driver row is round 3) ---
-    "events_funnel", "events_funnel_stages", "events_pareto_share",
-    "events_pattern_seq", "events_retention", "events_rfm",
-    "events_seasonality_heatmap", "events_session_metrics", "events_streaks",
-    "events_transitions", "events_user_paths", "graph_components",
-    "graph_components_star", "graph_link_prediction", "graph_pagerank",
-    "graph_triangles", "observe_metrics", "plan_cached_reuse",
-    "scalar_collation", "scalar_decimal", "scalar_timestamp",
-    "scalar_try_safe", "scalar_variant", "scalar_xml",
-    "scan_binary_files", "scan_csv_permissive", "scan_orc",
-    "scan_schema_evolution", "sink_partition_prune", "source_python_datasource",
-    "sql_frontdoor", "sql_recursive_cte", "table_profile",
-    "tpch_q1", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q2", "tpch_q20", "tpch_q21",
+    # --- new in round 10 — no driver evidence yet ---
+    "agg_quantile_sketch", "dedup_cdc_chunks",
+    # --- one-time rotation: rows-only keys never executed by the driver
+    #     (VERDICT r9 item 3; they record no_oracle rows = execution
+    #     evidence in the driver's own environment) ---
+    "agg_hll_sketch", "dedup_cluster_rep", "kmeans_fit_converged",
+    "recsys_als", "sim_ivf_topk", "sim_lsh_topk",
+    "sim_pq_topk", "streaming_late_data", "text_compression_ratio",
+    "text_quality_train", "text_tfidf",
+    # --- d3-vintage stragglers (latest green driver row is round 3) ---
     "tpch_q22", "tpch_q7", "tpch_q8",
     "tpch_q9",
     # --- d4-vintage (50 keys; latest green driver row is round 4) ---
@@ -187,13 +180,27 @@ _WINDOW_PRIORITY: list[str] = [
     "text_vocab", "window_analytic", "window_distribution",
     "window_first_last", "window_frame", "window_rank_variants",
     "window_sliding", "window_tumbling",
-    # --- declared rows-only keys (driver records no_oracle; keep below the
-    #     oracled tail so they never burn a hashed-window slot) ---
-    "agg_approx", "agg_hll_sketch", "dedup_cluster_rep",
-    "kmeans_datagen", "kmeans_fit_converged", "kmeans_mllib",
-    "recsys_als", "sim_ivf_topk", "sim_lsh_topk",
-    "sim_pq_topk", "streaming_late_data", "text_compression_ratio",
-    "text_quality_train", "text_tfidf",
+    # --- d9-vintage (hashed green in round 9: 42 d3-cohort keys + the
+    #     8 keys new in r9 — the freshest evidence on file) ---
+    "events_funnel", "events_funnel_stages", "events_pareto_share",
+    "events_pattern_seq", "events_retention", "events_rfm",
+    "events_seasonality_heatmap", "events_session_metrics", "events_streaks",
+    "events_transitions", "events_user_paths", "graph_components",
+    "graph_components_star", "graph_link_prediction", "graph_pagerank",
+    "graph_triangles", "observe_metrics", "plan_cached_reuse",
+    "scalar_collation", "scalar_decimal", "scalar_timestamp",
+    "scalar_try_safe", "scalar_variant", "scalar_xml",
+    "scan_binary_files", "scan_csv_permissive", "scan_orc",
+    "scan_schema_evolution", "sink_partition_prune", "source_python_datasource",
+    "sql_frontdoor", "sql_recursive_cte", "table_profile",
+    "tpch_q1", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q2", "tpch_q20", "tpch_q21",
+    "data_sequence_pack", "dedup_minhash_compact", "dedup_bloom_prefilter",
+    "data_temperature_mix", "agg_dp_laplace", "ts_holt_linear",
+    "sample_coreset_kmeans", "agg_ttest_welch",
+    # --- declared rows-only keys with driver evidence on file (r2) ---
+    "agg_approx", "kmeans_datagen", "kmeans_mllib",
 ]
 
 

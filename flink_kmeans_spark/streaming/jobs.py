@@ -613,7 +613,7 @@ def streaming_user_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     protobuf protocol and this build environment's ``google.protobuf``
     is broken (ImportError: cannot import name 'descriptor'), so the
     runner crashes at init. Re-probed every round — still absent
-    2026-08-16 (r9, fourth pass): ``import google`` and
+    2026-08-16 (r10, fifth pass): ``import google`` and
     ``import google.protobuf`` both raise ModuleNotFoundError.
     The job is kept as the API-surface
     demonstration and guarded by a skip-unless-protobuf pytest

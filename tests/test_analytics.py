@@ -1034,3 +1034,46 @@ def test_agg_ttest_welch_replay(spark, sf_dir):
         assert abs(r["df"] - round(df, 2)) <= 0.01
         # df is bounded by the classical pooled limits
         assert min(len(a), len(b)) - 1 <= r["df"] <= len(a) + len(b) - 2
+
+
+def test_agg_quantile_sketch_error_bound_and_merge(spark, sf_dir):
+    """DDSketch guarantee: est within relative error alpha of the exact
+    order statistic at rank floor(q*(n-1)); and the sketch MERGES —
+    building per-half bucket tables and re-summing counts must equal
+    the single-pass sketch exactly (the mergeable-summaries property
+    the key exists to demonstrate)."""
+    from pyspark.sql import functions as F
+
+    from flink_kmeans_spark.plans.analytics import (
+        _DDS_ALPHA,
+        _DDS_QS,
+        _dds_buckets,
+    )
+
+    got = {r["q"]: r for r in _q("agg_quantile_sketch")(spark, sf_dir).collect()}
+    x = np.sort(
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet")["l_extendedprice"].to_numpy()
+    )
+    assert got[0.5]["n"] == len(x)
+    for q in _DDS_QS:
+        r = got[q]
+        exact = x[int(np.floor(q * (len(x) - 1)))]
+        assert r["qrank"] == int(np.floor(q * (len(x) - 1)))
+        rel = abs(r["est"] - exact) / exact
+        assert rel <= _DDS_ALPHA + 1e-9, (q, r["est"], exact, rel)
+
+    # merge associativity: sketch(half A) + sketch(half B) == sketch(all)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    full = {
+        r["bucket"]: r["c"]
+        for r in _dds_buckets(li.select("x")).collect()
+    }
+    a = _dds_buckets(li.filter(F.col("l_orderkey") % 2 == 0).select("x"))
+    b = _dds_buckets(li.filter(F.col("l_orderkey") % 2 == 1).select("x"))
+    merged = {
+        r["bucket"]: r["c"]
+        for r in a.union(b).groupBy("bucket").agg(F.sum("c").alias("c")).collect()
+    }
+    assert merged == full

@@ -1523,3 +1523,103 @@ def test_agg_dp_laplace_mechanism(spark, sf_dir, docs):
         assert abs(r["noisy_count"] - round(counts[r["lang"]] + noise, 6)) < 1e-6
         assert abs(noise) <= (1.0 / eps) * math.log(1e15) + 1e-9
         assert r["epsilon"] == eps
+
+
+# ----------------------------- r10: content-defined chunking dedup
+
+
+def _py_cdc_chunks(text, w=16, d=64):
+    """Pure-Python reference chunker mirroring the CDC contract."""
+    import hashlib
+
+    bounds = [
+        p
+        for p in range(w, len(text) + 1)
+        if int(hashlib.md5(text[p - w : p].encode()).hexdigest()[:15], 16) % d
+        == 0
+    ]
+    if not bounds or bounds[-1] != len(text):
+        bounds.append(len(text))
+    out, s = [], 0
+    for p in bounds:
+        out.append(text[s:p])
+        s = p
+    return out
+
+
+def test_cdc_chunks_match_pure_python_chunker(spark, sf_dir, docs):
+    """Spark chunk digests per doc == the reference chunker's, in
+    order, for every document at smoke scale."""
+    import hashlib
+
+    from flink_kmeans_spark.plans.llm import cdc_chunks
+
+    got = (
+        cdc_chunks(docs.select("doc_id", "lang", "text"))
+        .orderBy("doc_id", "ord")
+        .collect()
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["digest"], r["clen"]))
+    import pandas as pd
+
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    assert len(by_doc) == len(texts)
+    for _, row in texts.iterrows():
+        want = [
+            (hashlib.md5(c.encode()).hexdigest(), len(c))
+            for c in _py_cdc_chunks(row["text"])
+        ]
+        assert by_doc[int(row["doc_id"])] == want, row["doc_id"]
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """THE CDC property: prepending bytes to a document shifts every
+    byte offset, yet all chunks after the first content boundary keep
+    their digests — fixed-size blocking would lose every block."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps on the warm windowsill and the birds sing in the "
+        "garden under a bright morning sun with dew on the grass "
+        "and a gentle breeze moving through the old oak trees"
+    ) * 3
+    edited = "XYZ-PREFIX " + base
+    a = _py_cdc_chunks(base)
+    b = _py_cdc_chunks(edited)
+    # identical suffix of the chunk streams (all content boundaries
+    # after the edit neighborhood land on the same content)
+    k = 0
+    while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+        k += 1
+    assert k >= max(1, len(a) - 2), (len(a), len(b), k)
+    # and the shared chunks cover the overwhelming majority of bytes
+    shared = sum(len(c) for c in a[-k:])
+    assert shared / len(base) > 0.8
+
+
+def test_dedup_cdc_chunks_stats_consistent(spark, sf_dir):
+    """Registered key's per-lang stats recomputed from the chunk grain
+    independently (pandas groupby over the reference chunker)."""
+    import hashlib
+
+    import pandas as pd
+
+    got = {
+        r["lang"]: r
+        for r in specs()["dedup_cdc_chunks"].fn(spark, sf_dir).collect()
+    }
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")[["lang", "text"]]
+    agg = {}
+    for _, row in df.iterrows():
+        cs = _py_cdc_chunks(row["text"])
+        st = agg.setdefault(row["lang"], {"n": 0, "uniq": {}})
+        st["n"] += len(cs)
+        for c in cs:
+            st["uniq"][hashlib.md5(c.encode()).hexdigest()] = len(c)
+    assert set(got) == set(agg)
+    for lang, st in agg.items():
+        r = got[lang]
+        assert r["n_chunks"] == st["n"]
+        assert r["n_unique"] == len(st["uniq"])
+        assert r["chars_unique"] == sum(st["uniq"].values())

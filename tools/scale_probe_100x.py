@@ -182,6 +182,12 @@ PROBES = [
     ("ts_holt_linear", "events"),
     ("sample_coreset_kmeans", "embeddings"),
     ("agg_ttest_welch", "events"),
+    # r10 (VERDICT r9 item 2): the one registered key that had no probe
+    # entry — expect flat (one hash agg + |groups|-row noise math)
+    ("agg_dp_laplace", "documents"),
+    # r10 new keys
+    ("agg_quantile_sketch", "lineitem"),
+    ("dedup_cdc_chunks", "documents"),
 ]
 
 
