@@ -201,6 +201,7 @@ HEADLINE = [
     # round-10 keys
     "agg_quantile_sketch",
     "dedup_cdc_chunks",
+    "graph_kcore",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -3223,3 +3223,113 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(float(_DDS_ALPHA)).alias("alpha"),
     )
+
+
+# --------------------------------------------------- k-core (r10)
+
+_KCORE_K = 64
+_KCORE_R = 4
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "a0"
+    for i in range(1, _KCORE_R + 1):
+        rounds.append(
+            f"""a{i} AS (
+      SELECT u.src AS node FROM und u
+      JOIN {prev} x ON u.src = x.node
+      JOIN {prev} y ON u.dst = y.node
+      GROUP BY u.src HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+        prev = f"a{i}"
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+      WHERE a.l_partkey < c.l_partkey
+    ),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    a0 AS (SELECT DISTINCT src AS node FROM und),
+    {", ".join(rounds)}
+    SELECT u.src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM und u
+    JOIN {prev} x ON u.src = x.node
+    JOIN {prev} y ON u.dst = y.node
+    GROUP BY u.src
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "mining"))
+def graph_kcore(
+    spark: SparkSession, sf_dir: str, broadcast_nodes_max: int = 1_000_000
+) -> DataFrame:
+    """k-core decomposition (k=64) of the part co-purchase graph — the
+    classic density filter (Seidman 1983; the peel step of coreness /
+    densest-subgraph pipelines, and the dup-graph pruning step before
+    clustering a web-scale similarity graph): repeatedly delete nodes
+    with fewer than k neighbours among the survivors. Fixed R=4
+    synchronous peel rounds (the graph_pagerank / label_propagation
+    fixed-round discipline) make the state exactly SQL-expressible;
+    the fixpoint lands by round 3 at every test scale
+    (tests/test_analytics.py pins peel == the true k-core via an
+    unbounded pure-Python peel, so the 4-round state IS the k-core
+    there). Output: surviving nodes with their within-core degree.
+
+    Scale shape: edge gen is the bounded per-basket pair expansion
+    (baskets ~4 lines, linear in lineitem), checkpointed once; each
+    round semi-filters the 2|E| edge relation against the alive set —
+    broadcast while |alive| < 10^6 (the pagerank rank-vector rule),
+    shuffle-hash past it — then ONE count aggregate with map-side
+    combine; the alive set is |V| rows, orders of magnitude below the
+    edge list, and is localCheckpoint'ed per round so round r never
+    re-derives rounds 1..r-1 (the pagerank re-derivation lesson).
+    Edges never re-shuffle between broadcast rounds. Exact integer
+    counts throughout — no float tolerance anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    alive = und.select(F.col("src").alias("node")).distinct()
+    small_v = alive.count() < broadcast_nodes_max
+
+    def _deg(alive_df: DataFrame) -> DataFrame:
+        a_s = alive_df.withColumnRenamed("node", "src")
+        a_d = alive_df.withColumnRenamed("node", "dst")
+        return (
+            und.join(F.broadcast(a_s) if small_v else a_s, "src")
+            .join(F.broadcast(a_d) if small_v else a_d, "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    for _ in range(_KCORE_R):
+        alive = (
+            _deg(alive)
+            .filter(F.col("core_deg") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    return _deg(alive).select(
+        F.col("src").alias("part_id"), F.col("core_deg").cast("bigint").alias("core_deg")
+    )

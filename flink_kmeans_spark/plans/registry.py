@@ -79,7 +79,7 @@ def _load_all() -> None:
 # the local gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
     # --- new in round 10 — no driver evidence yet ---
-    "agg_quantile_sketch", "dedup_cdc_chunks",
+    "agg_quantile_sketch", "dedup_cdc_chunks", "graph_kcore",
     # --- one-time rotation: rows-only keys never executed by the driver
     #     (VERDICT r9 item 3; they record no_oracle rows = execution
     #     evidence in the driver's own environment) ---

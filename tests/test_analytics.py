@@ -1077,3 +1077,55 @@ def test_agg_quantile_sketch_error_bound_and_merge(spark, sf_dir):
         for r in a.union(b).groupBy("bucket").agg(F.sum("c").alias("c")).collect()
     }
     assert merged == full
+
+
+def test_graph_kcore_matches_unbounded_python_peel(spark, sf_dir):
+    """The registered 4-round peel state must equal the TRUE k-core
+    (unbounded pure-Python peel to fixpoint), node set AND within-core
+    degrees — proving R=4 covers the fixpoint at this scale."""
+    from flink_kmeans_spark.plans.analytics import _KCORE_K
+
+    got = {
+        r["part_id"]: r["core_deg"]
+        for r in _q("graph_kcore")(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    adj = {}
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(grp["l_partkey"].unique())
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        nxt = {u for u in alive if sum(1 for v in adj[u] if v in alive) >= _KCORE_K}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {
+        int(u): sum(1 for v in adj[u] if v in alive) for u in alive
+    }
+    assert got == want
+    # and the peel actually removed something (the key is not a no-op)
+    assert len(alive) < len(adj)
+
+
+def test_graph_kcore_shuffle_branch_bit_identical(spark, sf_dir):
+    """The >=10^6-node shuffle branch of graph_kcore (the one a 100 TB
+    graph runs) must produce the same exact-integer answer as the
+    broadcast branch — the same discipline as
+    test_graph_shuffle_branch_bit_identical."""
+    from flink_kmeans_spark.plans.analytics import graph_kcore
+
+    bc = sorted(
+        (r["part_id"], r["core_deg"])
+        for r in graph_kcore(spark, sf_dir).collect()
+    )
+    sh = sorted(
+        (r["part_id"], r["core_deg"])
+        for r in graph_kcore(spark, sf_dir, broadcast_nodes_max=0).collect()
+    )
+    assert bc == sh and bc

@@ -618,3 +618,32 @@ def test_semantic_kmeans_pair_join_salted(spark, sf_dir):
     m = re.search(r"SortMergeJoin \[cid#\d+, jb#\d+L?\], \[cid#\d+, jb#\d+L?\]", plan)
     bcast = re.search(r"BroadcastHashJoin \[cid#\d+, jb#\d+L?\]", plan)
     assert m or bcast, "pair join equi-key is not (cid, jb)"
+
+
+def test_quantile_sketch_bucket_grain_aggregate(spark, sf_dir):
+    """The DDSketch build must be ONE hash aggregate at bucket grain
+    with a map-side partial (the mergeable-summaries shape) — no sort
+    of the value column, no window over raw rows."""
+    plan = plan_of(specs()["agg_quantile_sketch"].fn(spark, sf_dir))
+    # partial + final aggregate pair on the bucket key
+    assert plan.count("HashAggregate") >= 2
+    # the only Sort is the <=233-row cumulative window over the sketch,
+    # never a rangepartitioning (global sort) of lineitem rows
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cdc_chunks_boundary_filter_is_map_side(spark, sf_dir):
+    """dedup_cdc_chunks' position explode must stay map-side: the
+    1/64 boundary filter runs in the same stage as the Generate, BEFORE
+    any exchange — the corpus never shuffles at position grain."""
+    plan = plan_of(specs()["dedup_cdc_chunks"].fn(spark, sf_dir))
+    # tree printing is parent-first: the boundary Filter (parent) prints
+    # BEFORE its Generate child, and no Exchange may sit between them —
+    # that is exactly "the filter runs in the Generate's stage"
+    flt = plan.index("% 64) = 0")
+    gen = plan.index("Generate explode")
+    assert flt < gen, "boundary filter is not the Generate's parent"
+    assert "Exchange" not in plan[flt:gen]
+    # no pairwise anything
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

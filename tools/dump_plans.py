@@ -81,6 +81,10 @@ SHOWCASE = [
     ("ts_holt_linear", "one map-side bucket count; recursion at series grain inside FlatMapGroupsInPandas"),
     ("sample_coreset_kmeans", "two corpus passes (mean, d2-checkpoint); selection map-side, no point-grain shuffle"),
     ("agg_ttest_welch", "both arms' moments in ONE conditional hash aggregate; no arm join"),
+    # round-10 additions
+    ("agg_quantile_sketch", "bucket-grain partial+final hash agg; window/probe touch <=233 sketch rows"),
+    ("dedup_cdc_chunks", "boundary filter map-side in the Generate stage; disjoint union, no distinct exchange"),
+    ("graph_kcore", "per-round alive set broadcast into the checkpointed edge relation; one count agg per peel"),
 ]
 
 

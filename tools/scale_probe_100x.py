@@ -188,6 +188,7 @@ PROBES = [
     # r10 new keys
     ("agg_quantile_sketch", "lineitem"),
     ("dedup_cdc_chunks", "documents"),
+    ("graph_kcore", "lineitem"),
 ]
 
 
