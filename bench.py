@@ -202,6 +202,7 @@ HEADLINE = [
     "agg_quantile_sketch",
     "dedup_cdc_chunks",
     "graph_kcore",
+    "streaming_quantile_sketch",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -3189,7 +3189,13 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented measure-zero class (same as agg_dp_laplace's ln)."""
     li = load_table(spark, sf_dir, "lineitem")
     vals = li.select(F.col("l_extendedprice").cast("double").alias("x"))
-    b = _dds_buckets(vals)
+    return _dds_quantiles(spark, _dds_buckets(vals))
+
+
+def _dds_quantiles(spark: SparkSession, b: DataFrame) -> DataFrame:
+    """Quantile probe over a DDSketch bucket table (bucket, c) — shared
+    by the batch key and its streaming-ledger twin, so streaming ≡
+    batch is equality of the merged sketch by construction."""
     # bucket table is <= ~233 rows from here on — single-partition
     # window over the sketch is bounded by the bucket cap by design
     cums = b.withColumn(
@@ -3223,6 +3229,122 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(float(_DDS_ALPHA)).alias("alpha"),
     )
+
+
+@register(
+    "streaming_quantile_sketch", oracle=_DDS_ORACLE, tags=("streaming", "sketch")
+)
+def streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING percentiles — the DDSketch ledger (the production use
+    of a mergeable sketch: per-micro-batch partial sketches fold into a
+    persistent store, and any reader merges them into exact-sketch
+    quantiles without touching raw history). lineitem arrives as three
+    l_orderkey-sharded parquet files drained one per micro-batch; each
+    batch writes ITS OWN bucket-count partial to a per-batch_id dir
+    with overwrite (idempotent under foreachBatch's at-least-once
+    retries); the final merge sums counts per bucket — an associative/
+    commutative monoid, so the answer is identical whatever order
+    batches arrive or retry in — and the quantile probe is the SAME
+    code path as agg_quantile_sketch. The oracle is the batch key's
+    full-corpus SQL, so a hash match PROVES streaming ledger ≡ batch
+    sketch ≡ DuckDB.
+
+    Scale shape at 100 TB: each arriving batch pays one map-side
+    bucket aggregate over its own rows (never rescans the corpus); the
+    ledger holds <=233 rows per batch; merge + probe touch ledger rows
+    only. This is the streaming twin the mergeable-summaries design
+    exists for — chained aggregation (per-batch partials, then
+    bucket-grain merge) decomposed through foreachBatch exactly like
+    streaming_minhash_dedup (plans/llm.py)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..session import (
+        PHASE_WALLS,
+        ensure_conf,
+        protect_scratch,
+        prune_scratch,
+    )
+
+    ensure_conf(spark)
+    _t_scaffold = _time.time()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    schema = li.schema
+    base = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch",
+    )
+    os.makedirs(base, exist_ok=True)
+    prune_scratch(base)
+    root = tempfile.mkdtemp(prefix="dds_stream_", dir=base)
+    protect_scratch(root)
+    landing = os.path.join(root, "landing")
+    ledger = os.path.join(root, "ledger")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+    # three arrival shards in ONE corpus pass (the streaming_minhash_dedup
+    # scaffold shape: range-repartition puts each shard in exactly one
+    # task -> one part file per shard dir, renamed with increasing mtimes
+    # so maxFilesPerTrigger=1 drains them as ordered micro-batches)
+    tmp = os.path.join(root, "shard_build")
+    (
+        li.withColumn("shard", F.pmod(F.col("l_orderkey"), F.lit(3)))
+        .repartitionByRange(3, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tmp)
+    )
+    for s in range(3):
+        sdir = os.path.join(tmp, f"shard={s}")
+        parts = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+        if len(parts) != 1:
+            raise RuntimeError(
+                f"streaming_quantile_sketch: shard {s} wrote {len(parts)} "
+                "part files; expected exactly 1"
+            )
+        dst = os.path.join(landing, f"shard{s}.parquet")
+        os.replace(os.path.join(sdir, parts[0]), dst)
+        os.utime(dst, (1_000_000_000.0 + s * 100, 1_000_000_000.0 + s * 100))
+    shutil.rmtree(tmp)
+    _t_drain = _time.time()
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _dds_buckets(batch_df.select("x")).write.mode("overwrite").parquet(
+            f"{ledger}/batch={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", 120))
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming_quantile_sketch did not drain shards in {timeout_sec}s"
+        )
+    q.stop()
+    PHASE_WALLS["streaming_quantile_sketch"] = {
+        "scaffold_s": round(_t_drain - _t_scaffold, 3),
+        "drain_s": round(_time.time() - _t_drain, 3),
+    }
+    led = spark.read.option("recursiveFileLookup", "true").parquet(ledger)
+    merged = led.groupBy("bucket").agg(F.sum("c").alias("c"))
+    return _dds_quantiles(spark, merged)
 
 
 # --------------------------------------------------- k-core (r10)

@@ -179,3 +179,29 @@ def test_streaming_cdc_apply_generations_and_batch_parity(spark, sf_dir):
     n_dels = orders.filter("o_orderkey % 17 = 0").count()
     g0 = spark.read.parquet(os.path.join(state, "gen=0")).count()
     assert g0 == n_orders - n_dels
+
+
+def test_streaming_quantile_sketch_ledger_equals_batch(spark, sf_dir):
+    """The streamed DDSketch ledger must produce EXACTLY the batch
+    key's rows (same quantiles, ranks, buckets, estimates), and the
+    ledger must hold one partial per micro-batch (3 shards drained
+    one file per trigger)."""
+    import glob
+    import os
+
+    from flink_kmeans_spark.plans.registry import specs
+
+    got = sorted(
+        tuple(r) for r in specs()["streaming_quantile_sketch"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in specs()["agg_quantile_sketch"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) == 4
+    roots = sorted(
+        glob.glob(os.path.join(SCRATCH_DIR, "dds_stream_*")),
+        key=os.path.getmtime,
+    )
+    assert roots, "sketch stream left no scratch root"
+    batches = glob.glob(os.path.join(roots[-1], "ledger", "batch=*"))
+    assert len(batches) == 3

@@ -189,6 +189,7 @@ PROBES = [
     ("agg_quantile_sketch", "lineitem"),
     ("dedup_cdc_chunks", "documents"),
     ("graph_kcore", "lineitem"),
+    ("streaming_quantile_sketch", "lineitem"),
 ]
 
 
