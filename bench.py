@@ -203,6 +203,7 @@ HEADLINE = [
     "dedup_cdc_chunks",
     "graph_kcore",
     "streaming_quantile_sketch",
+    "dedup_cdc_incremental",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

@@ -6167,8 +6167,10 @@ def data_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDC_W = 16
 _CDC_D = 64
 
-_CDC_ORACLE = f"""
-    WITH d AS (
+# shared chunking CTE chain (doc -> boundary positions -> chunks) used
+# by the full-corpus key and the incremental chunk-store twin — one
+# definition so the two oracles cannot drift apart
+_CDC_CTE = f"""d AS (
       SELECT doc_id, lang, text FROM documents WHERE length(text) > 0
     ),
     pos AS (
@@ -6200,7 +6202,10 @@ _CDC_ORACLE = f"""
                         CAST(sp.p - sp.s + 1 AS INT))) AS digest,
              sp.p - sp.s + 1 AS clen
       FROM spans sp JOIN d USING (doc_id)
-    ),
+    )"""
+
+_CDC_ORACLE = f"""
+    WITH {_CDC_CTE},
     g AS (
       SELECT lang, digest, COUNT(*) AS occ, MIN(clen) AS clen
       FROM chunks GROUP BY 1, 2
@@ -6315,5 +6320,173 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 1.0 - F.col("chars_unique") / F.col("chars_total"), 6
             ),
+        )
+    )
+
+
+_CDC_INC_ORACLE = f"""
+    WITH {_CDC_CTE},
+    base AS (SELECT DISTINCT digest FROM chunks WHERE doc_id % 3 <> 0),
+    delta AS (SELECT * FROM chunks WHERE doc_id % 3 = 0),
+    flagged AS (
+      SELECT del.lang, del.digest, del.clen,
+             (b.digest IS NOT NULL) AS known
+      FROM delta del LEFT JOIN base b USING (digest)
+    ),
+    newu AS (
+      SELECT lang, digest, MIN(clen) AS clen
+      FROM flagged WHERE NOT known GROUP BY 1, 2
+    ),
+    occ AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(COUNT(*) FILTER (known) AS BIGINT) AS n_known,
+             CAST(SUM(clen) AS BIGINT) AS chars_total
+      FROM flagged GROUP BY 1
+    )
+    SELECT o.lang, o.n_chunks, o.n_known,
+           CAST(COALESCE(n.cnt, 0) AS BIGINT) AS n_new_unique,
+           o.chars_total,
+           CAST(COALESCE(n.chars, 0) AS BIGINT) AS chars_new,
+           ROUND(1 - CAST(COALESCE(n.chars, 0) AS DOUBLE) / o.chars_total, 6)
+             AS ingest_dedup_ratio
+    FROM occ o LEFT JOIN (
+      SELECT lang, COUNT(*) AS cnt, SUM(clen) AS chars FROM newu GROUP BY 1
+    ) n USING (lang)
+"""
+
+
+@register(
+    "dedup_cdc_incremental", oracle=_CDC_INC_ORACLE, tags=("dedup", "text")
+)
+def dedup_cdc_incremental(
+    spark: SparkSession, sf_dir: str, on_base_built=None
+) -> DataFrame:
+    """INCREMENTAL chunk-store ingest — dedup_cdc_chunks' delta twin
+    and the actual production shape of CDC dedup (a backup / CAS chunk
+    store ingesting a new batch): the corpus's chunk digests persist as
+    a digest-BUCKETED index table (bucketBy 16, the
+    dedup_minhash_incremental layout); a delta batch (doc_id % 3 == 0)
+    chunks ITS OWN documents only, probes the store with one
+    digest-grain join, and appends only the chunks the store has never
+    seen — base index files are never rewritten (byte-identical,
+    pytest-pinned). Output: per-lang ingest accounting — how many of
+    the batch's chunk occurrences the store already had, and how many
+    chars it actually writes (THE storage-dedup KPI). The DuckDB
+    oracle recomputes base/delta/membership from scratch, so a hash
+    match proves probe-against-persisted-index ≡ full recompute.
+
+    Scale shape at 100 TB: the delta pays exactly its own chunking
+    cost (map-side boundary filter, never rescans corpus TEXT); the
+    probe shuffles ONLY the delta's digest rows into the store's
+    bucket layout — the executed join carries a single Exchange (the
+    delta side; plan-pinned in tests/test_plans.py) while the index
+    scan stays exchange-free; the append writes new per-bucket files
+    only. Within-batch repeats of a new digest count once in
+    chars_new (the store writes one copy), mirroring the per-lang
+    distinct convention of dedup_cdc_chunks."""
+    import hashlib
+    import os
+
+    ensure = __import__(
+        "flink_kmeans_spark.session", fromlist=["ensure_conf"]
+    ).ensure_conf
+    ensure(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    ch = cdc_chunks(docs).localCheckpoint(eager=False)
+    base = ch.filter(F.col("doc_id") % 3 != 0).select("digest").distinct()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8] + f"_{os.getpid()}"
+    tbl = f"cdc_inc_{tag}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    idx_path = os.path.join(repo_root, ".index", tbl)
+    _gc_stale_index_tags(spark, "cdc_inc_", tbl, min_age_s=3600)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import shutil
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    (
+        base.write.bucketBy(16, "digest")
+        .mode("overwrite")
+        .option("path", idx_path)
+        .saveAsTable(tbl)
+    )
+    if on_base_built is not None:
+        # test hook (the _mh_inc_build pattern): snapshot the base
+        # generation's files BETWEEN the two writes so immutability
+        # under the append is provable, not asserted on faith
+        on_base_built(idx_path)
+    # delta chunks land as FILES (the arrival boundary a real ingest
+    # has), then a clone session with broadcast off probes the store —
+    # forcing the >=100 TB plan where the bucketed index never
+    # re-shuffles and only the delta crosses the wire
+    delta_path = f"{idx_path}_delta"
+    ch.filter(F.col("doc_id") % 3 == 0).select(
+        "lang", "digest", "clen"
+    ).write.mode("overwrite").parquet(delta_path)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    idx = s2.table(tbl).withColumn("known_flag", F.lit(1))
+    delta = s2.read.parquet(delta_path)
+    probe = delta.join(idx, "digest", "left").select(
+        "lang",
+        "digest",
+        "clen",
+        F.col("known_flag").isNotNull().alias("known"),
+    )
+    # the 100 TB contract, asserted in the hot path (the checkpoint
+    # below truncates lineage, so a post-hoc plan test could not see
+    # this join): exactly ONE Exchange — the delta side shuffling into
+    # the store's bucket layout; the bucketed index scan re-shuffles
+    # NOTHING however large the store grows
+    probe_plan = probe._jdf.queryExecution().executedPlan().toString()
+    if probe_plan.count("Exchange hashpartitioning") != 1:
+        raise RuntimeError(
+            "dedup_cdc_incremental: expected exactly 1 Exchange (delta "
+            "side) in the store probe; the bucketed index must not "
+            f"re-shuffle. Plan:\n{probe_plan[:2000]}"
+        )
+    # EAGER checkpoint BEFORE the append below: the probe must pin the
+    # store's pre-ingest state — a lazy plan would re-read the table
+    # after the append and find every delta digest "known" (caught by
+    # the oracle gate on the first registration attempt)
+    flagged = probe.localCheckpoint(eager=True)
+    newu = (
+        flagged.filter(~F.col("known"))
+        .groupBy("lang", "digest")
+        .agg(F.min("clen").alias("clen"))
+    )
+    # the append a real store performs: new distinct digests, same
+    # bucket spec -> new per-bucket files only (immutability of the
+    # base files is pytest-pinned)
+    newu.select("digest").distinct().write.bucketBy(16, "digest").mode(
+        "append"
+    ).option("path", idx_path).saveAsTable(tbl)
+    occ = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.count(F.when(F.col("known"), 1)).cast("bigint").alias("n_known"),
+        F.sum("clen").cast("bigint").alias("chars_total"),
+    )
+    newagg = newu.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_unique"),
+        F.sum("clen").cast("bigint").alias("chars_new"),
+    )
+    return (
+        occ.join(newagg, "lang", "left")
+        .select(
+            "lang",
+            "n_chunks",
+            "n_known",
+            F.coalesce("n_new_unique", F.lit(0)).cast("bigint").alias(
+                "n_new_unique"
+            ),
+            "chars_total",
+            F.coalesce("chars_new", F.lit(0)).cast("bigint").alias("chars_new"),
+            F.round(
+                1.0
+                - F.coalesce("chars_new", F.lit(0)) / F.col("chars_total"),
+                6,
+            ).alias("ingest_dedup_ratio"),
         )
     )

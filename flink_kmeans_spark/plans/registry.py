@@ -80,7 +80,7 @@ def _load_all() -> None:
 _WINDOW_PRIORITY: list[str] = [
     # --- new in round 10 — no driver evidence yet ---
     "agg_quantile_sketch", "dedup_cdc_chunks", "graph_kcore",
-    "streaming_quantile_sketch",
+    "streaming_quantile_sketch", "dedup_cdc_incremental",
     # --- one-time rotation: rows-only keys never executed by the driver
     #     (VERDICT r9 item 3; they record no_oracle rows = execution
     #     evidence in the driver's own environment) ---

@@ -1623,3 +1623,96 @@ def test_dedup_cdc_chunks_stats_consistent(spark, sf_dir):
         assert r["n_chunks"] == st["n"]
         assert r["n_unique"] == len(st["uniq"])
         assert r["chars_unique"] == sum(st["uniq"].values())
+
+
+def test_dedup_cdc_incremental_mechanics(spark, sf_dir):
+    """(a) the ingest append leaves base index files untouched
+    (snapshot between the writes via the build hook), (b) the per-lang
+    accounting matches an independent pandas replay of the reference
+    chunker, (c) the store after ingest holds exactly the full
+    corpus's distinct chunk digests."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from flink_kmeans_spark.plans.llm import dedup_cdc_incremental
+
+    snapshot = {}
+
+    def walk_sig(path):
+        return {
+            os.path.join(dp, f): (
+                os.path.getsize(os.path.join(dp, f)),
+                os.path.getmtime(os.path.join(dp, f)),
+            )
+            for dp, _, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        }
+
+    state = {}
+
+    def snap(path):
+        state["idx_path"] = path
+        snapshot.update(walk_sig(path))
+
+    got = {
+        r["lang"]: r
+        for r in dedup_cdc_incremental(spark, sf_dir, on_base_built=snap).collect()
+    }
+    # (a) base files byte-untouched after the append
+    after = walk_sig(state["idx_path"])
+    for p, sig in snapshot.items():
+        assert after.get(p) == sig, f"base index file rewritten: {p}"
+    assert len(after) > len(snapshot), "append wrote no new files"
+
+    # (b) pandas replay of the accounting
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "text"]
+    ]
+    base_digests, all_digests = set(), set()
+    for _, row in df.iterrows():
+        cs = [
+            hashlib.md5(c.encode()).hexdigest()
+            for c in _py_cdc_chunks(row["text"])
+        ]
+        all_digests.update(cs)
+        if row["doc_id"] % 3 != 0:
+            base_digests.update(cs)
+    # second pass: known-ness is vs the COMPLETE base store, not
+    # arrival order
+    agg = {}
+    for _, row in df.iterrows():
+        if row["doc_id"] % 3 != 0:
+            continue
+        cs = [
+            (hashlib.md5(c.encode()).hexdigest(), len(c))
+            for c in _py_cdc_chunks(row["text"])
+        ]
+        st = agg.setdefault(
+            row["lang"], {"n": 0, "known": 0, "chars": 0, "new": {}}
+        )
+        for d, ln in cs:
+            st["n"] += 1
+            st["chars"] += ln
+            if d in base_digests:
+                st["known"] += 1
+            else:
+                st["new"][d] = ln
+    assert set(got) == set(agg)
+    for lang, st in agg.items():
+        r = got[lang]
+        assert (r["n_chunks"], r["n_known"], r["chars_total"]) == (
+            st["n"], st["known"], st["chars"]
+        )
+        assert r["n_new_unique"] == len(st["new"])
+        assert r["chars_new"] == sum(st["new"].values())
+
+    # (c) the store now holds exactly the corpus's distinct digests
+    stored = set(
+        pd.concat(
+            [pd.read_parquet(p) for p in after], ignore_index=True
+        )["digest"]
+    )
+    assert stored == all_digests

@@ -85,6 +85,7 @@ SHOWCASE = [
     ("agg_quantile_sketch", "bucket-grain partial+final hash agg; window/probe touch <=233 sketch rows"),
     ("dedup_cdc_chunks", "boundary filter map-side in the Generate stage; disjoint union, no distinct exchange"),
     ("graph_kcore", "per-round alive set broadcast into the checkpointed edge relation; one count agg per peel"),
+    ("dedup_cdc_incremental", "per-lang accounting over the checkpointed probe; single delta-side Exchange asserted in-key"),
 ]
 
 

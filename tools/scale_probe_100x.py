@@ -190,6 +190,7 @@ PROBES = [
     ("dedup_cdc_chunks", "documents"),
     ("graph_kcore", "lineitem"),
     ("streaming_quantile_sketch", "lineitem"),
+    ("dedup_cdc_incremental", "documents"),
 ]
 
 
