@@ -204,6 +204,7 @@ HEADLINE = [
     "graph_kcore",
     "streaming_quantile_sketch",
     "dedup_cdc_incremental",
+    "sample_weighted_reservoir",
 ]
 
 # best-of-3: run 1 pays one-time codegen + Python-worker spin-up, run 2

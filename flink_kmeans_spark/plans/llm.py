@@ -6490,3 +6490,77 @@ def dedup_cdc_incremental(
             ).alias("ingest_dedup_ratio"),
         )
     )
+
+
+# ----------------------- r10: weighted reservoir sampling (A-ExpJ/A-Res)
+
+_WRS_K = 100
+_WRS_TWO60 = float(1 << 60)
+
+_WRS_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS weight,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wrs'),
+                                   1, 15)) AS BIGINT) + 0.5)
+               / {_WRS_TWO60!r} AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, weight,
+           ROUND(ln(u) / weight, 10) AS wkey
+    FROM w
+    ORDER BY ln(u) / weight DESC, doc_id
+    LIMIT {_WRS_K}
+"""
+
+
+@register(
+    "sample_weighted_reservoir", oracle=_WRS_ORACLE, tags=("sampling", "text")
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-Res key construction — what 'sample 100
+    documents proportionally to length/quality weight' actually
+    requires; sample_reservoir_group is the UNWEIGHTED per-stratum
+    twin): each item draws u ~ U(0,1) and ranks by u^(1/w) — here by
+    the monotone-equivalent ln(u)/w, avoiding pow — and the global
+    top-k by that key IS a weight-proportional sample without
+    replacement. The draw is the repo's deterministic md5 coin
+    ((hash60(doc_id#wrs)+0.5)/2^60, never 0 so ln is finite), making
+    selection, order, and keys hash-verified cross-engine; the
+    E-S inclusion-probability law is pinned by pytest over the
+    closed-form exponential formulation.
+
+    Scale shape at 100 TB: the key is computed map-side in the scan
+    stage projection and the selection is a TakeOrderedAndProject —
+    every task forwards at most k rows, no global sort, no shuffle
+    beyond the k-row reduction (the sort_limit discipline). This is
+    the one-pass distributed-reservoir construction the paper gives:
+    per-partition top-k keys merge by taking the top-k of the union —
+    exactly what TakeOrderedAndProject executes. Knife-edge: ln is
+    libm on both engines over bit-identical operands — a selection
+    flip at the k-th boundary needs two keys within ~1 ulp (the
+    documented coin-threshold class); wkey rounds at 10 dp."""
+    from ..functions.hashing import portable_hash60
+
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = (
+        portable_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit("#wrs"))
+        ).cast("double")
+        + 0.5
+    ) / F.lit(_WRS_TWO60)
+    w = F.col("n_chars").cast("double")
+    lnk = F.log(u) / w
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            w.alias("weight"),
+            lnk.alias("_lnk"),
+        )
+        .orderBy(F.col("_lnk").desc(), "doc_id")
+        .limit(_WRS_K)
+        .select(
+            "doc_id", "lang", "weight", F.round("_lnk", 10).alias("wkey")
+        )
+    )

@@ -64,7 +64,7 @@ def _load_all() -> None:
 # stalest-latest-green-round first (computed by folding the nine
 # CORRECTNESS files; within a cohort, alphabetical). Round-10 window
 # (per VERDICT r9 items 1+3), front to back:
-#   2 new r10 keys
+#   6 new r10 keys
 # + 11 never-driver-checked rows-only keys — deliberately spending one
 #   round's slots on them: each records a `no_oracle` row, which is
 #   driver-ENVIRONMENT execution evidence the judge noted these keys
@@ -73,7 +73,7 @@ def _load_all() -> None:
 #   below-the-tail position rows-only keys normally hold.
 # + 4 d3-vintage TPC-H keys that slipped r9's window (their latest
 #   driver hash is round 3 — the stalest oracled evidence on file)
-# + the d4 cohort (50 keys, alphabetical; the ~33 that fit the window
+# + the d4 cohort (50 keys, alphabetical; the ~29 that fit the window
 #   move to r10, the tail slips to r11's window)
 # Ordering only; results are order-independent (re-proved by re-running
 # the local gate after the reorder).
@@ -81,6 +81,7 @@ _WINDOW_PRIORITY: list[str] = [
     # --- new in round 10 — no driver evidence yet ---
     "agg_quantile_sketch", "dedup_cdc_chunks", "graph_kcore",
     "streaming_quantile_sketch", "dedup_cdc_incremental",
+    "sample_weighted_reservoir",
     # --- one-time rotation: rows-only keys never executed by the driver
     #     (VERDICT r9 item 3; they record no_oracle rows = execution
     #     evidence in the driver's own environment) ---

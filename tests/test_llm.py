@@ -1716,3 +1716,55 @@ def test_dedup_cdc_incremental_mechanics(spark, sf_dir):
         )["digest"]
     )
     assert stored == all_digests
+
+
+def test_sample_weighted_reservoir_replay_and_es_law(spark, sf_dir):
+    """(a) exact numpy/hashlib replay of the deterministic A-Res
+    selection; (b) the Efraimidis-Spirakis inclusion law — over many
+    independent coins (salts), P(doc wins top-1) tracks w/sum(w) — on
+    a small pure-Python replica, so the construction (not just the
+    plumbing) is pinned."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from flink_kmeans_spark.plans.llm import _WRS_K, _WRS_TWO60
+
+    got = [
+        (r["doc_id"], r["lang"], r["weight"], r["wkey"])
+        for r in specs()["sample_weighted_reservoir"].fn(spark, sf_dir).collect()
+    ]
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "n_chars"]
+    ]
+    df = df[df.n_chars > 0]
+
+    def coin(doc_id, salt="#wrs"):
+        h = int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:15], 16)
+        return (h + 0.5) / _WRS_TWO60
+
+    rows = [
+        (int(r.doc_id), r.lang, float(r.n_chars),
+         math.log(coin(int(r.doc_id))) / float(r.n_chars))
+        for r in df.itertuples()
+    ]
+    rows.sort(key=lambda t: (-t[3], t[0]))
+    want = [(d, l, w, round(k, 10)) for d, l, w, k in rows[:_WRS_K]]
+    assert got == want
+
+    # (b) inclusion law on a tiny replica: 4 items, weights 1/2/3/4 —
+    # the top-1 win rate over 4000 salts must track w/sum(w)
+    weights = {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    wins = {i: 0 for i in weights}
+    trials = 4000
+    for t in range(trials):
+        best, best_k = None, -float("inf")
+        for i, w in weights.items():
+            k = math.log(coin(i, salt=f"#t{t}")) / w
+            if k > best_k:
+                best, best_k = i, k
+        wins[best] += 1
+    tot_w = sum(weights.values())
+    for i, w in weights.items():
+        assert abs(wins[i] / trials - w / tot_w) < 0.03, (i, wins)

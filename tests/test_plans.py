@@ -647,3 +647,11 @@ def test_cdc_chunks_boundary_filter_is_map_side(spark, sf_dir):
     # no pairwise anything
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
+    """A-Res selection must be a TakeOrderedAndProject (every task
+    forwards <= k rows), never a global sort of the corpus."""
+    plan = plan_of(specs()["sample_weighted_reservoir"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

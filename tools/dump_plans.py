@@ -86,6 +86,7 @@ SHOWCASE = [
     ("dedup_cdc_chunks", "boundary filter map-side in the Generate stage; disjoint union, no distinct exchange"),
     ("graph_kcore", "per-round alive set broadcast into the checkpointed edge relation; one count agg per peel"),
     ("dedup_cdc_incremental", "per-lang accounting over the checkpointed probe; single delta-side Exchange asserted in-key"),
+    ("sample_weighted_reservoir", "A-Res key map-side in the scan stage; global top-k is TakeOrderedAndProject"),
 ]
 
 

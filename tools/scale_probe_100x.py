@@ -191,6 +191,7 @@ PROBES = [
     ("graph_kcore", "lineitem"),
     ("streaming_quantile_sketch", "lineitem"),
     ("dedup_cdc_incremental", "documents"),
+    ("sample_weighted_reservoir", "documents"),
 ]
 
 
