@@ -10,6 +10,11 @@ Python-worker spin-up, which a long-lived cluster amortizes away.
 Execution is forced with the noop sink (full computation, no collect
 / output-encoding cost) except K-Means fit, whose driver loop is the
 measured artifact itself.
+
+Coverage: the curated HEADLINE set runs best-of-N with cold + steady
+columns; every OTHER registry key runs one pass (cold wall) so the
+artifact has a number for all registered keys (disable the tail with
+SPARK_GRAFT_BENCH_TAIL=0 while iterating).
 """
 
 from __future__ import annotations
@@ -237,27 +242,56 @@ def main() -> None:
     queries = QUERIES()
 
     timings: dict[str, float] = {}
+    # Cold (first-run) wall per key alongside the steady-state best
+    # (VERDICT r10 item 5): a real cluster DOES pay the cold path on
+    # its first query after deploy — recording both keeps cold-path
+    # regressions visible instead of minimized away by best-of-N.
+    cold: dict[str, float] = {}
     # Host-load fingerprint (VERDICT r9 item 8): record 1-min loadavg at
     # each key's sample time so a future regression separates "the code
     # got slower" from "the box was busy" without re-runs (r9's artifact
     # needed a merged third pass because the host ran ~1.4x slow all day).
+    # ADVICE r10: sampling only BEFORE each sub-second run mostly
+    # measured the previous keys' load — sample after each run too, and
+    # bracket the whole suite with pre/post loadavg so suite-level
+    # contention is distinguishable from key-level.
     load_at: dict[str, float] = {}
-    for key in HEADLINE:
-        fn = queries[key]
-        best = float("inf")
-        load = 0.0
-        for _ in range(GATED_RUNS if key in GATED else RUNS):
-            load = max(load, os.getloadavg()[0])
+    load_pre_suite = round(os.getloadavg()[0], 2)
+
+    def timed(key, fn, runs):
+        best, first, load = float("inf"), None, os.getloadavg()[0]
+        for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            load = max(load, os.getloadavg()[0])
+            if first is None:
+                first = dt
+            best = min(best, dt)
         timings[key] = round(best, 4)
+        cold[key] = round(first, 4)
         load_at[key] = round(load, 2)
-        print(f"[bench] {key}: {timings[key]:.3f}s (load {load:.1f})",
-              file=sys.stderr, flush=True)
+        print(
+            f"[bench] {key}: {timings[key]:.3f}s "
+            f"(cold {cold[key]:.3f}s, load {load:.1f})",
+            file=sys.stderr, flush=True,
+        )
 
-    total = round(sum(timings.values()), 4)
+    for key in HEADLINE:
+        timed(key, queries[key], GATED_RUNS if key in GATED else RUNS)
+
+    # Long tail (VERDICT r10 item 4): every registry key not in the
+    # curated headline set gets ONE pass, so the artifact carries a
+    # wall for all registered keys — no family is bench-invisible.
+    # Opt-out via SPARK_GRAFT_BENCH_TAIL=0 for quick iteration.
+    tail_keys = [k for k in queries if k not in set(HEADLINE)]
+    if os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
+        for key in tail_keys:
+            timed(key, queries[key], 1)
+
+    load_post_suite = round(os.getloadavg()[0], 2)
+    total = round(sum(timings[k] for k in HEADLINE), 4)
     line = json.dumps(
         {
             "metric": "headline_total",
@@ -265,7 +299,13 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "cold": cold,
+            "tail_total": round(
+                sum(timings[k] for k in tail_keys if k in timings), 4
+            ),
             "host_load_1m": load_at,
+            "host_load_pre_suite": load_pre_suite,
+            "host_load_post_suite": load_post_suite,
             "host_cpus": os.cpu_count(),
         }
     )

@@ -56,7 +56,12 @@ IMAGE_DECODED_SCHEMA = (
 )
 
 
-def to_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def to_image_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str | None = None,
+    entropic: bool = False,
+) -> DataFrame:
     """Synthesize a media table of GENUINE PNG payloads, one per doc,
     encoded executor-side (mapInPandas — payload bytes never touch the
     driver). Geometry and pixels are deterministic in doc_id:
@@ -67,10 +72,21 @@ def to_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     so a SQL oracle can recompute the decoded geometry and mean pixel
     from first principles while the bytes on the wire are real PNGs
-    (CRC-checked, zlib-compressed, filter-encoded)."""
+    (CRC-checked, zlib-compressed, filter-encoded).
+
+    Probe-only knobs (the registered keys never set them):
+    ``content_col`` derives the pixel content from a DIFFERENT column
+    than the emitted doc_id (duplicate planting: two docs pointing at
+    one content id are byte-identical images); ``entropic=True`` swaps
+    the gradient formula for a per-content seeded PRNG raster
+    (np.random.default_rng(cid)), so the distinct-image space scales
+    with the number of distinct content ids instead of cycling every
+    lcm(13, 11, 256) = 36,608 ids — the keyspace-scaled replica shape
+    (VERDICT r10 item 2) that real image-corpus growth has."""
     from ..functions.imagecodec import encode_png_gray
 
     enc = encode_png_gray  # closure capture → ships by value
+    cc = content_col or id_col
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as pd
@@ -79,17 +95,27 @@ def to_image_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if not len(pdf):
                 continue
             rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 4 + did % 13, 3 + did % 11
-                px = bytes((did * 31 + i * 7) % 256 for i in range(w * h))
-                payload = enc(w, h, px, filter_for_row=lambda y: (did + y) % 5)
+            for did, cid in zip(pdf["doc_id"], pdf["__content_id"]):
+                did, cid = int(did), int(cid)
+                w, h = 4 + cid % 13, 3 + cid % 11
+                if entropic:
+                    import numpy as np
+
+                    px = (
+                        np.random.default_rng(cid & 0x7FFFFFFFFFFFFFFF)
+                        .integers(0, 256, w * h, dtype=np.int64)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                else:
+                    px = bytes((cid * 31 + i * 7) % 256 for i in range(w * h))
+                payload = enc(w, h, px, filter_for_row=lambda y: (cid + y) % 5)
                 rows.append((did, "image/png", payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
 
-    media = docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        gen, "doc_id long, media_type string, payload binary"
-    )
+    media = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(cc).alias("__content_id")
+    ).mapInPandas(gen, "doc_id long, media_type string, payload binary")
     return media.select(
         "doc_id",
         "media_type",

@@ -3197,7 +3197,12 @@ def _dds_quantiles(spark: SparkSession, b: DataFrame) -> DataFrame:
     by the batch key and its streaming-ledger twin, so streaming ≡
     batch is equality of the merged sketch by construction."""
     # bucket table is <= ~233 rows from here on — single-partition
-    # window over the sketch is bounded by the bucket cap by design
+    # window over the sketch is bounded by the bucket cap by design.
+    # localCheckpoint materializes it ONCE so the upstream corpus scan
+    # + bucket aggregate is not re-executed for each of the two
+    # consumers below (ADVICE r10: `b` was referenced from both `cums`
+    # and `t`, running the full lineitem scan twice per probe).
+    b = b.localCheckpoint(eager=True)
     cums = b.withColumn(
         "cum", F.sum("c").over(Window.orderBy("bucket"))
     )

@@ -25,12 +25,14 @@ from pyspark.sql import SparkSession
 # the gate-battery perturbation class proving every plan property the
 # operators rely on (broadcasts, bucket pruning, WindowGroupLimit, DPP)
 # holds without runtime re-planning.
-_AQE = os.environ.get("SPARK_GRAFT_AQE", "true").strip().lower()
+_AQE_RAW = os.environ.get("SPARK_GRAFT_AQE", "true")
+_AQE = _AQE_RAW.strip().lower()
 if _AQE not in ("true", "false"):
     # fail at import with a clear message, not later inside Spark's
-    # conf reader with an IllegalArgumentException far from the cause
+    # conf reader with an IllegalArgumentException far from the cause;
+    # report the env var's RAW contents, not the normalized form
     raise ValueError(
-        f"SPARK_GRAFT_AQE must be 'true' or 'false', got {_AQE!r}"
+        f"SPARK_GRAFT_AQE must be 'true' or 'false', got {_AQE_RAW!r}"
     )
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -655,3 +655,24 @@ def test_weighted_reservoir_is_take_ordered(spark, sf_dir):
     plan = plan_of(specs()["sample_weighted_reservoir"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_cdc_incremental_probe_single_delta_exchange(spark, sf_dir):
+    """The store probe's executed plan (captured via the on_probe_plan
+    hook — the localCheckpoint right after it truncates lineage, so
+    this is the ONLY place the join plan is observable) carries exactly
+    ONE hash Exchange: the delta side shuffling into the store's bucket
+    layout. The bucketed index scan must be exchange-free — that is
+    the 'store never re-shuffles however large it grows' contract.
+    (Moved here from the hot path per ADVICE r10: the exact count is a
+    plan pin, not a runtime invariant across Spark versions.)"""
+    from flink_kmeans_spark.plans.llm import dedup_cdc_incremental
+
+    plans = []
+    dedup_cdc_incremental(
+        spark, sf_dir, on_probe_plan=plans.append
+    ).collect()
+    assert len(plans) == 1
+    p = plans[0]
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" not in p
