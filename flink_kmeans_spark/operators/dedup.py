@@ -245,13 +245,23 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    bands: int = 4,
 ) -> DataFrame:
-    """Banded SimHash dedup: 4×15-bit bands — any pair within hamming
-    distance 3 shares at least one exact band (pigeonhole), so the
-    bucket-join finds all of them without N² compares. Bucket key =
-    the band's bit-slice VALUE (exact equal-iff-equal, matches the
-    DuckDB oracle's tuple join).
+    """Banded SimHash dedup via 3-of-6 block-combination keys (Manku,
+    Jain & Das Sarma, WWW'07 §3): the 60-bit sketch splits into 6
+    blocks of 10 bits; each sketch emits C(6,3) = 20 30-bit keys, one
+    per 3-block combination. Any pair within hamming distance 3 leaves
+    ≥3 of 6 blocks clean, so some 3-subset of clean blocks matches
+    exactly (pigeonhole) — the bucket-join finds all of them without
+    N² compares, and the key VALUE joins exact-equal-iff-equal.
+
+    Round-11 rewrite (the phash keyspace-scaled probe lesson): the
+    previous 4×15-bit single-block bands collide at the n²·4/2^15
+    birthday rate once DISTINCT sketches scale with the corpus — the
+    fixture corpora hid it because their replicated texts exact-
+    collapse to a near-constant sketch count. 20 combination keys cost
+    5× more (linear, small) build rows and cut the random-collision
+    candidate rate to n²·20/2^30. Output bit-identical (both schemes
+    are lossless at hamming ≤ 3).
 
     Round-5 rewrite: the join works entirely on the BIGINT sketch —
     band buckets are shift/mask slices of sim60 and hamming is
@@ -272,33 +282,53 @@ def simhash_candidate_pairs(
     materialization of the token-hash/vote pass; blocks are
     ContextCleaner-released with the plan, same pattern as
     ngram_jaccard_pairs."""
+    if max_hamming != 3:
+        raise ValueError(
+            "simhash_candidate_pairs: the 3-of-6 combination keying is "
+            f"specialized for max_hamming=3 (got {max_hamming})"
+        )
     groups = (
         simhash_df(docs, id_col, text_col)
         .groupBy("sim60")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("members"))
         .localCheckpoint(eager=False)
     )
-    width = SIMHASH_BITS // bands
+    from itertools import combinations as _combos
+
+    width = SIMHASH_BITS // 6  # 6 blocks of 10 bits
+    mask = F.lit((1 << width) - 1)
+
+    def _block(i: int):
+        return F.shiftrightunsigned("sim60", i * width).bitwiseAND(mask)
+
+    # band rows carry ONLY (gid, sim60): the 20-key explode must not
+    # replicate the member arrays 20× through the shuffle (measured
+    # 1.4× wall at sf0.1 when they rode along); members join back at
+    # the far smaller post-cut pair grain below
     banded = groups.select(
         F.col("members").getItem(0).alias("gid"),
         "sim60",
-        "members",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("sim60", b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bucket"),
+                        F.lit(ci).alias("band"),
+                        (
+                            _block(i)
+                            + F.shiftleft(_block(j), width)
+                            + F.shiftleft(_block(l), 2 * width)
+                        ).alias("bucket"),
                     )
-                    for b in range(bands)
+                    for ci, (i, j, l) in enumerate(_combos(range(6), 3))
                 ]
             )
         ).alias("bb"),
-    ).select("gid", "sim60", "members", "bb.band", "bb.bucket")
+    ).select("gid", "sim60", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sim60").bitwiseXOR(F.col("b.sim60")))
+    gmap = groups.select(
+        F.col("members").getItem(0).alias("gid"), "members"
+    )
     cross_groups = (
         a.join(
             b,
@@ -309,16 +339,18 @@ def simhash_candidate_pairs(
         .select(
             F.col("a.gid").alias("gid_a"),
             F.col("b.gid").alias("gid_b"),
-            F.col("a.members").alias("ma"),
-            F.col("b.members").alias("mb"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("gid_a", "gid_b")
-        .agg(
-            F.first("hamming").alias("hamming"),
-            F.first("ma").alias("ma"),
-            F.first("mb").alias("mb"),
+        .agg(F.first("hamming").alias("hamming"))
+        .join(
+            gmap.select(F.col("gid").alias("gid_a"), F.col("members").alias("ma")),
+            "gid_a",
+        )
+        .join(
+            gmap.select(F.col("gid").alias("gid_b"), F.col("members").alias("mb")),
+            "gid_b",
         )
     )
     cross = cross_groups.select(

@@ -617,3 +617,261 @@ def knn_graph(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def hnsw_lite_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    beam: int = 16,
+    rounds: int = 3,
+    bands: int = 3,
+    window: int = 8,
+    n_entry_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Graph-refined ANN — a distributed HNSW-lite (the similarity
+    family's missing member beside IVF/LSH/PQ): a two-layer search
+    structure (coarse-centroid entry layer + base proximity graph) with
+    fixed-round beam search, the dataflow reformulation of HNSW
+    (Malkov & Yashunin, TPAMI 2018) whose greedy descent is inherently
+    sequential and driver-hostile.
+
+    BUILD (distributed, linear by construction):
+    1. Banded hyperplane sketch: ``bands`` sign-bit signatures per
+       vector (bit width adapts to corpus size, targeting ~32-member
+       buckets — one count() job of metadata, the AQE-style
+       plan-by-statistics move). Candidate pairs come from a SORTED
+       NEIGHBOR WINDOW inside each bucket (each member pairs with its
+       next ``window`` successors in xxhash64(id) order), so pair count
+       is EXACTLY n·bands·window whatever the bucket skew — the
+       quadratic within-bucket self-join failure mode (dedup r7 catch
+       #7) is structurally impossible, not just unlikely.
+    2. One NN-Descent round (Dong et al., WWW 2011): neighbors-of-
+       neighbors (n·m² candidates, linear) rescored and merged, which
+       repairs the deliberately-weak LSH start — the reason a crude
+       linear candidate generator is enough.
+       Edge list = top-``m`` per node, eager-checkpointed once so the
+       query loop never re-derives the build.
+
+    QUERY (fixed ``rounds`` beam expansions — the pagerank/kcore loop
+    discipline): entry beam = exact top-``beam`` inside the query's
+    nearest coarse cell (IVF nprobe=1 shape); each round expands the
+    beam over the edge list, scores only the candidate rows against
+    the unit-vector table (broadcast semijoin — the corpus never
+    shuffles), and keeps the per-query top-``beam``. Per-round driver
+    state is nil; per-round cluster work is one edges scan + one
+    candidate-row lookup.
+
+    Scale shape at 100 TB: build is Θ(n·(bands·window + m²)) scored
+    pairs with map-side generation; entry cells are ~n/k_entry but
+    scoring is confined to ONE cell per query; beam rounds move
+    q·beam·m candidate ids. Queries are driver-collected under the
+    ivf_topk 10k loud bound. Approximate by design → registered
+    rows-only; tests pin mean recall@5 vs brute force."""
+    import math
+
+    import numpy as np
+
+    from .kmeans import assign_arrow, fit
+
+    spark = corpus.sparkSession
+    cu = _with_norm_unit(corpus, id_col, vec_col, "n").localCheckpoint(
+        eager=False
+    )
+    n = cu.count()
+    bits = min(16, max(4, int(math.log2(max(n, 64) / 32))))
+
+    # --- banded sign sketch (Arrow-vectorized; hyperplanes derived
+    # from (seed, d) inside the closure so the udf ships by value) ---
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = bands * bits
+    _H_cache: dict = {}
+
+    @pandas_udf("array<long>")
+    def band_sigs(vecs):
+        import numpy as np
+        import pandas as pd
+
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        d = X.shape[1]
+        H = _H_cache.get(d)
+        if H is None:
+            H = np.random.RandomState(seed).standard_normal((n_planes, d))
+            _H_cache[d] = H
+        B = (X @ H.T) > 0  # (batch, bands*bits)
+        out = []
+        pw = 1 << np.arange(bits, dtype=np.int64)
+        for row in B:
+            out.append(
+                [int(row[b * bits : (b + 1) * bits] @ pw) for b in range(bands)]
+            )
+        return pd.Series(out)
+
+    sigs = cu.select("n_id", F.posexplode(band_sigs("n_vec")).alias("band", "sig"))
+
+    # --- candidate pairs: next-`window` successors in bucket order ---
+    wb = Window.partitionBy("band", "sig").orderBy(F.xxhash64("n_id"))
+    # window exprs can't sit inside a generator: materialize the lead
+    # columns first, then explode the successor array
+    leads = sigs.select(
+        "n_id",
+        *[
+            F.lead("n_id", i).over(wb).alias(f"s{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    pairs0 = (
+        leads.select(
+            "n_id",
+            F.explode(
+                F.array(*[F.col(f"s{i}") for i in range(1, window + 1)])
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .select(
+            F.least("n_id", "dst").alias("a"), F.greatest("n_id", "dst").alias("b")
+        )
+        .distinct()
+    )
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        """(a, b) id pairs → (a, b, cosine) via two unit-table joins."""
+        return (
+            pairs.join(cu.select(F.col("n_id").alias("a"), F.col("n_vec").alias("va")), "a")
+            .join(cu.select(F.col("n_id").alias("b"), F.col("n_vec").alias("vb")), "b")
+            .select("a", "b", dot(F.col("va"), F.col("vb")).alias("cosine"))
+        )
+
+    def _top_m(scored: DataFrame) -> DataFrame:
+        sym = scored.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "cosine"
+        ).unionByName(
+            scored.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "cosine"
+            )
+        )
+        we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+        return (
+            sym.withColumn("rk", F.row_number().over(we))
+            .filter(F.col("rk") <= m)
+            .select("src", "dst", "cosine")
+        )
+
+    edges = _top_m(_score(pairs0)).localCheckpoint(eager=True)
+
+    # --- one NN-Descent round: neighbors-of-neighbors, rescore, merge ---
+    nn2 = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+        .join(
+            edges.select(F.col("src").alias("mid"), F.col("dst").alias("b")),
+            "mid",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    nn2_scored = _score(nn2)
+    merged = (
+        nn2_scored.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "cosine"
+        )
+        .unionByName(
+            nn2_scored.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "cosine"
+            )
+        )
+        .unionByName(edges)
+        .dropDuplicates(["src", "dst"])
+    )
+    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    edges = (
+        merged.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= m)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+
+    # --- entry layer: nearest coarse cell, exact top-beam inside it ---
+    model = fit(corpus, k=n_entry_clusters, n_iter=5, id_col=id_col, vec_col=vec_col)
+    cells = assign_arrow(corpus, model.centroids, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col("cid").alias("cell")
+    )
+    MAX_QUERIES = 10_000
+    C = np.array([v for _, v in model.centroids])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q_rows = (
+        queries.select(id_col, F.col(vec_col).cast("array<double>"))
+        .limit(MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_QUERIES:
+        raise ValueError(
+            f"hnsw_lite_topk query set exceeds the driver-collect bound "
+            f"({MAX_QUERIES} rows); pass a bounded probe set, or use "
+            "cosine_topk for table-scale query sides"
+        )
+    probes = []
+    for r in q_rows:
+        qv = np.array(r[1], dtype=np.float64)
+        qu = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        cell = int(np.argmax(Cn @ qu))
+        probes.append((int(r[0]), [float(x) for x in qu], cell))
+    q_probe = spark.createDataFrame(
+        probes, "q_id long, q_vec array<double>, cell int"
+    )
+    qvecs = q_probe.select("q_id", "q_vec")
+
+    entry = (
+        cu.join(cells, "n_id")
+        .join(F.broadcast(q_probe), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", dot(F.col("q_vec"), F.col("n_vec")).alias("cosine"))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    cur = (
+        entry.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= beam)
+        .select("q_id", "n_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+
+    # --- fixed-round beam expansion over the edge list ---
+    for _ in range(rounds):
+        cand = (
+            F.broadcast(cur.select("q_id", F.col("n_id").alias("src")))
+            .join(edges, "src")
+            .select("q_id", F.col("dst").alias("n_id"))
+            .distinct()
+            .join(cur.select("q_id", "n_id"), ["q_id", "n_id"], "left_anti")
+        )
+        scored = (
+            cand.join(cu, "n_id")
+            .join(F.broadcast(qvecs), "q_id")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id", "n_id", dot(F.col("q_vec"), F.col("n_vec")).alias("cosine")
+            )
+        )
+        cur = (
+            cur.unionByName(scored)
+            .withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= beam)
+            .select("q_id", "n_id", "cosine")
+            .localCheckpoint(eager=True)
+        )
+
+    return (
+        cur.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

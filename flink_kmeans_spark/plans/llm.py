@@ -940,6 +940,19 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(e, q, k=5)
 
 
+@register("sim_hnsw_topk", tags=("vector",))
+def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-refined approximate top-5 — distributed HNSW-lite
+    (operators/similarity.py hnsw_lite_topk): coarse-centroid entry
+    layer + NN-Descent-refined proximity graph + fixed-round beam
+    search. Completes the similarity family beside IVF/LSH/PQ (VERDICT
+    r10 item 7). Rows-only (probabilistic recall, seeded build);
+    pytest pins mean recall@5 vs brute force."""
+    e = _emb(spark, sf_dir)
+    q = e.orderBy("vec_id").limit(10)
+    return SIM.hnsw_lite_topk(e, q, k=5)
+
+
 # ----------------------------------------------------------- multimodal
 
 @register(
@@ -5875,10 +5888,12 @@ def multimodal_phash_dedup(
     ph = MM.dhash_image_media(media, hash_w=8, hash_h=8).select(
         "doc_id", "dhash"
     )
+    # lazily checkpointed: the decode+hash pass materializes ONCE for
+    # its several consumers (band rows, the two member joins, intra)
     grp = ph.groupBy("dhash").agg(
         F.min("doc_id").alias("gid"),
         F.sort_array(F.collect_list("doc_id")).alias("members"),
-    )
+    ).localCheckpoint(eager=False)
     h = grp.select(
         "dhash",
         "gid",
@@ -5901,9 +5916,11 @@ def multimodal_phash_dedup(
     from itertools import combinations as _combos
 
     _blk = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+    # band rows carry ONLY (gid, h1, h2): the 20-key explode must not
+    # replicate member arrays 20× through the shuffle; members join
+    # back at the far smaller post-cut pair grain below
     bands = h.select(
         "gid",
-        "members",
         "h1",
         "h2",
         F.explode(
@@ -5924,10 +5941,11 @@ def multimodal_phash_dedup(
                 ]
             )
         ).alias("bb"),
-    ).select("gid", "members", "h1", "h2", "bb.band", "bb.bucket")
+    ).select("gid", "h1", "h2", "bb.band", "bb.bucket")
     ham = F.bit_count(
         F.col("a.h1").bitwiseXOR(F.col("b.h1"))
     ) + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+    gmap = grp.select("gid", "members")
     cross = (
         bands.alias("a")
         .join(
@@ -5937,12 +5955,16 @@ def multimodal_phash_dedup(
             & (F.col("a.gid") < F.col("b.gid")),
         )
         .groupBy(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
-        .agg(
-            F.first(ham).alias("hamming"),
-            F.first(F.col("a.members")).alias("ma"),
-            F.first(F.col("b.members")).alias("mb"),
-        )
+        .agg(F.first(ham).alias("hamming"))
         .filter(F.col("hamming") <= 3)
+        .join(
+            gmap.select(F.col("gid").alias("ga"), F.col("members").alias("ma")),
+            "ga",
+        )
+        .join(
+            gmap.select(F.col("gid").alias("gb"), F.col("members").alias("mb")),
+            "gb",
+        )
     )
     if fresh_pixels:
         # probe-only group-grain output (see docstring): every shuffle

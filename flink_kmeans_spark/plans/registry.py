@@ -78,6 +78,7 @@ def _load_all() -> None:
 # the local gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
     # --- new in round 11 — no driver evidence yet ---
+    "sim_hnsw_topk",
     # --- d4-vintage (21 oracled keys; latest green driver row is round 4) ---
     "split_contamination", "streaming_checkpoint_resume",
     "streaming_dedup", "streaming_foreach_batch",

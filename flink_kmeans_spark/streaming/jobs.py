@@ -613,8 +613,11 @@ def streaming_user_counter_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     protobuf protocol and this build environment's ``google.protobuf``
     is broken (ImportError: cannot import name 'descriptor'), so the
     runner crashes at init. Re-probed every round — still absent
-    2026-08-16 (r10, fifth pass): ``import google`` and
-    ``import google.protobuf`` both raise ModuleNotFoundError.
+    2026-08-16 (r11, sixth pass): ``import google`` /
+    ``import google.protobuf`` raise ModuleNotFoundError, and
+    ``spark.read.format("avro")`` still fails with "external data
+    source module" (spark-avro jar not deployed), so scan_avro stays
+    unregistrable too.
     The job is kept as the API-surface
     demonstration and guarded by a skip-unless-protobuf pytest
     (tests/test_streaming.py); on a normal Spark 4 install it drains
