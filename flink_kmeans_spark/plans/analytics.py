@@ -22,6 +22,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel as _SL
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2170,9 +2171,15 @@ def graph_label_propagation(
         .select("p.src", "p.dst")
         .distinct()
     )
+    # SERIALIZED checkpoint blocks (r11): the scaled-key 100× kcore
+    # probe (90M distinct edges, tools/scale_probe_r11.py) OOM'd a 48g
+    # heap when the 2|E| edge relation checkpointed as deserialized
+    # row objects; pyspark's MEMORY_AND_DISK is serialized+spillable
+    # (~10× smaller) and still cuts lineage so no round re-derives
+    # the build.
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_SL.MEMORY_AND_DISK)
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -3393,7 +3400,7 @@ def _kcore_oracle() -> str:
 
 @register("graph_kcore", oracle=_kcore_oracle(), tags=("graph", "mining"))
 def graph_kcore(
-    spark: SparkSession, sf_dir: str, broadcast_nodes_max: int = 1_000_000
+    spark: SparkSession, sf_dir: str, broadcast_nodes_max: int = 16_000_000
 ) -> DataFrame:
     """k-core decomposition (k=64) of the part co-purchase graph — the
     classic density filter (Seidman 1983; the peel step of coreness /
@@ -3408,15 +3415,28 @@ def graph_kcore(
     there). Output: surviving nodes with their within-core degree.
 
     Scale shape: edge gen is the bounded per-basket pair expansion
-    (baskets ~4 lines, linear in lineitem), checkpointed once; each
-    round semi-filters the 2|E| edge relation against the alive set —
-    broadcast while |alive| < 10^6 (the pagerank rank-vector rule),
-    shuffle-hash past it — then ONE count aggregate with map-side
-    combine; the alive set is |V| rows, orders of magnitude below the
-    edge list, and is localCheckpoint'ed per round so round r never
-    re-derives rounds 1..r-1 (the pagerank re-derivation lesson).
-    Edges never re-shuffle between broadcast rounds. Exact integer
-    counts throughout — no float tolerance anywhere."""
+    (baskets ~4 lines, linear in lineitem), checkpointed once
+    SERIALIZED (r11: deserialized row objects OOM'd a 48g heap at the
+    scaled-key 100× replica's genuine 90M-edge volume); each round
+    semi-filters the 2|E| edge relation against the alive set — then
+    ONE count aggregate with map-side combine; the alive set is |V|
+    rows, orders of magnitude below the edge list, and is
+    localCheckpoint'ed per round so round r never re-derives rounds
+    1..r-1 (the pagerank re-derivation lesson). The branch threshold
+    is BYTE-derived, not row-derived (r11 probe lesson): alive
+    broadcasts while |V| < 16·10⁶ (~128 MB of longs — the GraphX
+    vertex-mirror regime, where vertex state ships to edge partitions
+    and edges NEVER re-shuffle; the earlier 10⁶ cut-off pushed the
+    honest 2M-node replica into the shuffle branch and paid two
+    edge-relation shuffles per round, 37× decade-2 measured); past
+    ~16M nodes the shuffle-hash fallback is the only exact option
+    short of GraphX-style routed mirrors. A survivor-shrink variant
+    (restrict + re-checkpoint the edge relation per round, or once
+    after round 1) was probed and REJECTED: 3–6× slower at 10× than
+    streaming the cached serialized edges, because this graph is
+    dense — mean degree ~90 vs k=64, so the peel barely shrinks and
+    materializing survivor relations is pure extra cost.
+    Exact integer counts throughout — no float tolerance anywhere."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
@@ -3434,9 +3454,15 @@ def graph_kcore(
         .select("p.src", "p.dst")
         .distinct()
     )
+    # SERIALIZED checkpoint blocks (r11): the scaled-key 100× kcore
+    # probe (90M distinct edges, tools/scale_probe_r11.py) OOM'd a 48g
+    # heap when the 2|E| edge relation checkpointed as deserialized
+    # row objects; pyspark's MEMORY_AND_DISK is serialized+spillable
+    # (~10× smaller) and still cuts lineage so no round re-derives
+    # the build.
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=_SL.MEMORY_AND_DISK)
     alive = und.select(F.col("src").alias("node")).distinct()
     small_v = alive.count() < broadcast_nodes_max
 
