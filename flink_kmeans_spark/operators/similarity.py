@@ -54,8 +54,19 @@ def cosine_topk_bruteforce(
 
 
 def _with_norm_unit(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    # r11 (guide §1.2): the norm is LET-BOUND via a one-element
+    # transform — Catalyst does no subexpression elimination inside
+    # higher-order-function lambdas, so the previous
+    # ``transform(v, x -> x / l2norm(v))`` re-evaluated the O(d)
+    # norm for every element (O(d²) per vector). Bit-identical output.
     v = F.col(vec_col).cast("array<double>")
-    unit = F.transform(v, lambda x: x / l2norm(v))
+    unit = F.element_at(
+        F.transform(
+            F.array(l2norm(v)),
+            lambda nrm: F.transform(v, lambda x: x / nrm),
+        ),
+        1,
+    )
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"), unit.alias(f"{prefix}_vec")
     )

@@ -7,7 +7,7 @@ pipeline runs over the ``documents`` / ``embeddings`` tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1426,21 +1426,43 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join quadratically at 100 TB, so BOTH engines drop them
     before pairing (the shared count is thus a lower bound — standard
     stop-shingle discipline — while set sizes stay exact). Shapes:
-    explode → df aggregate → df-capped self-join on shingle → one
-    (id_a, id_b) hash aggregate; sizes join back via broadcastable
-    doc-grain frames; threshold compares rounded on both sides."""
+    explode → ONE posting-list aggregate on shingle → map-side pair
+    expansion → one (id_a, id_b) hash aggregate; sizes join back via
+    broadcastable doc-grain frames; threshold compares rounded on both
+    sides.
+
+    r11 optimization (guide §2.4 — remove shuffles outright): the df
+    aggregate, the df-cap semi-join, and the posting-list SELF-JOIN
+    (three g-keyed exchanges plus the join) collapse into ONE g-keyed
+    collect_list whose sorted posting array emits its C(df,2) pairs
+    map-side — the same flatten/transform expansion the minhash group
+    expander uses. Posting lists with df = 1 (singleton shingles —
+    the long tail of any shingle space) can never produce a pair and
+    are dropped before expansion; shingles are per-doc distinct
+    (array_distinct in TX.shingles), so |posting list| IS df and the
+    per-pair shared counts are identical to the self-join's. Pair
+    volume is unchanged (Σ C(df,2), df ≤ 50 — the operator's
+    contract); what disappears is re-shuffling the full posting table
+    twice into the self-join."""
     d = _docs(spark, sf_dir)
     sh = d.select("doc_id", TX.shingles(F.col("text"), 3).alias("sh"))
     post = sh.select("doc_id", F.explode("sh").alias("g"))
-    df_cap = post.groupBy("g").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= 50
+    plists = (
+        post.groupBy("g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 50))
     )
-    p2 = post.join(df_cap.select("g"), "g")
-    a = p2.select(F.col("doc_id").alias("id_a"), "g")
-    b = p2.select(F.col("doc_id").alias("id_b"), "g")
     pair = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
+        plists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -2814,16 +2836,23 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     tops = []
     cur = vocab
     for step in (1, 2, 3):
-        syms = F.split("seq", " ")
-        prs = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+        # r11 (guide §1.2): split("seq") is let-bound via a one-element
+        # transform — Catalyst does no CSE inside HOF lambdas, so the
+        # inline form re-ran the split twice per pair position.
+        def _pairs(syms: Column) -> Column:
+            return F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(syms, i), F.element_at(syms, i + 1)
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<string>"))
+
+        prs = F.element_at(
+            F.transform(F.array(F.split("seq", " ")), _pairs), 1
+        )
         top = (
             cur.select(F.explode(prs).alias("pair"), "freq")
             .groupBy("pair")
@@ -4351,6 +4380,14 @@ def dedup_minhash_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if os.path.isdir(idx):
         shutil.rmtree(idx)
+    # r11 note (guide §1 — measured, not assumed): collapsing the
+    # overwrite + 3 appends into ONE unioned partitionBy("gen") write
+    # was tried and measured WORSE (paired fresh-JVM best-of-4:
+    # 11.9 s append loop vs 15.5 s staged union; cold 26.0 vs 33.9) —
+    # the single dynamic-partition bucketed write job carries 4x the
+    # concurrent task state and loses to four small static writes.
+    # Keeping the append loop, which is also the operator's
+    # incremental-index contract.
     (
         _mh_banded_of(base_g, "base", bands, width)
         .write.partitionBy("gen")
@@ -6079,7 +6116,17 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that broadcast candidate set and the survivors broadcast
     back. Bloom has no false negatives (exact ⊆ bloom — pinned by
     pytest), so non-candidates need no confirmation; false_pos measures
-    the fill factor both engines compute identically."""
+    the fill factor both engines compute identically.
+
+    r11 (guide §1 — measured, kept as-is structurally): a restructure
+    replacing the probe's explode→broadcast-join→(doc_id,g) aggregate
+    with k per-position broadcast bit-lookups was tried and measured
+    WORSE (14.9 s vs 9.7 s fresh-JVM): the k join builds do NOT
+    collapse into one ReusedExchange, so each broadcast re-ran the
+    full base bit-set pass. One broadcast + one probe-grain aggregate
+    is the right shape. This key's r11 win comes from the let-bound
+    shingles fix in functions/text.py (the corpus passes are
+    shingle-dominated)."""
     from ..functions.hashing import portable_hash60
 
     d = _docs(spark, sf_dir).select(
