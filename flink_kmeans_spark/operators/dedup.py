@@ -47,7 +47,12 @@ def minhash_signatures(
     re-inlines the shingle construction num_hashes times via
     CollapseProject — measured 3× slower at sf0.1)."""
     from ..functions.hashing import MINHASH_P, minhash_coeffs, portable_hash60
+    from ..sources.tables import spread_scan
 
+    # r11 (guide §2.5): the shingle+md5 stream below is the heavy map
+    # stage; spread a one-task scan across cores first (no-op when the
+    # input is already parallel — see spread_scan)
+    docs = spread_scan(docs, id_col)
     sh = shingles(F.col(text_col), shingle_n)
     exploded = docs.select(F.col(id_col), F.explode(sh).alias("shingle")).withColumn(
         "x", portable_hash60(F.col("shingle")) % F.lit(MINHASH_P)
@@ -206,7 +211,11 @@ def simhash_df(
     literal, not a lambda variable). Near-dups have small hamming
     distance between sign vectors."""
     from ..functions.hashing import portable_hash60
+    from ..sources.tables import spread_scan
 
+    # r11 (guide §2.5): per-token md5 is the heavy map stage; spread a
+    # one-task scan across cores first (no-op when already parallel)
+    docs = spread_scan(docs, id_col)
     exploded = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", portable_hash60(F.col("tok")))

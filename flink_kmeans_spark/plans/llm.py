@@ -15,7 +15,7 @@ from ..operators import dedup as DD
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import udfs as U
-from ..sources import load_table
+from ..sources import load_table, spread_scan
 from .registry import register
 
 _SW_SQL = "['the','a','of','and','is','to','in','for','on','with']"
@@ -1444,7 +1444,9 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is unchanged (Σ C(df,2), df ≤ 50 — the operator's
     contract); what disappears is re-shuffling the full posting table
     twice into the self-join."""
-    d = _docs(spark, sf_dir)
+    # r11 (guide §2.5): shingling is the heavy map stage — spread the
+    # one-task scan across cores (no-op when already parallel)
+    d = spread_scan(_docs(spark, sf_dir), "doc_id")
     sh = d.select("doc_id", TX.shingles(F.col("text"), 3).alias("sh"))
     post = sh.select("doc_id", F.explode("sh").alias("g"))
     plists = (
@@ -2977,7 +2979,8 @@ def pipeline_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = F.ceil(F.greatest(n - 50, F.lit(0)) / 40.0).cast("int")
     def chunk_src(src):
         return (
-            src.select("doc_id", F.split("text", " ").alias("toks"))
+            spread_scan(src, "doc_id")  # r11 guide 2.5: spread one-task scan
+            .select("doc_id", F.split("text", " ").alias("toks"))
             .select(
                 "doc_id",
                 F.posexplode(
@@ -3933,7 +3936,8 @@ def pipeline_rag_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survivor re-join passes a doc_id-prefiltered src so the
         # second pass chunks only surviving documents
         return (
-            src.select("doc_id", F.split("text", " ").alias("toks"))
+            spread_scan(src, "doc_id")  # r11 guide 2.5: spread one-task scan
+            .select("doc_id", F.split("text", " ").alias("toks"))
             .select(
                 "doc_id",
                 F.posexplode(
@@ -4767,7 +4771,9 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     k = 8
-    docs = _docs(spark, sf_dir)
+    # r11 (guide §2.5): per-position md5 digests are the heavy map
+    # stage — spread the one-task scan (no-op when already parallel)
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("w")
     ).filter(F.size("w") >= k)
@@ -5192,7 +5198,9 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (array_sort on (ti, tok) structs vs ORDER BY ti), so
     clean_text is byte-identical."""
     k = 8
-    docs = _docs(spark, sf_dir)
+    # r11 (guide §2.5): spread the one-task scan before the per-position
+    # md5 map stage (no-op when already parallel)
+    docs = spread_scan(_docs(spark, sf_dir), "doc_id")
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
     g8 = toks.filter(F.size("w") >= k)
     digs = g8.select(
@@ -6128,8 +6136,10 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles fix in functions/text.py (the corpus passes are
     shingle-dominated)."""
     from ..functions.hashing import portable_hash60
-
-    d = _docs(spark, sf_dir).select(
+    # r11 (guide §2.5): both corpus passes are shingle+md5-dominated
+    # map stages — spread the one-task scan (no-op when already
+    # parallel)
+    d = spread_scan(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", TX.shingles(F.col("text"), 5).alias("sh")
     )
     baseg = (
@@ -6355,8 +6365,16 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     from ..functions.hashing import portable_hash60
+    from ..sources.tables import spread_scan
 
-    d = docs.filter(F.length("text") > 0).select("doc_id", "lang", "text")
+    # r11 (guide §2.5): the per-position rolling-hash filter below is
+    # Θ(chars) md5 work in the scan stage — spread a one-task scan
+    # across cores first (no-op when already parallel). Measured
+    # 2.63 s → 0.71 s at sf0.1.
+    d = spread_scan(
+        docs.filter(F.length("text") > 0).select("doc_id", "lang", "text"),
+        "doc_id",
+    )
     hits = (
         # mirror the oracle's `length(text) >= W` guard on the
         # candidate-position side (ADVICE r10): without it, a short doc
