@@ -113,8 +113,13 @@ def to_image_table(
                 rows.append((did, "image/png", payload))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
 
-    media = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(cc).alias("__content_id")
+    from ..sources import spread_scan
+
+    media = spread_scan(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(cc).alias("__content_id")
+        ),
+        "doc_id",
     ).mapInPandas(gen, "doc_id long, media_type string, payload binary")
     return media.select(
         "doc_id",
@@ -395,7 +400,9 @@ def to_audio_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, "audio/wav", enc(8000, samples)))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    from ..sources import spread_scan
+
+    return spread_scan(docs.select(F.col(id_col).alias("doc_id")), "doc_id").mapInPandas(
         gen, "doc_id long, media_type string, payload binary"
     )
 
@@ -549,7 +556,9 @@ def to_video_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((did, "video/frames+zip", buf.getvalue()))
             yield pd.DataFrame(rows, columns=["doc_id", "media_type", "payload"])
 
-    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+    from ..sources import spread_scan
+
+    return spread_scan(docs.select(F.col(id_col).alias("doc_id")), "doc_id").mapInPandas(
         gen, "doc_id long, media_type string, payload binary"
     )
 

@@ -71,7 +71,13 @@ def spread_scan(df: DataFrame, key: str) -> DataFrame:
     of splits, so no corpus-sized shuffle is ever added; only the
     degenerate few-partition scan is rescued. Hash-on-column (never
     keyless round-robin) keeps the row→partition mapping deterministic
-    under task retry (guide §2.5 / SPARK-38388)."""
+    under task retry (guide §2.5 / SPARK-38388).
+
+    Streaming inputs pass through untouched: a readStream source has no
+    static partition count to inspect (``df.rdd`` is illegal there), and
+    micro-batch parallelism is the stream source's concern."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() * 4 >= target:
