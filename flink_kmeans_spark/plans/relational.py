@@ -1821,17 +1821,45 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``, probed equal to float noise) plus booleans
     asserting the sketch lands within 2% of it — the oracle emits the
     same exact values and TRUE, so a drifting sketch or broken exact
-    path both hash-mismatch. pytest keeps the raw-value bound test."""
+    path both hash-mismatch. pytest keeps the raw-value bound test.
+
+    r11: the exact reference values come from the window-weighted-sum
+    shape ``agg_percentile`` already uses (sort machinery, spills
+    gracefully) instead of the buffering ``F.percentile`` aggregate —
+    the ObjectHashAggregate holding every group's values was the wall
+    (guide §5: per-task state; measured 4.55 s → 2.27 s at sf0.1,
+    output bit-identical). The sketch pass stays a plain one-pass
+    aggregate; the two per-group frames meet in a broadcast join of
+    |groups| rows."""
     l = _t(spark, sf_dir, "lineitem")
-    agg = l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", 0.95).alias("p95_approx"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    key, col = "l_returnflag", "l_extendedprice"
+    w = Window.partitionBy(key).orderBy(col)
+    wc = Window.partitionBy(key)
+    d = (
+        l.select(key, col)
+        .filter(F.col(col).isNotNull())
+        .withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    exact_aggs = []
+    for p, name in ((0.5, "p50"), (0.95, "p95")):
+        pos = (F.col("n") - 1) * F.lit(p)
+        lower = F.floor(pos)
+        frac = pos - lower
+        wgt = (
+            F.when(F.col("rn") == lower, 1.0 - frac)
+            .when(F.col("rn") == lower + 1, frac)
+            .otherwise(0.0)
+        )
+        exact_aggs.append(F.sum(F.col(col) * wgt).alias(name))
+    exact = d.groupBy(key).agg(*exact_aggs)
+    appx = l.groupBy(key).agg(
+        F.percentile_approx(col, 0.5).alias("p50_approx"),
+        F.percentile_approx(col, 0.95).alias("p95_approx"),
     )
     corridor = lambda a, e: (F.abs(F.col(a) - F.col(e)) <= 0.02 * F.abs(F.col(e)))  # noqa: E731
-    return agg.select(
-        "l_returnflag",
+    return appx.join(F.broadcast(exact), key).select(
+        key,
         F.round("p50", 4).alias("p50_exact"),
         F.round("p95", 4).alias("p95_exact"),
         corridor("p50_approx", "p50").alias("p50_in_corridor"),
