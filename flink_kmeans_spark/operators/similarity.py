@@ -788,42 +788,73 @@ def hnsw_lite_topk(
             .select("src", "dst", "cosine")
         )
 
-    edges = _top_m(_score(pairs0)).localCheckpoint(eager=True)
+    def _build_edges() -> DataFrame:
+        edges = _top_m(_score(pairs0)).localCheckpoint(eager=True)
 
-    # --- one NN-Descent round: neighbors-of-neighbors, rescore, merge ---
-    nn2 = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
-        .join(
-            edges.select(F.col("src").alias("mid"), F.col("dst").alias("b")),
-            "mid",
+        # --- one NN-Descent round: neighbors-of-neighbors, rescore, merge ---
+        nn2 = (
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+            .join(
+                edges.select(F.col("src").alias("mid"), F.col("dst").alias("b")),
+                "mid",
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
         )
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    nn2_scored = _score(nn2)
-    merged = (
-        nn2_scored.select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), "cosine"
-        )
-        .unionByName(
+        nn2_scored = _score(nn2)
+        merged = (
             nn2_scored.select(
-                F.col("b").alias("src"), F.col("a").alias("dst"), "cosine"
+                F.col("a").alias("src"), F.col("b").alias("dst"), "cosine"
+            )
+            .unionByName(
+                nn2_scored.select(
+                    F.col("b").alias("src"), F.col("a").alias("dst"), "cosine"
+                )
+            )
+            .unionByName(edges)
+            .dropDuplicates(["src", "dst"])
+        )
+        we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+        return (
+            merged.withColumn("rk", F.row_number().over(we))
+            .filter(F.col("rk") <= m)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+
+    # --- base graph and entry layer built CONCURRENTLY (guide §2.6):
+    # the proximity-graph build (banded sketch → window pairs → score →
+    # NN-Descent round) and the entry-layer coarse K-Means fit share no
+    # inputs beyond the already-materialized cu/corpus scans, and each
+    # is a chain of small jobs whose cost on the toy fixture is
+    # per-job scheduling latency (~0.2 s/job on this box — measured on
+    # a bare 1-task cached count). Submitting the two chains from a
+    # 2-thread pool lets the scheduler interleave them (FIFO back-fill);
+    # each chain is internally sequential and deterministic, so results
+    # are bit-identical to the serial build. On a real cluster the same
+    # overlap back-fills the build's straggler tails with fit work.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_edges = pool.submit(inheritable_thread_target(_build_edges))
+        f_model = pool.submit(
+            inheritable_thread_target(
+                lambda: fit(
+                    corpus,
+                    k=n_entry_clusters,
+                    n_iter=5,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
             )
         )
-        .unionByName(edges)
-        .dropDuplicates(["src", "dst"])
-    )
-    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
-    edges = (
-        merged.withColumn("rk", F.row_number().over(we))
-        .filter(F.col("rk") <= m)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+        edges = f_edges.result()
+        model = f_model.result()
 
     # --- entry layer: nearest coarse cell, exact top-beam inside it ---
-    model = fit(corpus, k=n_entry_clusters, n_iter=5, id_col=id_col, vec_col=vec_col)
     cells = assign_arrow(corpus, model.centroids, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col("cid").alias("cell")
     )
@@ -867,7 +898,7 @@ def hnsw_lite_topk(
     )
 
     # --- fixed-round beam expansion over the edge list ---
-    for _ in range(rounds):
+    for r in range(rounds):
         cand = (
             F.broadcast(cur.select("q_id", F.col("n_id").alias("src")))
             .join(edges, "src")
@@ -883,17 +914,30 @@ def hnsw_lite_topk(
                 "q_id", "n_id", dot(F.col("q_vec"), F.col("n_vec")).alias("cosine")
             )
         )
-        cur = (
-            cur.unionByName(scored)
-            .withColumn("rk", F.row_number().over(wq))
-            .filter(F.col("rk") <= beam)
-            .select("q_id", "n_id", "cosine")
-            .localCheckpoint(eager=True)
+        cur = cur.unionByName(scored).withColumn(
+            "rk", F.row_number().over(wq)
         )
+        if r < rounds - 1:
+            # intermediate rounds: keep the top-beam working set and
+            # materialize it (referenced twice next round — cand
+            # generation AND the union — so without the eager
+            # checkpoint the subplan re-executes exponentially)
+            cur = (
+                cur.filter(F.col("rk") <= beam)
+                .select("q_id", "n_id", "cosine")
+                .localCheckpoint(eager=True)
+            )
 
+    # r11 (guide §2.4): the LAST round's beam is consumed exactly once,
+    # by the final top-k cut — so its eager checkpoint job and the
+    # second row_number pass over the same (cosine desc, n_id) order
+    # are pure overhead. rk ≤ beam then re-rank ≤ k over one ordering
+    # is the same rows as rk ≤ k directly (k ≤ beam), so the final cut
+    # folds into the last round's window — one job and one window pass
+    # fewer, bit-identical output. min(k, beam) preserves the old
+    # beam-cap-then-cut semantics for a (pathological) k > beam call.
     return (
-        cur.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= k)
+        cur.filter(F.col("rk") <= min(k, beam))
         .select(
             "q_id",
             "n_id",
