@@ -504,6 +504,19 @@ def ngram_jaccard_groups(
         "__gid", F.explode(F.slice("sh", 1, prefix_len)).alias("p")
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # r11 (guide §2.5 — the post-shuffle twin of the one-task-scan
+    # lesson): the candidate rows are SKINNY (two md5 strings), so
+    # AQE's byte-advisory coalescing collapses the dedup exchange to
+    # ~1 partition — and the expensive verify stage downstream (the
+    # per-pair array_intersect, invisible to AQE because the arrays
+    # attach AFTER this exchange via broadcast joins) then runs on one
+    # core. An explicit pair-keyed repartition at defaultParallelism
+    # both feeds the dedup aggregate (same clustering ⇒ no extra
+    # exchange) and pins the verify stage's parallelism to the core
+    # count — the natural sizing for a compute-bound stage at any
+    # scale. Measured at sf0.1 t=0.5 (565 k candidates): near_groups
+    # 3.73 s → 1.71 s, identical rows.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     cand_ids = (
         a.join(
             b,
@@ -511,6 +524,7 @@ def ngram_jaccard_groups(
             & (F.col("a.__gid") < F.col("b.__gid")),
         )
         .select(F.col("a.__gid").alias("g_a"), F.col("b.__gid").alias("g_b"))
+        .repartition(par, "g_a", "g_b")
         .dropDuplicates(["g_a", "g_b"])
     )
     # verify: re-attach the two shingle sets by gid (group-grain joins)

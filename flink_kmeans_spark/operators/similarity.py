@@ -766,9 +766,19 @@ def hnsw_lite_topk(
     )
 
     def _score(pairs: DataFrame) -> DataFrame:
-        """(a, b) id pairs → (a, b, cosine) via two unit-table joins."""
+        """(a, b) id pairs → (a, b, cosine) via two unit-table joins.
+
+        r11 (guide §2.5 post-shuffle parallelism): the pair rows are
+        skinny (two longs), so AQE byte-coalescing collapses the
+        upstream exchange to ~1 partition and the O(pairs·d) dot fold
+        — invisible to the byte advisory — goes single-core. An
+        explicit a-keyed repartition at defaultParallelism pins the
+        scoring stage to the core count; same pairs, same fold,
+        bit-identical scores."""
+        par = spark.sparkContext.defaultParallelism
         return (
-            pairs.join(cu.select(F.col("n_id").alias("a"), F.col("n_vec").alias("va")), "a")
+            pairs.repartition(par, "a")
+            .join(cu.select(F.col("n_id").alias("a"), F.col("n_vec").alias("va")), "a")
             .join(cu.select(F.col("n_id").alias("b"), F.col("n_vec").alias("vb")), "b")
             .select("a", "b", dot(F.col("va"), F.col("vb")).alias("cosine"))
         )

@@ -5405,13 +5405,25 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cid, band) — k·B shuffle keys instead of k. Work and output are
     # unchanged; each qualifying pair meets exactly once (in b's band).
     B = _SEM_BANDS
+    # r11 (guide §2.5 post-shuffle parallelism): the join's exchanges
+    # carry ~2k group rows (~1 MB), so AQE byte-coalescing collapses
+    # them to ~1 partition — and the O(pairs·d) cosine fold, which runs
+    # INSIDE the join stage and is invisible to the byte advisory, goes
+    # single-core (measured: the fold is ~2 s of the key at sf0.1).
+    # Explicit (cid, jb)-keyed repartitions at defaultParallelism on
+    # both sides satisfy the join's clustering (no extra exchange) and
+    # pin the fold stage to the core count; same salt keys, same pair
+    # set, bit-identical output.
+    par = spark.sparkContext.defaultParallelism
     ga = grp.withColumn(
         "jb",
         F.explode(
             F.sequence(F.lit(0).cast("bigint"), F.lit(B - 1).cast("bigint"))
         ),
-    )
-    gb = grp.withColumn("jb", F.pmod(F.col("gid"), F.lit(B)).cast("bigint"))
+    ).repartition(par, "cid", "jb")
+    gb = grp.withColumn(
+        "jb", F.pmod(F.col("gid"), F.lit(B)).cast("bigint")
+    ).repartition(par, "cid", "jb")
     cross = (
         ga.alias("a")
         .join(
