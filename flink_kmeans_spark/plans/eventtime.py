@@ -85,7 +85,11 @@ def _drain(df, prefix: str):
     from ..streaming.jobs import run_available_now
 
     _STREAM_RUN[0] += 1
-    return run_available_now(df, f"{prefix}_{_STREAM_RUN[0]}")
+    # complete-mode aggregations: the no-data batch re-emits the same
+    # full aggregate — skip it (see _no_data_batches_disabled)
+    return run_available_now(
+        df, f"{prefix}_{_STREAM_RUN[0]}", skip_no_data_batch=True
+    )
 
 
 @register(
@@ -241,6 +245,9 @@ def streaming_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_user_counter_stateful(spark, sf_dir),
         f"q_stateful_{_STREAM_RUN[0]}",
         output_mode="update",
+        # no input ⇒ no changed groups; NoTimeout ⇒ no timers: the
+        # no-data batch emits nothing — skip it
+        skip_no_data_batch=True,
     )
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
@@ -270,6 +277,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dedup_within_watermark(spark, sf_dir),
         f"q_sdedup_{_STREAM_RUN[0]}",
         output_mode="append",
+        # dropDuplicatesWithinWatermark emits eagerly; the no-data
+        # batch only evicts state — skip it
+        skip_no_data_batch=True,
     )
 
 
@@ -320,6 +330,9 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_stream_stream_join(spark, sf_dir),
         f"q_ssjoin_{_STREAM_RUN[0]}",
         output_mode="append",
+        # inner stream-stream joins emit on match during data batches;
+        # the no-data batch only evicts buffered state — skip it
+        skip_no_data_batch=True,
     )
 
 
@@ -454,7 +467,10 @@ def streaming_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = km.assign(stream, cents).select("vec_id", "cid")
     _STREAM_RUN[0] += 1
     return run_available_now(
-        assigned, f"q_skmeans_{_STREAM_RUN[0]}", output_mode="append"
+        assigned,
+        f"q_skmeans_{_STREAM_RUN[0]}",
+        output_mode="append",
+        skip_no_data_batch=True,  # stateless map — no watermark state
     )
 
 

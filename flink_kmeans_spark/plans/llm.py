@@ -2404,6 +2404,7 @@ def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SJ.streaming_media_decode(spark, sf_dir),
         f"q_media_decode_{_STREAM_RUN[0]}",
         output_mode="append",  # stateless map pipeline — no aggregation state
+        skip_no_data_batch=True,
     )
 
 
