@@ -60,54 +60,38 @@ def _load_all() -> None:
 
 # Driver-verification window priority. The driver hashes only the FIRST
 # ~50 queries() entries per round. Rotation is pure evidence REFRESH:
-# new keys with no driver evidence lead, then
-# stalest-latest-green-round first (computed by folding the ten
-# CORRECTNESS files; within a cohort, alphabetical). Round-11 window
-# (per VERDICT r10 item 1), front to back:
-#   new r11 keys (no driver evidence yet) — inserted as they land
-# + the d4-vintage cohort (21 oracled keys whose latest driver hash is
-#   round 4 — the stalest oracled evidence on file; they were r10's
-#   planned tail that slipped when the window spent slots on the
-#   one-time rows-only rotation)
-# + the d5-vintage cohort (50 keys, alphabetical; the ~25 that fit the
-#   window move to r11, the tail slips to r12's window)
+# stalest-latest-green-round first (computed by folding the eleven
+# CORRECTNESS files; within a cohort, alphabetical). Round-12 window,
+# front to back:
+# + the d5-vintage tail (22 oracled keys whose latest driver hash is
+#   still round 5 — they were r11's planned tail that slipped past the
+#   50-key cut)
+# + the d6-vintage cohort head (25 oracled keys, alphabetical; the
+#   rest slips to a future window)
 # + the three declared rows-only keys with r1/r2 driver evidence
-#   (refresh is execution-only `no_oracle` rows; oracled refresh wins
-#   the contested slots)
+#   (refresh is execution-only `no_oracle` rows)
 # Ordering only; results are order-independent (re-proved by re-running
-# the local gate after the reorder).
+# the local plain-session gate after the reorder).
 _WINDOW_PRIORITY: list[str] = [
-    # --- new in round 11 — no driver evidence yet ---
-    "sim_hnsw_topk",
-    # --- d4-vintage (21 oracled keys; latest green driver row is round 4) ---
-    "split_contamination", "streaming_checkpoint_resume",
-    "streaming_dedup", "streaming_foreach_batch",
-    "streaming_kmeans_assign", "streaming_stream_join",
-    "text_boilerplate_ngrams", "text_chunk", "text_collocations",
-    "text_containment", "text_pack", "text_repetition", "text_tfidf_exact",
-    "text_unigram_logprob", "text_zipf_fit", "udf_arrow_optimized",
-    "udtf_surface", "window_count_distinct", "window_range_interval",
-    "window_ratio_to_report", "window_rollup",
-    # --- d5-vintage (50 keys; latest green driver row is round 5) ---
-    "agg_percentile_approx", "cdc_merge_apply", "data_skew_report",
-    "decontam_ngram_overlap", "dedup_minhash", "dedup_simhash",
-    "dedup_url_canonical", "domain_mix_rebalance", "events_ab_test",
-    "events_cusum_drift", "events_entropy", "events_gap_detection",
-    "events_next_event_baseline", "events_outlier_mad",
-    "events_time_weighted_avg", "events_windowed_topk",
-    "forecast_snaive_backtest", "gdpr_user_erasure", "graph_degree_dist",
-    "join_asof_tolerance", "join_dynamic_partition_prune", "join_skew_aqe",
-    "kmeans_farthest_init", "mining_cooccurrence",
-    "multimodal_audio_decode", "multimodal_resize",
-    "multimodal_video_framesample", "orders_backlog_curve",
+    # --- d5-vintage tail (latest green driver row is round 5) ---
     "orders_mix_shift", "pipeline_media_curation",
     "sample_hash_stratified", "sample_stratified", "scalar_interval",
-    "scalar_url", "scan_text_lines", "scd2_intervals", "sim_filtered_topk",
-    "sim_knn_graph", "sink_compaction", "sink_parquet_codecs",
-    "sql_pipe_syntax", "streaming_media_decode", "table_fingerprint",
-    "text_bigram_lm", "text_bm25_topk", "text_encode_ids",
-    "text_inverted_index", "ts_fill_forward", "window_ewma",
-    "window_rolling_median",
+    "scalar_url", "scan_text_lines", "scd2_intervals",
+    "sim_filtered_topk", "sim_knn_graph", "sink_compaction",
+    "sink_parquet_codecs", "sql_pipe_syntax", "streaming_media_decode",
+    "table_fingerprint", "text_bigram_lm", "text_bm25_topk",
+    "text_encode_ids", "text_inverted_index", "ts_fill_forward",
+    "window_ewma", "window_rolling_median",
+    # --- d6-vintage head (latest green driver row is round 6) ---
+    "agg_chi2_independence", "agg_kmv_distinct", "agg_kmv_setops",
+    "agg_ks_test", "data_kanonymity", "dedup_line_level",
+    "embedding_mrl_truncate", "embedding_pca_power",
+    "events_bot_detection", "events_funnel_ttc",
+    "events_markov_chain_2nd", "events_survival_curve", "geo_grid_knn",
+    "graph_label_propagation", "graph_shortest_paths", "join_broadcast",
+    "join_outer", "join_shuffle", "multimodal_audio_spectrogram",
+    "multimodal_audio_vad", "multimodal_phash", "mv_incremental_agg",
+    "pipeline_rag", "project_filter", "scan_events_ns",
     # --- declared rows-only keys with r1/r2 driver evidence ---
     "agg_approx", "kmeans_datagen", "kmeans_mllib",
 ]
