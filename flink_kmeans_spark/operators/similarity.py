@@ -138,7 +138,40 @@ def ivf_topk(
 
     from .kmeans import assign_arrow, fit
 
-    model = fit(corpus, k=n_clusters, n_iter=5, id_col=id_col, vec_col=vec_col)
+    # The query set is collected to the driver for centroid probing — a
+    # BOUNDED contract (queries are a handful of probe vectors, not a
+    # table). Enforce the bound so a future caller can't feed a
+    # table-sized query set into a driver collect: limit(MAX+1) caps the
+    # transfer even when the input is huge, then the length check fires.
+    MAX_QUERIES = 10_000
+
+    # r12 (guide §2.6): the bounded query collect shares no inputs with
+    # the coarse-quantizer fit — run the two job chains from a 2-thread
+    # pool so the collect overlaps the fit's iteration jobs (the hnsw
+    # entry-chain overlap pattern); deterministic either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_model = pool.submit(
+            inheritable_thread_target(
+                lambda: fit(
+                    corpus, k=n_clusters, n_iter=5, id_col=id_col, vec_col=vec_col
+                )
+            )
+        )
+        f_q = pool.submit(
+            inheritable_thread_target(
+                lambda: queries.select(
+                    id_col, F.col(vec_col).cast("array<double>")
+                )
+                .limit(MAX_QUERIES + 1)
+                .collect()
+            )
+        )
+        model = f_model.result()
+        q_rows = f_q.result()
     cells = assign_arrow(corpus, model.centroids, id_col, vec_col).select(
         id_col, F.col("cid").alias("cell")
     )
@@ -147,18 +180,7 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("n_vec"),
     ).join(cells.withColumnRenamed(id_col, "n_id"), "n_id")
 
-    # The query set is collected to the driver for centroid probing — a
-    # BOUNDED contract (queries are a handful of probe vectors, not a
-    # table). Enforce the bound so a future caller can't feed a
-    # table-sized query set into a driver collect: limit(MAX+1) caps the
-    # transfer even when the input is huge, then the length check fires.
-    MAX_QUERIES = 10_000
     C = np.array([v for _, v in model.centroids])
-    q_rows = (
-        queries.select(id_col, F.col(vec_col).cast("array<double>"))
-        .limit(MAX_QUERIES + 1)
-        .collect()
-    )
     if len(q_rows) > MAX_QUERIES:
         raise ValueError(
             f"ivf_topk query set exceeds the driver-collect bound "

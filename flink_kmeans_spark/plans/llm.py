@@ -3661,8 +3661,12 @@ def _ann_inc_build(spark, indexed, tbl, idx_path, on_base_written=None) -> None:
     if os.path.isdir(idx_path):
         shutil.rmtree(idx_path)
     os.makedirs(idx_path, exist_ok=True)
+    # r12 (guide §6 small-files): repartition by the bucket function
+    # itself (murmur3 mod 16 — exactly Spark's bucket id) so each task
+    # writes ONE bucket file instead of one per (bucket, input task).
     (
         indexed.filter(F.col("vec_id") % 10 != 0)
+        .repartition(16, "bucket")
         .write.bucketBy(16, "bucket")
         .sortBy("bucket")
         .option("path", idx_path)
@@ -3675,6 +3679,7 @@ def _ann_inc_build(spark, indexed, tbl, idx_path, on_base_written=None) -> None:
     # base files untouched (the incremental-ingest contract).
     (
         indexed.filter(F.col("vec_id") % 10 == 0)
+        .repartition(16, "bucket")
         .write.bucketBy(16, "bucket")
         .sortBy("bucket")
         .option("path", idx_path)
@@ -4168,8 +4173,10 @@ def _mh_inc_build(spark, banded_base, banded_delta, tbl, idx_path,
     if os.path.isdir(idx_path):
         shutil.rmtree(idx_path)
     os.makedirs(idx_path, exist_ok=True)
+    # r12 (guide §6): one file per (gen, bucket) — see _ann_inc_build
     (
-        banded_base.write.partitionBy("gen")
+        banded_base.repartition(16, "bkey")
+        .write.partitionBy("gen")
         .bucketBy(16, "bkey")
         .sortBy("bkey")
         .option("path", idx_path)
@@ -4179,7 +4186,8 @@ def _mh_inc_build(spark, banded_base, banded_delta, tbl, idx_path,
     if on_base_written is not None:
         on_base_written(idx_path)
     (
-        banded_delta.write.partitionBy("gen")
+        banded_delta.repartition(16, "bkey")
+        .write.partitionBy("gen")
         .bucketBy(16, "bkey")
         .sortBy("bkey")
         .option("path", idx_path)
@@ -6635,8 +6643,10 @@ def dedup_cdc_incremental(
     import shutil
 
     shutil.rmtree(idx_path, ignore_errors=True)
+    # r12 (guide §6): one file per bucket — see _ann_inc_build
     (
-        base.write.bucketBy(16, "digest")
+        base.repartition(16, "digest")
+        .write.bucketBy(16, "digest")
         .mode("overwrite")
         .option("path", idx_path)
         .saveAsTable(tbl)
@@ -6697,9 +6707,9 @@ def dedup_cdc_incremental(
     # the append a real store performs: new distinct digests, same
     # bucket spec -> new per-bucket files only (immutability of the
     # base files is pytest-pinned)
-    newu.select("digest").distinct().write.bucketBy(16, "digest").mode(
-        "append"
-    ).option("path", idx_path).saveAsTable(tbl)
+    newu.select("digest").distinct().repartition(16, "digest").write.bucketBy(
+        16, "digest"
+    ).mode("append").option("path", idx_path).saveAsTable(tbl)
     occ = flagged.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.count(F.when(F.col("known"), 1)).cast("bigint").alias("n_known"),
