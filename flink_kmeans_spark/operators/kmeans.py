@@ -247,15 +247,20 @@ def fit(
     ``tol``: optional convergence extension beyond the reference's
     fixed-iteration contract — stop early once the max squared centroid
     shift drops below tol. None (default) preserves exact
-    fixed-iteration reference semantics; all oracles use None."""
-    first = points.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("empty points input")
-    dim = first["d"]
+    fixed-iteration reference semantics; all oracles use None.
+
+    r12 (guide §2.6 — fewer actions): the dimension used to be probed
+    with its own ``first()`` job; it is already carried by the init
+    centroids (the same data's vectors), so every fit consumer saves
+    one driver round-trip. The empty-input ValueError contract is
+    kept (an empty init collect raises it)."""
     pts = points.select(id_col, vec_col)
     pts.persist()
     try:
         cents = init if init is not None else init_centroids(pts, k, id_col, vec_col)
+        if not cents:
+            raise ValueError("empty points input")
+        dim = len(cents[0][1])
         ids = [cid for cid, _ in cents]
         for _ in range(n_iter):
             partials = _partial_sums_df(pts, [v for _, v in cents], vec_col).collect()

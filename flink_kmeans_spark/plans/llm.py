@@ -1970,6 +1970,8 @@ def _ann_index_ensure(spark: SparkSession, sf_dir: str) -> str:
                 cell.alias("bucket"),
                 l2norm(v).alias("nrm"),
             )
+            # r12 (guide §6): one file per bucket — see _ann_inc_build
+            .repartition(16, "bucket")
             .write.bucketBy(16, "bucket")
             .sortBy("bucket")
             .option("path", idx_path)
