@@ -3478,13 +3478,25 @@ def graph_kcore(
     # deserialized and joined per pass, identical degree counts — an
     # undirected edge with both endpoints alive contributes exactly one
     # count to each endpoint either way.
+    # EAGER: round 1's two alive-set broadcast builds run concurrently,
+    # and on a lazy checkpoint BOTH would race-compute the whole edge
+    # derivation before the cache fills; the eager job materializes it
+    # exactly once (it also replaces the old alive.count()'s role as
+    # the pre-peel materializer, minus that count's distinct shuffle).
     ecp = edges.localCheckpoint(
-        eager=False, storageLevel=_SL.MEMORY_AND_DISK
+        eager=True, storageLevel=_SL.MEMORY_AND_DISK
     )
     alive = (
         ecp.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
     )
-    small_v = alive.count() < broadcast_nodes_max
+    # r12 branch bound: nodes are p_partkeys, so |V| ≤ |part| BY SCHEMA
+    # (foreign key) — a metadata-cheap columnless count of the part
+    # table replaces the alive.count() job (a full distinct shuffle of
+    # the 2|E| endpoint list). The bound only ever OVER-estimates |V|,
+    # so it can only flip the branch toward the (always-correct,
+    # bit-identical) shuffle path earlier; it crosses the 16M-node
+    # threshold four decades past the gate scale.
+    small_v = _t(spark, sf_dir, "part").count() < broadcast_nodes_max
 
     def _deg(alive_df: DataFrame) -> DataFrame:
         a_s = alive_df.withColumnRenamed("node", "src")
