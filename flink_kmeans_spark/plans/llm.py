@@ -4175,10 +4175,8 @@ def _mh_inc_build(spark, banded_base, banded_delta, tbl, idx_path,
     if os.path.isdir(idx_path):
         shutil.rmtree(idx_path)
     os.makedirs(idx_path, exist_ok=True)
-    # r12 (guide §6): one file per (gen, bucket) — see _ann_inc_build
     (
-        banded_base.repartition(16, "bkey")
-        .write.partitionBy("gen")
+        banded_base.write.partitionBy("gen")
         .bucketBy(16, "bkey")
         .sortBy("bkey")
         .option("path", idx_path)
@@ -4188,8 +4186,7 @@ def _mh_inc_build(spark, banded_base, banded_delta, tbl, idx_path,
     if on_base_written is not None:
         on_base_written(idx_path)
     (
-        banded_delta.repartition(16, "bkey")
-        .write.partitionBy("gen")
+        banded_delta.write.partitionBy("gen")
         .bucketBy(16, "bkey")
         .sortBy("bkey")
         .option("path", idx_path)
