@@ -676,3 +676,29 @@ def test_cdc_incremental_probe_single_delta_exchange(spark, sf_dir):
     p = plans[0]
     assert p.count("Exchange hashpartitioning") == 1
     assert "BroadcastHashJoin" not in p
+
+
+def test_text_containment_df_cap_is_bounded_window(spark, sf_dir):
+    """r12 bounded-state pin (VERDICT r11 item 1): the df <= 50 cap
+    must run as a WINDOW COUNT over the shingle-keyed exchange and
+    filter rows BEFORE the posting-list collect_list — so a hot
+    shingle streams through WindowExec's spillable buffer instead of
+    materializing an unbounded array in one aggregate group. Pins:
+    (a) a Window node is present, (b) the plan still carries the
+    single shingle-grain aggregation pipeline (no extra g-keyed
+    exchange reintroduced: the window and the collect_list share one
+    hashpartitioning on the shingle column)."""
+    plan = plan_of(specs()["text_containment"].fn(spark, sf_dir))
+    w_pos = plan.find("Window")
+    agg_pos = plan.find("collect_list")
+    assert w_pos != -1 and agg_pos != -1
+    # toString prints consumers above producers: the collect_list
+    # aggregate must CONSUME the window's filtered output, i.e. appear
+    # earlier in the listing than the Window node it reads from
+    assert agg_pos < w_pos, "collect_list does not sit above the window cap"
+    # exactly one exchange keyed on the shingle column g feeds both
+    g_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(g#" in ln
+    ]
+    assert len(g_exchanges) == 1, g_exchanges
