@@ -329,10 +329,27 @@ def main() -> None:
     # curated headline set gets ONE pass, so the artifact carries a
     # wall for all registered keys — no family is bench-invisible.
     # Opt-out via SPARK_GRAFT_BENCH_TAIL=0 for quick iteration.
+    #
+    # r12 stall defense (measured, not hypothetical: one quiet-box
+    # suite recorded graph_components_star at 36.7 s in-suite vs 4.97 s
+    # isolated minutes later — a host I/O stall window also inflated
+    # its neighbors 3–9×): a tail key whose single pass exceeds
+    # TAIL_RETRY_SEC gets exactly ONE re-run; both samples land in
+    # `tail_retries` (additions-only) and the min wins, mirroring the
+    # gated-key defense. Genuinely slow keys simply become best-of-2.
+    TAIL_RETRY_SEC = 4.0
+    tail_retries: dict[str, list] = {}
     tail_keys = [k for k in queries if k not in set(HEADLINE)]
     if os.environ.get("SPARK_GRAFT_BENCH_TAIL", "1") != "0":
         for key in tail_keys:
             timed(key, queries[key], 1)
+            if timings[key] > TAIL_RETRY_SEC:
+                first_sample = {"best": timings[key], "load": load_at[key]}
+                timed(key, queries[key], 1)
+                tail_retries[key] = [
+                    first_sample,
+                    {"best": timings[key], "load": load_at[key]},
+                ]
 
     load_post_suite = round(os.getloadavg()[0], 2)
     total = round(sum(timings[k] for k in HEADLINE), 4)
@@ -353,6 +370,7 @@ def main() -> None:
             "host_cpus": os.cpu_count(),
             "gate_wait_s": gate_wait_s,
             "gate_retries": gate_retries,
+            "tail_retries": tail_retries,
         }
     )
     # The driver records only a TAIL of the output: BENCH_r03.json came
