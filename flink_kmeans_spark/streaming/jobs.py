@@ -585,16 +585,31 @@ def run_checkpoint_resume(
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     schema = ev.schema
-    # two deterministic arrivals (disjoint, exhaustive)
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{landing}/arrival=1")
+    # two deterministic arrivals (disjoint, exhaustive), built in ONE
+    # corpus pass (r12, guide §2.4 — the old per-arrival filter +
+    # coalesce(1) writes scanned events twice): partitionBy lands each
+    # arrival in its own directory with one file (repartitionByRange
+    # guarantees the two arrival values never share a task), and
+    # arrival 2 is STAGED outside the landing dir until drain 1 has
+    # completed — the resume semantics (drain 1 must not see arrival 2)
+    # are enforced by the os-level move, exactly as a real landing
+    # directory receives files.
+    stage_arrivals = f"{root}/arrivals_stage"
+    (
+        ev.withColumn(
+            "arrival",
+            F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(2)),
+        )
+        .repartitionByRange(2, "arrival")
+        .write.mode("overwrite")
+        .partitionBy("arrival")
+        .parquet(stage_arrivals)
+    )
+    os.replace(f"{stage_arrivals}/arrival=1", f"{landing}/arrival=1")
     first = True
     for arrival in (1, 2):
         if not first:
-            ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{landing}/arrival=2")
+            os.replace(f"{stage_arrivals}/arrival=2", f"{landing}/arrival=2")
         first = False
         stream = _normalize_event_ts(
             spark.readStream.schema(schema)
